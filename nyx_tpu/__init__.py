@@ -1,0 +1,35 @@
+"""nyx_tpu — a TPU-native, JAX-first spaceflight dynamics framework.
+
+A from-scratch re-design of the capabilities of nyx-space/nyx (high-fidelity
+orbit propagation, mission design, Monte Carlo, orbit determination) for
+TPU hardware: the Monte Carlo / covariance ensemble is the native array axis,
+propagation is a batched `lax.while_loop` with per-lane adaptive step control,
+force models are fused pure functions (Pallas kernels on the hot paths), and
+scaling is `jax.sharding` over a device mesh rather than CPU threads.
+
+All dynamical computations are float64 (x64 mode is enabled at import).
+Positions are in km, velocities km/s, epochs in TAI/TDB seconds past J2000.
+"""
+
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"
+
+from .time import Epoch, Duration, Unit  # noqa: E402
+from .constants import GM  # noqa: E402
+from .cosmic.frames import Frame, Frames  # noqa: E402
+from .cosmic.orbit import Orbit  # noqa: E402
+from .cosmic.spacecraft import Spacecraft  # noqa: E402
+
+__all__ = [
+    "Epoch",
+    "Duration",
+    "Unit",
+    "GM",
+    "Frame",
+    "Frames",
+    "Orbit",
+    "Spacecraft",
+]

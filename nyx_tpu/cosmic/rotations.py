@@ -1,0 +1,163 @@
+"""Inertial <-> body-fixed orientation models (device functions).
+
+IAU analytic orientation models (IAU WG on Cartographic Coordinates 2009
+report values) for the bodies the reference supports through its planetary
+constants kernel. The reference delegates rotations to ANISE
+(e.g. nyx-core/src/dynamics/gravity_field.rs:168-186 rotates states into the
+gravity field's body-fixed frame); here each model is a pure JAX function of
+TDB seconds past J2000 returning a 3x3 DCM, differentiable and batchable.
+
+High-precision Earth orientation (ITRF93 from binary PCK Chebyshev data) is
+supported through the same interface when a real `.bpc` file is loaded into
+the Almanac (see nyx_tpu/ephem/); the analytic IAU model is the fallback.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..xmath import linear_angle_deg, reduce_deg
+
+_D2R = jnp.pi / 180.0
+_DAYS_PER_CENTURY = 36_525.0
+
+
+def rot1(theta):
+    """Rotation about X by theta (radians). Frame rotation (transposed vector rot)."""
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    z = jnp.zeros_like(theta)
+    o = jnp.ones_like(theta)
+    return jnp.stack(
+        [
+            jnp.stack([o, z, z], -1),
+            jnp.stack([z, c, s], -1),
+            jnp.stack([z, -s, c], -1),
+        ],
+        -2,
+    )
+
+
+def rot2(theta):
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    z = jnp.zeros_like(theta)
+    o = jnp.ones_like(theta)
+    return jnp.stack(
+        [
+            jnp.stack([c, z, -s], -1),
+            jnp.stack([z, o, z], -1),
+            jnp.stack([s, z, c], -1),
+        ],
+        -2,
+    )
+
+
+def rot3(theta):
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    z = jnp.zeros_like(theta)
+    o = jnp.ones_like(theta)
+    return jnp.stack(
+        [
+            jnp.stack([c, s, z], -1),
+            jnp.stack([-s, c, z], -1),
+            jnp.stack([z, z, o], -1),
+        ],
+        -2,
+    )
+
+
+def dcm_from_euler_ra_dec_w(alpha_deg, delta_deg, w_deg):
+    """ICRF -> body-fixed DCM from IAU (RA, DEC, prime meridian) angles.
+
+    Angles are reduced mod 360 in exact arithmetic before the trig calls
+    (TPU f64 trig loses accuracy on large arguments; see nyx_tpu.xmath).
+    """
+    alpha = reduce_deg(alpha_deg) * _D2R
+    delta = reduce_deg(delta_deg) * _D2R
+    w = reduce_deg(w_deg) * _D2R
+    return rot3(w) @ rot1(jnp.pi / 2 - delta) @ rot3(jnp.pi / 2 + alpha)
+
+
+def iau_earth_angles(t_tdb_s):
+    """IAU_EARTH orientation angles (deg) at TDB seconds past J2000."""
+    d = t_tdb_s / 86_400.0
+    T = d / _DAYS_PER_CENTURY
+    alpha = 0.0 - 0.641 * T
+    delta = 90.0 - 0.557 * T
+    w = linear_angle_deg(190.147, 360.985_623_5, d)
+    return alpha, delta, w
+
+
+def iau_earth_dcm(t_tdb_s):
+    """J2000 -> IAU_EARTH body-fixed DCM."""
+    a, de, w = iau_earth_angles(t_tdb_s)
+    return dcm_from_euler_ra_dec_w(a, de, w)
+
+
+# IAU 2009 lunar orientation series. Angles E1..E13 (deg, deg/day).
+_MOON_E = jnp.array(
+    [
+        [125.045, -0.0529921],
+        [250.089, -0.1059842],
+        [260.008, 13.0120009],
+        [176.625, 13.3407154],
+        [357.529, 0.9856003],
+        [311.589, 26.4057084],
+        [134.963, 13.0649930],
+        [276.617, 0.3287146],
+        [34.226, 1.7484877],
+        [15.134, -0.1589763],
+        [119.743, 0.0036096],
+        [239.961, 0.1643573],
+        [25.053, 12.9590088],
+    ]
+)
+
+_MOON_ALPHA_SIN = jnp.array(
+    [-3.8787, -0.1204, 0.0700, -0.0172, 0.0, 0.0072, 0.0, 0.0, 0.0, -0.0052, 0.0, 0.0, 0.0043]
+)
+_MOON_DELTA_COS = jnp.array(
+    [1.5419, 0.0239, -0.0278, 0.0068, 0.0, -0.0029, 0.0009, 0.0, 0.0, 0.0008, 0.0, 0.0, -0.0009]
+)
+_MOON_W_SIN = jnp.array(
+    [3.5610, 0.1208, -0.0642, 0.0158, 0.0252, -0.0066, -0.0047, -0.0046, 0.0028, 0.0052, 0.0040, 0.0019, -0.0044]
+)
+
+
+def iau_moon_angles(t_tdb_s):
+    """IAU_MOON orientation angles (deg); mean-Earth/polar-axis style IAU model."""
+    d = t_tdb_s / 86_400.0
+    T = d / _DAYS_PER_CENTURY
+    e = (
+        linear_angle_deg(_MOON_E[:, 0], _MOON_E[:, 1], jnp.expand_dims(d, -1))
+        * _D2R
+    )
+    alpha = 269.9949 + 0.0031 * T + jnp.sum(_MOON_ALPHA_SIN * jnp.sin(e), axis=-1)
+    delta = 66.5392 + 0.0130 * T + jnp.sum(_MOON_DELTA_COS * jnp.cos(e), axis=-1)
+    w = (
+        linear_angle_deg(38.3213, 13.176_358_15, d)
+        - 1.4e-12 * d * d
+        + jnp.sum(_MOON_W_SIN * jnp.sin(e), axis=-1)
+    )
+    return alpha, delta, w
+
+
+def iau_moon_dcm(t_tdb_s):
+    a, de, w = iau_moon_angles(t_tdb_s)
+    return dcm_from_euler_ra_dec_w(a, de, w)
+
+
+def iau_mars_dcm(t_tdb_s):
+    d = t_tdb_s / 86_400.0
+    T = d / _DAYS_PER_CENTURY
+    return dcm_from_euler_ra_dec_w(
+        317.68143 - 0.1061 * T,
+        52.88650 - 0.0609 * T,
+        linear_angle_deg(176.630, 350.891_982_26, d),
+    )
+
+
+def iau_sun_dcm(t_tdb_s):
+    d = t_tdb_s / 86_400.0
+    return dcm_from_euler_ra_dec_w(
+        286.13, 63.87, linear_angle_deg(84.176, 14.1844000, d)
+    )

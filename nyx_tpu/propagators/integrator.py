@@ -1,0 +1,265 @@
+"""Batched adaptive Runge-Kutta integration kernel.
+
+The TPU-native inversion of the reference's hot loop
+(nyx-core/src/propagators/instance.rs:358-493): instead of one scalar
+adaptive RK per CPU thread, every Monte Carlo lane advances together inside
+one `lax.while_loop`, each lane carrying its own step size, attempt counter
+and done flag. Rejected lanes shrink their step and retry on the next global
+iteration; finished lanes are masked no-ops until all lanes complete.
+Step-size control follows GMAT/Nyx exactly: accept when
+err <= tol or |h| <= min_step or attempts >= max; grow by
+0.9 (tol/err)^(1/order), shrink by 0.9 (tol/err)^(1/(order-1)); the last
+step is clamped to land exactly on the stop time (instance.rs:180-186).
+
+States are flat `[B, N]` float64 arrays; the EOM is a batched pure function
+`eom(t_rel_s [B], y [B, N]) -> [B, N]`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .options import IntegratorOptions
+from .tableaus import IntegratorMethod
+
+# Lane status codes
+RUNNING = 0
+DONE = 1
+FAILED_NAN = 2
+
+
+class PropCarry(NamedTuple):
+    t: jnp.ndarray  # [B] seconds relative to integration start
+    y: jnp.ndarray  # [B, N]
+    h: jnp.ndarray  # [B] current (signed) step size, s
+    status: jnp.ndarray  # [B] int32
+    attempts: jnp.ndarray  # [B] int32 attempts for the current step
+    error: jnp.ndarray  # [B] last error estimate
+    n_accepted: jnp.ndarray  # [B] int32
+    n_rejected: jnp.ndarray  # [B] int32
+    it: jnp.ndarray  # [] global iteration counter
+    traj_t: jnp.ndarray  # [B, K] capture buffer epochs (rel s)
+    traj_y: jnp.ndarray  # [B, K, N]
+    traj_len: jnp.ndarray  # [B] int32
+
+
+class PropResult(NamedTuple):
+    t: jnp.ndarray
+    y: jnp.ndarray
+    status: jnp.ndarray
+    n_accepted: jnp.ndarray
+    n_rejected: jnp.ndarray
+    error: jnp.ndarray
+    step: jnp.ndarray
+    traj_t: jnp.ndarray
+    traj_y: jnp.ndarray
+    traj_len: jnp.ndarray
+
+
+def _rk_stages(eom, a, b, b_star, c, t, y, h):
+    """One full RK stage evaluation for all lanes. Returns (next_y, err_vec)."""
+    stages = b.shape[0]
+    hb = h[:, None]
+    k = [eom(t, y)]
+    for i in range(1, stages):
+        wi = a[i, 0] * k[0]
+        for j in range(1, i):
+            if a[i, j] != 0.0:
+                wi = wi + a[i, j] * k[j]
+        k.append(eom(t + c[i] * h, y + hb * wi))
+    acc = b[0] * k[0]
+    err = (b[0] - b_star[0]) * k[0]
+    for i in range(1, stages):
+        if b[i] != 0.0:
+            acc = acc + b[i] * k[i]
+        if (b[i] - b_star[i]) != 0.0:
+            err = err + (b[i] - b_star[i]) * k[i]
+    return y + hb * acc, hb * err
+
+
+def propagate(
+    eom: Callable,
+    y0: jnp.ndarray,
+    duration_s,
+    options: IntegratorOptions,
+    method: IntegratorMethod = IntegratorMethod.RK89,
+    t0=None,
+    n_capture: int = 0,
+    capture_stride: int = 1,
+    finally_fn: Optional[Callable] = None,
+) -> PropResult:
+    """Propagate a batch of states for `duration_s` (may be negative or per-lane).
+
+    Args:
+      eom: batched EOM `(t[B], y[B,N]) -> [B,N]`.
+      y0: `[B, N]` initial states (float64).
+      duration_s: scalar or `[B]` signed duration in seconds.
+      options: integrator options (static).
+      method: RK tableau (static).
+      t0: optional `[B]` start offsets (default zeros); epochs handed to the
+        EOM are `t0 + elapsed`.
+      n_capture: if > 0, size of the per-lane accepted-step capture buffer
+        (the TPU stand-in for the reference's mpsc trajectory streaming,
+        instance.rs:297-326).
+      capture_stride: store every k-th accepted step (final state always).
+      finally_fn: optional `(t[B], y[B,N]) -> [B,N]` post-step hook, the
+        analogue of Dynamics::finally (dynamics/mod.rs:120-137).
+    """
+    y0 = jnp.asarray(y0, dtype=jnp.float64)
+    if y0.ndim == 1:
+        y0 = y0[None, :]
+    B, N = y0.shape
+    dur = jnp.broadcast_to(jnp.asarray(duration_s, dtype=jnp.float64), (B,))
+    t_start = (
+        jnp.zeros(B, dtype=jnp.float64)
+        if t0 is None
+        else jnp.broadcast_to(jnp.asarray(t0, dtype=jnp.float64), (B,))
+    )
+    t_stop = t_start + dur
+    sgn = jnp.where(dur < 0, -1.0, 1.0)
+
+    a, b, b_star, c = method.a_matrix, method.b, method.b_star, method.c
+    order = float(method.order)
+    fixed = options.fixed_step or method.is_fixed_only
+    min_step = options.min_step_s
+    max_step = options.max_step_s
+    tol = options.tolerance
+    max_attempts = options.attempts
+
+    h0 = sgn * min(options.init_step_s, options.max_step_s)
+    K = max(n_capture, 1)
+
+    if finally_fn is not None:
+        y0 = finally_fn(t_start, y0)
+
+    init = PropCarry(
+        t=t_start,
+        y=y0,
+        h=jnp.full((B,), 1.0) * h0,
+        status=jnp.where(dur == 0.0, DONE, RUNNING).astype(jnp.int32),
+        attempts=jnp.ones((B,), dtype=jnp.int32),
+        error=jnp.zeros((B,)),
+        n_accepted=jnp.zeros((B,), dtype=jnp.int32),
+        n_rejected=jnp.zeros((B,), dtype=jnp.int32),
+        it=jnp.zeros((), dtype=jnp.int32),
+        traj_t=jnp.zeros((B, K)),
+        traj_y=jnp.zeros((B, K, N)),
+        traj_len=jnp.zeros((B,), dtype=jnp.int32),
+    )
+
+    def cond(carry: PropCarry):
+        return jnp.logical_and(
+            jnp.any(carry.status == RUNNING), carry.it < options.max_iterations
+        )
+
+    def body(carry: PropCarry) -> PropCarry:
+        running = carry.status == RUNNING
+        # Clamp the final step to land exactly on the stop time
+        # (instance.rs:180-186: one fixed step of exactly the remainder).
+        overshoot = (carry.t + carry.h) * sgn > t_stop * sgn
+        h_use = jnp.where(overshoot, t_stop - carry.t, carry.h)
+
+        next_y, err_vec = _rk_stages(eom, a, b, b_star, c, carry.t, carry.y, h_use)
+
+        if fixed:
+            err = jnp.zeros((B,))
+            accept = jnp.ones((B,), dtype=bool)
+        else:
+            err = options.error_ctrl(err_vec, next_y, carry.y)
+            accept = (
+                (err <= tol)
+                | (jnp.abs(h_use) <= min_step * (1 + 1e-12))
+                | (carry.attempts >= max_attempts)
+                | overshoot
+            )
+
+        t_new = carry.t + h_use
+        finished = overshoot  # landed exactly on t_stop
+
+        nan_lane = ~jnp.all(jnp.isfinite(next_y), axis=-1)
+
+        do_accept = running & accept
+        do_reject = running & ~accept
+
+        # --- step-size adaptation (signed) ---
+        safe_err = jnp.maximum(err, 1e-300)
+        grow = 0.9 * jnp.abs(carry.h) * (tol / safe_err) ** (1.0 / order)
+        shrink = 0.9 * jnp.abs(h_use) * (tol / safe_err) ** (1.0 / (order - 1.0))
+        if fixed:
+            h_acc = jnp.abs(carry.h)
+        else:
+            h_acc = jnp.where(err < tol, jnp.minimum(grow, max_step), jnp.abs(carry.h))
+            h_acc = jnp.maximum(h_acc, min_step)
+        h_rej = jnp.maximum(shrink, min_step)
+        h_new = jnp.where(
+            do_accept, sgn * h_acc, jnp.where(do_reject, sgn * h_rej, carry.h)
+        )
+
+        y_out = jnp.where(do_accept[:, None], next_y, carry.y)
+        if finally_fn is not None:
+            y_fin = finally_fn(t_new, y_out)
+            y_out = jnp.where(do_accept[:, None], y_fin, y_out)
+        t_out = jnp.where(do_accept, t_new, carry.t)
+
+        status_new = jnp.where(
+            do_accept & nan_lane,
+            FAILED_NAN,
+            jnp.where(do_accept & finished, DONE, carry.status),
+        )
+
+        n_acc = carry.n_accepted + do_accept.astype(jnp.int32)
+        n_rej = carry.n_rejected + do_reject.astype(jnp.int32)
+        attempts_new = jnp.where(
+            do_accept, 1, jnp.where(do_reject, carry.attempts + 1, carry.attempts)
+        )
+
+        # --- trajectory capture ---
+        if n_capture > 0:
+            want = do_accept & (
+                ((n_acc - 1) % capture_stride == 0) | finished
+            )
+            idx = jnp.minimum(carry.traj_len, n_capture - 1)
+            write_idx = jnp.where(want, idx, n_capture + 1)  # OOB -> dropped
+            lanes = jnp.arange(B)
+            traj_t = carry.traj_t.at[lanes, write_idx].set(t_new, mode="drop")
+            traj_y = carry.traj_y.at[lanes, write_idx].set(next_y, mode="drop")
+            traj_len = jnp.minimum(
+                carry.traj_len + want.astype(jnp.int32), n_capture
+            )
+        else:
+            traj_t, traj_y, traj_len = carry.traj_t, carry.traj_y, carry.traj_len
+
+        return PropCarry(
+            t=t_out,
+            y=y_out,
+            h=h_new,
+            status=status_new,
+            attempts=attempts_new,
+            error=jnp.where(running, err, carry.error),
+            n_accepted=n_acc,
+            n_rejected=n_rej,
+            it=carry.it + 1,
+            traj_t=traj_t,
+            traj_y=traj_y,
+            traj_len=traj_len,
+        )
+
+    final = jax.lax.while_loop(cond, body, init)
+    return PropResult(
+        t=final.t,
+        y=final.y,
+        status=final.status,
+        n_accepted=final.n_accepted,
+        n_rejected=final.n_rejected,
+        error=final.error,
+        step=final.h,
+        traj_t=final.traj_t,
+        traj_y=final.traj_y,
+        traj_len=final.traj_len,
+    )

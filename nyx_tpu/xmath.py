@@ -1,0 +1,90 @@
+"""Accuracy-hardened math helpers for TPU float64.
+
+On TPU, XLA emulates float64 as a float32 pair (~48-bit effective mantissa):
++,-,*,/,sqrt are accurate to ~3e-15 relative, and transcendentals are good
+(~1e-12) for reduced arguments and shapes >= 2 lanes — but sin/cos of large
+arguments lose absolute accuracy as |x| * eps, and scalar-shaped ((), (1,))
+transcendentals take a low-precision path. The framework therefore follows
+two rules, both enforced here and by the batched propagator (which pads the
+lane axis to >= 8):
+
+1. every periodic argument is reduced modulo 2pi/360 BEFORE the trig call,
+   in exact arithmetic;
+2. linearly-growing angles (rotation models: W = base + rate * days) are
+   reduced algebraically via integer-splitting so the angle never grows
+   beyond ~1e4 before reduction.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+PI = 3.141592653589793
+TWO_PI = 6.283185307179586
+DEG2RAD = PI / 180.0
+RAD2DEG = 180.0 / PI
+
+# 2*pi split into three parts (24-bit chunks): k*TWO_PI_A and k*TWO_PI_B are
+# exact for |k| < 2^24, so Cody-Waite reduction holds to ~|x|*2^-48.
+TWO_PI_A = 6.283185303211212
+TWO_PI_B = 3.968374073792802e-09
+TWO_PI_C = 2.4492935982947064e-16
+
+
+def reduce_rad(x):
+    """x mod 2pi, into [-pi, pi], via three-part Cody-Waite reduction."""
+    k = jnp.round(x * (1.0 / TWO_PI))
+    return ((x - k * TWO_PI_A) - k * TWO_PI_B) - k * TWO_PI_C
+
+
+def reduce_deg(x):
+    """x mod 360 into [-180, 180] (exact: 360*k is exact for |k| < 2^45)."""
+    k = jnp.round(x * (1.0 / 360.0))
+    return x - k * 360.0
+
+
+def sin_rad(x):
+    return jnp.sin(reduce_rad(x))
+
+
+def cos_rad(x):
+    return jnp.cos(reduce_rad(x))
+
+
+def sin_deg(x):
+    return jnp.sin(reduce_deg(x) * DEG2RAD)
+
+
+def cos_deg(x):
+    return jnp.cos(reduce_deg(x) * DEG2RAD)
+
+
+def sincos_deg(x):
+    r = reduce_deg(x) * DEG2RAD
+    return jnp.sin(r), jnp.cos(r)
+
+
+def linear_angle_deg(base_deg, rate_deg_per_day, d_days):
+    """(base + rate * d) mod 360, accurate for large day counts.
+
+    Splits both rate and day count into integer + fraction so every product
+    stays exactly representable before the modulo; the result carries
+    ~1e-11 deg error even decades from the reference epoch.
+    """
+    d_i = jnp.floor(d_days)
+    d_f = d_days - d_i
+    r_i = jnp.floor(rate_deg_per_day)
+    r_f = rate_deg_per_day - r_i
+    # r_i * d_i is an exact integer product (< 2^45); reduce it first.
+    big = r_i * d_i
+    big_mod = big - jnp.round(big * (1.0 / 360.0)) * 360.0
+    small = r_i * d_f + r_f * d_days + base_deg
+    return reduce_deg(big_mod + small)
+
+
+def norm(x, axis=-1):
+    return jnp.sqrt(jnp.sum(x * x, axis=axis))
+
+
+def unit(x, axis=-1):
+    return x / jnp.linalg.norm(x, axis=axis, keepdims=True)

@@ -1,0 +1,114 @@
+"""GMAT validation of the adaptive integrators.
+
+Port of the reference's numbers-match-GMAT strategy
+(nyx-core/tests/propagation/propagators.rs:49-232): a 1-day LEO two-body
+propagation with GMAT's Earth GM must land on GMAT's final Cartesian state
+to sub-centimeter for every adaptive method; plus forward/backward symmetry.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nyx_tpu.constants import GM
+from nyx_tpu.propagators.error_ctrl import ErrorControl
+from nyx_tpu.propagators.integrator import propagate, DONE
+from nyx_tpu.propagators.options import IntegratorOptions
+from nyx_tpu.propagators.tableaus import IntegratorMethod
+
+MU = GM.GMAT_EARTH
+Y0 = np.array([-2436.45, -2436.45, 6891.037, 5.088_611, -5.088_611, 0.0])
+
+# GMAT truth states after 1 day (propagators.rs:104-145, 36-50)
+TRUTH = {
+    "Dormand45": [
+        -5_971.194_191_972_314, 3_945.506_662_039_457, 2_864.636_606_375_225_7,
+        0.049_096_946_846_257_56, -4.185_093_311_278_763, 5.848_940_872_821_106,
+    ],
+    "Verner56": [
+        -5_971.194_191_678_94, 3_945.506_653_872_037_5, 2_864.636_617_510_367,
+        0.049_096_956_828_408_46, -4.185_093_317_946_663, 5.848_940_868_134_195_4,
+    ],
+    "Dormand78": [
+        -5_971.194_191_670_392, 3_945.506_653_218_658, 2_864.636_618_422_25,
+        0.049_096_957_637_897_856, -4.185_093_318_481_106, 5.848_940_867_745_3,
+    ],
+    "RK89": [
+        -5_971.194_191_670_676, 3_945.506_653_225_158, 2_864.636_618_413_444_5,
+        0.049_096_957_629_993_46, -4.185_093_318_475_795, 5.848_940_867_748_944,
+    ],
+    # regression value for CashKarp45 (not in GMAT), propagators.rs:42-50
+    "CashKarp45": [
+        -5_971.194_190_197_366, 3_945.506_606_221_459_6, 2_864.636_682_800_498_4,
+        0.049_097_015_227_526_38, -4.185_093_356_859_808, 5.848_940_840_578_1,
+    ],
+}
+
+
+def two_body_eom(t, y):
+    r = y[..., 0:3]
+    rmag = jnp.linalg.norm(r, axis=-1, keepdims=True)
+    return jnp.concatenate([y[..., 3:6], -MU * r / rmag**3], axis=-1)
+
+
+OPTS = IntegratorOptions.with_adaptive_step(
+    0.1, 30.0, 1e-12, ErrorControl.RSSCartesianState
+)
+
+
+@pytest.mark.parametrize("name", list(TRUTH))
+def test_gmat_val_leo_day_adaptive(name):
+    res = propagate(two_body_eom, Y0[None], 86_400.0, OPTS, IntegratorMethod(name))
+    assert int(res.status[0]) == DONE
+    err = np.asarray(res.y[0]) - np.array(TRUTH[name])
+    # reference asserts 1e-7..1e-9 km vs GMAT; hold GMAT-validated methods to
+    # 1e-8 km. CashKarp45's truth is a Nyx-only regression value whose exact
+    # digits depend on the accept/reject sequence; cm-level is expected.
+    tol = 1e-5 if name == "CashKarp45" else 1e-7 if name == "Dormand45" else 1e-8
+    assert np.abs(err[:3]).max() < tol, f"{name} position {err[:3]}"
+    assert np.abs(err[3:]).max() < tol, f"{name} velocity {err[3:]}"
+
+
+def test_forward_backward_symmetry():
+    # propagators.rs:189-203: 2x(fwd+back) returns to the initial state
+    res = propagate(two_body_eom, Y0[None], 86_400.0, OPTS, IntegratorMethod.RK89)
+    res = propagate(two_body_eom, res.y, -86_400.0, OPTS, IntegratorMethod.RK89)
+    err = np.asarray(res.y[0]) - Y0
+    assert np.linalg.norm(err[:3]) < 1e-5
+    assert np.linalg.norm(err[3:]) < 1e-8
+
+
+def test_batched_lanes_match_scalar():
+    # The batch axis must not change per-lane results: lane 0 = same IC,
+    # lane 1 = different IC; compare against single-lane runs.
+    y1 = Y0.copy()
+    y1[2] += 100.0
+    batch = np.stack([Y0, y1])
+    res_b = propagate(two_body_eom, batch, 86_400.0, OPTS, IntegratorMethod.RK89)
+    res_0 = propagate(two_body_eom, Y0[None], 86_400.0, OPTS, IntegratorMethod.RK89)
+    res_1 = propagate(two_body_eom, y1[None], 86_400.0, OPTS, IntegratorMethod.RK89)
+    np.testing.assert_allclose(res_b.y[0], res_0.y[0], rtol=0, atol=5e-9)
+    np.testing.assert_allclose(res_b.y[1], res_1.y[0], rtol=0, atol=5e-9)
+
+
+def test_fixed_step_rk4():
+    opts = IntegratorOptions.with_fixed_step(10.0)
+    res = propagate(two_body_eom, Y0[None], 86_400.0, opts, IntegratorMethod.RK4Fixed)
+    assert int(res.n_accepted[0]) == 8640
+    err = np.asarray(res.y[0]) - np.array(TRUTH["RK89"])
+    assert np.linalg.norm(err[:3]) < 1e-3  # RK4@10s is ~ sub-meter over a day
+
+
+def test_trajectory_capture():
+    res = propagate(
+        two_body_eom, Y0[None], 86_400.0, OPTS, IntegratorMethod.RK89, n_capture=4096
+    )
+    n = int(res.traj_len[0])
+    assert n == int(res.n_accepted[0])
+    ts = np.asarray(res.traj_t[0, :n])
+    assert np.all(np.diff(ts) > 0)
+    assert ts[-1] == 86_400.0
+    # captured states obey the vis-viva energy at every step
+    ys = np.asarray(res.traj_y[0, :n])
+    en = 0.5 * np.sum(ys[:, 3:] ** 2, 1) - MU / np.linalg.norm(ys[:, :3], axis=1)
+    np.testing.assert_allclose(en, en[0], rtol=1e-12)
