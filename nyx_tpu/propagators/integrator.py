@@ -180,7 +180,9 @@ def propagate(
             )
 
         t_new = carry.t + h_use
-        finished = overshoot  # landed exactly on t_stop
+        # Done on the clamped final step, or when a regular step happens to
+        # land exactly on (or numerically past) the stop time.
+        finished = overshoot | ((t_new - t_stop) * sgn >= 0.0)
 
         nan_lane = ~jnp.all(jnp.isfinite(next_y), axis=-1)
 
