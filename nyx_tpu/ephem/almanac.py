@@ -1,0 +1,189 @@
+"""The Almanac: ephemerides + orientations, host loader + device tables.
+
+Plays the role of ANISE's Almanac in the reference (loaded once, shared
+read-only — propagators/propagator.rs:88). Sources, in priority order:
+
+1. real SPK kernels (de440s.bsp etc.) parsed by daf.py;
+2. the built-in analytic series (analytic.py).
+
+Either way, for device use a `EphemTable` is built: every requested body's
+position relative to the integration center is re-fit as uniform-interval
+Chebyshev polynomials over the propagation window, so the in-loop lookup is
+`gather + Clenshaw` with zero data-dependent control flow (SURVEY.md §7
+"foundations"). Velocities are polynomial derivatives.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache, partial
+from pathlib import Path
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import NAIF
+from ..time import Epoch
+from . import analytic
+from .chebyshev import eval_chebyshev, eval_chebyshev_deriv, fit_chebyshev
+from .daf import BPC, SPK
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["t0", "intlen", "coeffs"],
+    meta_fields=["bodies"],
+)
+@dataclasses.dataclass(frozen=True)
+class EphemTable:
+    """Device-resident Chebyshev ephemeris for N bodies about one center."""
+
+    t0: jnp.ndarray  # scalar, TDB s past J2000 of table start
+    intlen: jnp.ndarray  # scalar, record length s
+    coeffs: jnp.ndarray  # [n_bodies, n_records, 3, deg+1], km
+    bodies: Tuple[int, ...]  # static NAIF ids, in coeffs order
+
+    def index_of(self, body: int) -> int:
+        return self.bodies.index(body)
+
+    def position(self, idx: int, t_tdb_s):
+        """Position [.., 3] km of body `idx` (static) at TDB seconds [..]."""
+        n_rec = self.coeffs.shape[1]
+        rel = t_tdb_s - self.t0
+        rec = jnp.clip(jnp.floor(rel / self.intlen), 0, n_rec - 1).astype(jnp.int32)
+        tau = 2.0 * (rel - rec * self.intlen) / self.intlen - 1.0
+        c = self.coeffs[idx, rec]  # [..., 3, D]
+        return eval_chebyshev(c, tau)
+
+    def posvel(self, idx: int, t_tdb_s):
+        n_rec = self.coeffs.shape[1]
+        rel = t_tdb_s - self.t0
+        rec = jnp.clip(jnp.floor(rel / self.intlen), 0, n_rec - 1).astype(jnp.int32)
+        tau = 2.0 * (rel - rec * self.intlen) / self.intlen - 1.0
+        c = self.coeffs[idx, rec]
+        pos = eval_chebyshev(c, tau)
+        vel = eval_chebyshev_deriv(c, tau) * (2.0 / self.intlen)
+        return pos, vel
+
+
+class Almanac:
+    """Host-side ephemeris/orientation source and device-table factory."""
+
+    def __init__(
+        self,
+        spk_paths: Sequence[str | Path] = (),
+        bpc_paths: Sequence[str | Path] = (),
+    ):
+        self.spks = [SPK(p) for p in spk_paths]
+        self.bpcs = [BPC(p) for p in bpc_paths]
+
+    # ---------------- host-side queries ------------------------------
+    def _spk_with(self, target: int):
+        for spk in self.spks:
+            if any(s.target == target for s in spk.segments):
+                return spk
+        return None
+
+    @lru_cache(maxsize=256)
+    def _records(self, spk_id: int, target: int):
+        spk = self.spks[spk_id]
+        seg = spk.segment_for(target)
+        return seg, spk.chebyshev_records(seg)
+
+    def _position_chain(self, body: int, t: np.ndarray) -> np.ndarray:
+        """Vectorized position of `body` rel SSB from loaded SPKs, km."""
+        pos = np.zeros(t.shape + (3,))
+        while body != 0:
+            spk = self._spk_with(body)
+            if spk is None:
+                raise KeyError(f"no SPK segment for {body}")
+            seg, rec = self._records(self.spks.index(spk), body)
+            i = np.clip(
+                ((t - rec.init) // rec.intlen).astype(int), 0, rec.n_records - 1
+            )
+            tau = 2.0 * (t - rec.init - i * rec.intlen) / rec.intlen - 1.0
+            V = np.polynomial.chebyshev.chebvander(tau, rec.degree)
+            pos = pos + np.einsum("...kd,...d->...k", rec.coeffs[i, 0:3, :], V)
+            body = seg.center
+        return pos
+
+    def position(self, target: int, center: int, t_tdb_s) -> np.ndarray:
+        """Position of target rel center at TDB seconds (array ok), EME2000 km."""
+        t = np.atleast_1d(np.asarray(t_tdb_s, dtype=np.float64))
+        if self.spks:
+            try:
+                out = self._position_chain(target, t) - self._position_chain(
+                    center, t
+                )
+                return out.reshape(np.shape(t_tdb_s) + (3,))
+            except KeyError:
+                pass
+        out = analytic.state_between(target, center, t)
+        return out.reshape(np.shape(t_tdb_s) + (3,))
+
+    def state(self, target: int, center: int, epoch: Epoch):
+        """(r, v) of target rel center in EME2000 at an Epoch (host)."""
+        t = epoch.to_tdb_seconds()
+        r = self.position(target, center, t)
+        h = 16.0
+        v = (self.position(target, center, t + h) - self.position(target, center, t - h)) / (
+            2 * h
+        )
+        return r, v
+
+    # ---------------- device-table construction ----------------------
+    def build_table(
+        self,
+        bodies: Sequence[int],
+        center: int,
+        start: Epoch,
+        end: Epoch,
+        intlen_days: float = 4.0,
+        degree: int = 12,
+        pad_days: float = 2.0,
+    ) -> EphemTable:
+        t0 = start.to_tdb_seconds() - pad_days * 86_400.0
+        t1 = end.to_tdb_seconds() + pad_days * 86_400.0
+        intlen = intlen_days * 86_400.0
+        n_rec = max(1, int(np.ceil((t1 - t0) / intlen)))
+        tabs = []
+        for b in bodies:
+            fn = lambda ts, b=b: self.position(b, center, ts)
+            tabs.append(fit_chebyshev(fn, t0, intlen, n_rec, degree))
+        coeffs = np.stack(tabs) if tabs else np.zeros((0, n_rec, 3, degree + 1))
+        return EphemTable(
+            t0=jnp.float64(t0),
+            intlen=jnp.float64(intlen),
+            coeffs=jnp.asarray(coeffs),
+            bodies=tuple(int(b) for b in bodies),
+        )
+
+
+_DEFAULT = None
+
+
+def default_almanac() -> Almanac:
+    """Process-wide Almanac. Loads real kernels from NYX_TPU_DATA if present
+    (de440s.bsp, *.bpc), else the analytic fallback."""
+    global _DEFAULT
+    if _DEFAULT is None:
+        import os
+
+        spks, bpcs = [], []
+        data_dir = os.environ.get("NYX_TPU_DATA")
+        if data_dir:
+            d = Path(data_dir)
+            for p in sorted(d.glob("*.bsp")):
+                try:
+                    spks.append(p)
+                except Exception:
+                    pass
+            for p in sorted(d.glob("*.bpc")):
+                bpcs.append(p)
+        try:
+            _DEFAULT = Almanac(spks, bpcs)
+        except Exception:
+            _DEFAULT = Almanac()
+    return _DEFAULT

@@ -1,0 +1,151 @@
+"""Ephemeris tests: analytic series sanity, Chebyshev device tables, DAF parser."""
+
+import numpy as np
+import pytest
+
+from nyx_tpu.constants import NAIF
+from nyx_tpu.ephem.almanac import Almanac, EphemTable
+from nyx_tpu.ephem.chebyshev import fit_chebyshev
+from nyx_tpu.time import Epoch
+
+ALM = Almanac()
+E0 = Epoch.from_gregorian_utc(2021, 6, 1)
+
+
+def test_moon_distance_and_period():
+    ts = E0.to_tdb_seconds() + np.linspace(0, 60 * 86400.0, 2000)
+    d = np.linalg.norm(ALM.position(NAIF.MOON, NAIF.EARTH, ts), axis=-1)
+    assert 354_000 < d.min() < 372_000
+    assert 400_000 < d.max() < 407_500
+
+
+def test_sun_distance_annual_cycle():
+    jan = Epoch.from_gregorian_utc(2021, 1, 3).to_tdb_seconds()
+    jul = Epoch.from_gregorian_utc(2021, 7, 5).to_tdb_seconds()
+    d_jan = np.linalg.norm(ALM.position(NAIF.SUN, NAIF.EARTH, np.array([jan]))[0])
+    d_jul = np.linalg.norm(ALM.position(NAIF.SUN, NAIF.EARTH, np.array([jul]))[0])
+    assert abs(d_jan - 147.10e6) < 0.05e6  # perihelion
+    assert abs(d_jul - 152.10e6) < 0.05e6  # aphelion
+
+
+def test_lunar_eclipse_geometry():
+    # Total lunar eclipse 2000-01-21 04:44 UTC: Moon within ~0.5 deg of the
+    # anti-solar direction. Exercises both the lunar series and the EMB
+    # elements independently.
+    t = Epoch.from_gregorian_utc(2000, 1, 21, 4, 44).to_tdb_seconds()
+    m = ALM.position(NAIF.MOON, NAIF.EARTH, np.array([t]))[0]
+    s = ALM.position(NAIF.SUN, NAIF.EARTH, np.array([t]))[0]
+    ang = np.degrees(
+        np.arccos(np.dot(m, -s) / np.linalg.norm(m) / np.linalg.norm(s))
+    )
+    assert ang < 0.5
+
+
+def test_jupiter_direction():
+    # Jupiter heliocentric distance 4.95-5.46 AU
+    t = E0.to_tdb_seconds()
+    r = ALM.position(NAIF.JUPITER_BARYCENTER, NAIF.SUN, np.array([t]))[0]
+    au = np.linalg.norm(r) / 149_597_870.7
+    assert 4.9 < au < 5.5
+
+
+def test_device_table_matches_host():
+    import jax.numpy as jnp
+
+    table = ALM.build_table(
+        [NAIF.MOON, NAIF.SUN], NAIF.EARTH, E0, E0 + 30 * 86400.0
+    )
+    ts = E0.to_tdb_seconds() + np.linspace(0.0, 30 * 86400.0, 97)
+    for i, body in enumerate(table.bodies):
+        dev = np.asarray(table.position(i, jnp.asarray(ts)))
+        host = ALM.position(body, NAIF.EARTH, ts)
+        err = np.linalg.norm(dev - host, axis=-1).max()
+        assert err < 1e-4, f"body {body}: {err} km"  # sub-100 m fit
+
+
+def test_device_table_velocity():
+    import jax.numpy as jnp
+
+    table = ALM.build_table([NAIF.MOON], NAIF.EARTH, E0, E0 + 10 * 86400.0)
+    ts = E0.to_tdb_seconds() + np.linspace(1e4, 9 * 86400.0, 31)
+    _, vel = table.posvel(0, jnp.asarray(ts))
+    h = 30.0
+    fd = (ALM.position(NAIF.MOON, NAIF.EARTH, ts + h) - ALM.position(NAIF.MOON, NAIF.EARTH, ts - h)) / (2 * h)
+    err = np.linalg.norm(np.asarray(vel) - fd, axis=-1).max()
+    assert err < 1e-7  # km/s
+
+
+def test_chebyshev_fit_roundtrip():
+    fn = lambda t: np.stack([np.sin(t / 50.0), np.cos(t / 70.0)], axis=-1)
+    coeffs = fit_chebyshev(fn, 0.0, 100.0, 5, 12)
+    assert coeffs.shape == (5, 2, 13)
+    from nyx_tpu.ephem.chebyshev import eval_chebyshev
+    import jax.numpy as jnp
+
+    ts = np.linspace(0, 499.9, 173)
+    rec = np.clip((ts // 100.0).astype(int), 0, 4)
+    tau = 2 * (ts - rec * 100.0) / 100.0 - 1
+    vals = np.asarray(eval_chebyshev(jnp.asarray(coeffs)[rec], jnp.asarray(tau)))
+    np.testing.assert_allclose(vals, fn(ts), atol=1e-13)
+
+
+def test_daf_parser_synthetic():
+    # Build a minimal little-endian DAF/SPK with one type-2 segment and
+    # parse it back (real kernels are not shipped in this environment).
+    import struct
+    import tempfile
+
+    nd, ni = 2, 6
+    # file record
+    rec1 = bytearray(1024)
+    rec1[0:8] = b"DAF/SPK "
+    struct.pack_into("<i", rec1, 8, nd)
+    struct.pack_into("<i", rec1, 12, ni)
+    struct.pack_into("<i", rec1, 76, 2)  # fward
+    struct.pack_into("<i", rec1, 80, 2)  # bward
+    struct.pack_into("<i", rec1, 84, 1)  # free
+    rec1[88:96] = b"LTL-IEEE"
+
+    # segment data: 2 records of Chebyshev deg 3, 3 components
+    rsize = 2 + 3 * 4
+    init, intlen = 0.0, 100.0
+    data = []
+    rng = np.random.default_rng(7)
+    coeffs = rng.normal(size=(2, 3, 4))
+    for i in range(2):
+        data.extend([init + (i + 0.5) * intlen, intlen / 2])
+        data.extend(coeffs[i].ravel())
+    data.extend([init, intlen, float(rsize), 2.0])  # trailer
+
+    # summary record (record 2): next=0 prev=0 nsum=1
+    rec2 = bytearray(1024)
+    struct.pack_into("<d", rec2, 0, 0.0)
+    struct.pack_into("<d", rec2, 8, 0.0)
+    struct.pack_into("<d", rec2, 16, 1.0)
+    # summary: dc = tstart, tstop; ic = target, center, frame, type, start, end
+    struct.pack_into("<d", rec2, 24, 0.0)
+    struct.pack_into("<d", rec2, 32, 200.0)
+    start_word = 3 * 128 + 1  # data starts at record 4 (word address)
+    end_word = start_word + len(data) - 1
+    for off, val in zip(range(40, 64, 4), [301, 3, 1, 2, start_word, end_word]):
+        struct.pack_into("<i", rec2, off, val)
+
+    rec3 = bytearray(1024)  # name record
+    rec4 = bytearray(1024)
+    struct.pack_into(f"<{len(data)}d", rec4, 0, *data)
+
+    from nyx_tpu.ephem.daf import SPK
+
+    with tempfile.NamedTemporaryFile(suffix=".bsp", delete=False) as f:
+        f.write(bytes(rec1) + bytes(rec2) + bytes(rec3) + bytes(rec4))
+        path = f.name
+    spk = SPK(path)
+    assert len(spk.segments) == 1
+    seg = spk.segments[0]
+    assert (seg.target, seg.center, seg.data_type) == (301, 3, 2)
+    rec = spk.chebyshev_records(seg)
+    np.testing.assert_allclose(rec.coeffs, coeffs)
+    assert rec.init == 0.0 and rec.intlen == 100.0
+    # evaluation at tau=0 equals c0 - c2 (T0 - T2 at 0)
+    pos = spk._eval_segment(seg, 50.0)
+    np.testing.assert_allclose(pos, coeffs[0, :, 0] - coeffs[0, :, 2], atol=1e-14)
