@@ -1,0 +1,15 @@
+from .orbital import OrbitalDynamics, PointMasses
+from .gravity import Harmonics
+from .spacecraft_dyn import SpacecraftDynamics
+from .drag import Drag, AtmDensity
+from .srp import SolarPressure
+
+__all__ = [
+    "OrbitalDynamics",
+    "PointMasses",
+    "Harmonics",
+    "SpacecraftDynamics",
+    "Drag",
+    "AtmDensity",
+    "SolarPressure",
+]

@@ -1,0 +1,219 @@
+"""Spherical-harmonic gravity: batched Pines/Jones formulation.
+
+Same normalized Helmholtz-polynomial algorithm as GMAT and the reference
+(nyx-core/src/dynamics/gravity_field.rs:52-268), re-shaped for the TPU: the
+(n,m) triangular recursion becomes a `lax.scan` over degree n whose carry
+holds only the previous two Helmholtz rows (O(M) state, nothing triangular
+materialized), every row operation is dense-vectorized over the order axis
+and the batch axis, and the per-degree force contribution is fused into the
+same scan so no [N, M] intermediate ever hits HBM. Normalization tables are
+precomputed on host exactly as the reference's a_nm/b_nm/c_nm/vr01/vr11.
+
+Gradients (for STM propagation) come from `jax.jacfwd` straight through the
+scan — replacing the reference's duplicated hyperdual code path
+(gravity_field.rs:273-431).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.gravity import GravityFieldData
+
+_SQRT2 = np.sqrt(2.0)
+
+
+def _precompute(N: int, M: int):
+    """Host-side normalization tables, masked safe (invalid entries -> 0)."""
+    W = M + 2  # column count
+    n_idx = np.arange(N + 2)[:, None].astype(np.float64)
+    m_idx = np.arange(W)[None, :].astype(np.float64)
+
+    with np.errstate(invalid="ignore", divide="ignore"):
+        b_nm = np.sqrt((2 * n_idx + 1) * (2 * n_idx - 1) / ((n_idx + m_idx) * (n_idx - m_idx)))
+        c_nm = np.sqrt(
+            (2 * n_idx + 1)
+            * (n_idx + m_idx - 1)
+            * (n_idx - m_idx - 1)
+            / ((n_idx - m_idx) * (n_idx + m_idx) * (2 * n_idx - 3))
+        )
+        vr01 = np.sqrt((n_idx - m_idx) * (n_idx + m_idx + 1))
+        vr11 = np.sqrt(
+            (2 * n_idx + 1) * (n_idx + m_idx + 2) * (n_idx + m_idx + 1) / (2 * n_idx + 3)
+        )
+    vr01[:, 0] /= _SQRT2
+    vr11[:, 0] /= _SQRT2
+    for t in (b_nm, c_nm, vr01, vr11):
+        t[~np.isfinite(t)] = 0.0
+
+    diag = np.ones(N + 2)
+    for n in range(1, N + 2):
+        diag[n] = np.sqrt(1.0 + 1.0 / (2.0 * n)) * diag[n - 1]
+    return b_nm, c_nm, vr01, vr11, diag
+
+
+@dataclass(frozen=True)
+class Harmonics:
+    """A gravity-field acceleration model (jit-static wrapper).
+
+    Use `Harmonics.from_stor(gravity_field_data)` mirroring the reference's
+    `GravityField::new`. The instance precomputes device-ready tables; the
+    `accel_body_fixed` function is pure and batched.
+    """
+
+    c_nm: tuple  # static-hashable via id; arrays stored on the side
+    _tables: tuple
+    mu_km3_s2: float
+    radius_km: float
+    max_degree: int
+    max_order: int
+    frame: object = None
+
+    @classmethod
+    def from_stor(cls, stor: GravityFieldData) -> "Harmonics":
+        N, M = stor.max_degree, stor.max_order
+        b_nm, c_nm, vr01, vr11, diag = _precompute(N, M)
+        W = M + 2
+        # Pad C/S to [N+2, W]
+        C = np.zeros((N + 2, W))
+        S = np.zeros((N + 2, W))
+        C[: N + 1, : M + 1] = stor.c_nm
+        S[: N + 1, : M + 1] = stor.s_nm
+
+        # Pack per-scan-step rows for n = 2..N+1 (accumulating degree q=n-1)
+        ns = np.arange(2, N + 2)
+        qs = ns - 1
+        m_cols = np.arange(W)
+        xs = dict(
+            b_row=b_nm[ns],
+            c_row=c_nm[ns],
+            diag_n=diag[ns],
+            offdiag_n=np.sqrt(2.0 * (ns - 1) + 3.0) * diag[ns - 1],
+            row_mask=(m_cols[None, :] <= ns[:, None] - 2).astype(np.float64),
+            C_q=C[qs] * (m_cols[None, :] <= np.minimum(qs, M)[:, None]),
+            S_q=S[qs] * (m_cols[None, :] <= np.minimum(qs, M)[:, None]),
+            vr01_q=vr01[qs],
+            vr11_q=vr11[qs],
+            n_is=ns.astype(np.float64),
+        )
+        tables = (
+            {k: jnp.asarray(v) for k, v in xs.items()},
+            jnp.asarray(diag),
+            N,
+            M,
+        )
+        return cls(
+            c_nm=(id(stor),),
+            _tables=tables,
+            mu_km3_s2=float(stor.mu_km3_s2),
+            radius_km=float(stor.radius_km),
+            max_degree=N,
+            max_order=M,
+            frame=stor.frame,
+        )
+
+    def __hash__(self):
+        return hash((self.mu_km3_s2, self.radius_km, self.max_degree, self.max_order))
+
+    def __eq__(self, other):
+        return self is other
+
+    def required_bodies(self):
+        return ()
+
+    def accel(self, ctx, t_tdb, r, v):
+        """Inertial-frame acceleration: rotate to the gravity frame, run the
+        Pines recursion, rotate back (gravity_field.rs:148-268)."""
+        dcm = self.frame.dcm_from_j2000(t_tdb)  # [B, 3, 3]
+        r_bf = jnp.einsum("...ij,...j->...i", dcm, r)
+        a_bf = self.accel_body_fixed(r_bf)
+        return jnp.einsum("...ji,...j->...i", dcm, a_bf)
+
+    def accel_body_fixed(self, r_bf):
+        """Acceleration (km/s^2) in the body-fixed frame. r_bf: [B, 3] km.
+
+        Includes ONLY the non-spherical terms (degree >= 1), exactly as the
+        reference's AccelModel (two-body is applied separately).
+        """
+        xs, diag, N, M = self._tables
+        W = M + 2
+        B = r_bf.shape[0]
+        r = jnp.sqrt(jnp.sum(r_bf * r_bf, axis=-1))
+        s_ = r_bf[:, 0] / r
+        t_ = r_bf[:, 1] / r
+        u_ = r_bf[:, 2] / r
+
+        # r_m / i_m: Re/Im of (s + i t)^m for m = 0..M+1
+        def _rm_step(carry, _):
+            rm, im = carry
+            return (s_ * rm - t_ * im, s_ * im + t_ * rm), (rm, im)
+
+        (_, _), (r_ms, i_ms) = jax.lax.scan(
+            _rm_step, (jnp.ones(B), jnp.zeros(B)), None, length=W
+        )
+        r_ms = jnp.moveaxis(r_ms, 0, -1)  # [B, W]
+        i_ms = jnp.moveaxis(i_ms, 0, -1)
+        # shifted (index m-1) variants, m=0 column zeroed
+        rm1 = jnp.concatenate([jnp.zeros((B, 1)), r_ms[:, :-1]], axis=1)
+        im1 = jnp.concatenate([jnp.zeros((B, 1)), i_ms[:, :-1]], axis=1)
+
+        m_f = jnp.arange(W, dtype=r_bf.dtype)[None, :]
+
+        rho = self.radius_km / r  # [B]
+        mu_over_r = self.mu_km3_s2 / r
+
+        # rows 0 and 1
+        row0 = jnp.zeros((B, W)).at[:, 0].set(1.0)
+        row1 = jnp.zeros((B, W))
+        row1 = row1.at[:, 0].set(u_ * np.sqrt(3.0))
+        if W > 1:
+            row1 = row1.at[:, 1].set(diag[1])
+
+        def step(carry, x):
+            row_nm1, row_nm2, acc4, rho_q = carry
+            n = x["n_is"]
+            # Helmholtz row n: recursion + diagonal/off-diagonal seeds
+            rec = (
+                u_[:, None] * x["b_row"][None, :] * row_nm1
+                - x["c_row"][None, :] * row_nm2
+            ) * x["row_mask"][None, :]
+            col = m_f  # [1, W]
+            row_n = jnp.where(
+                col == n, x["diag_n"],
+                jnp.where(col == n - 1, x["offdiag_n"] * u_[:, None], rec),
+            )
+
+            # accumulate degree q = n-1 using rows q (row_nm1) and q+1 (row_n)
+            d_ = (x["C_q"] * r_ms + x["S_q"] * i_ms) * _SQRT2
+            e_ = (x["C_q"] * rm1 + x["S_q"] * im1) * _SQRT2
+            f_ = (x["S_q"] * rm1 - x["C_q"] * im1) * _SQRT2
+            # A[q, m+1] and A[q+1, m+1]: left-shift of rows
+            row_q_p1 = jnp.concatenate([row_nm1[:, 1:], jnp.zeros((B, 1))], axis=1)
+            row_q1_p1 = jnp.concatenate([row_n[:, 1:], jnp.zeros((B, 1))], axis=1)
+
+            sx = jnp.sum(m_f * row_nm1 * e_, axis=1)
+            sy = jnp.sum(m_f * row_nm1 * f_, axis=1)
+            sz = jnp.sum(x["vr01_q"][None, :] * row_q_p1 * d_, axis=1)
+            sw = -jnp.sum(x["vr11_q"][None, :] * row_q1_p1 * d_, axis=1)
+
+            rho_q_next = rho_q * rho  # = mu/r * rho^(q+1)
+            rr = rho_q_next / self.radius_km
+            acc4 = acc4 + rr[:, None] * jnp.stack([sx, sy, sz, sw], axis=1)
+            return (row_n, row_nm1, acc4, rho_q_next), None
+
+        init = (row1, row0, jnp.zeros((B, 4)), mu_over_r * rho)
+        (_, _, acc4, _), _ = jax.lax.scan(step, init, xs)
+
+        return jnp.stack(
+            [
+                acc4[:, 0] + acc4[:, 3] * s_,
+                acc4[:, 1] + acc4[:, 3] * t_,
+                acc4[:, 2] + acc4[:, 3] * u_,
+            ],
+            axis=1,
+        )

@@ -1,0 +1,152 @@
+"""PropInstance: host-facing propagation handle.
+
+Counterpart of the reference's `PropInstance` (propagators/instance.rs:41-
+499) minus the hot loop, which lives in integrator.py as the batched
+while-loop kernel. This wrapper packs a `Spacecraft` (or a batch) into flat
+state vectors, builds the ephemeris context, runs the jitted kernel and
+unpacks results. The jitted kernel is cached per (dynamics, method, options,
+shape) so repeated propagations (OD, targeting) do not retrace.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cosmic.spacecraft import Spacecraft
+from ..time import Duration, Epoch
+from . import integrator
+from .integrator import DONE, FAILED_NAN
+
+
+def _secs(x) -> float:
+    if isinstance(x, Duration):
+        return x.to_seconds()
+    return float(x)
+
+
+class PropInstance:
+    def __init__(self, prop, state: Spacecraft, almanac=None):
+        self.prop = prop
+        self.state = state
+        self.almanac = almanac
+        self._eom_cache = {}
+        self._jit_cache = {}
+
+    @property
+    def dynamics(self):
+        return self.prop.dynamics
+
+    def _eom(self, with_stm):
+        key = (with_stm, self.state.thruster)
+        if key not in self._eom_cache:
+            self._eom_cache[key] = self.dynamics.make_eom(
+                with_stm, thruster=self.state.thruster
+            )
+        return self._eom_cache[key]
+
+    def _pack(self, with_stm):
+        sc = self.state
+        y = sc.to_vector()
+        if with_stm:
+            y = np.concatenate([y, (sc.stm if sc.stm is not None else np.eye(9)).ravel()])
+        if self.dynamics.has_guidance:
+            y = np.concatenate([y, [float(sc.mode)]])
+        return jnp.asarray(y)[None, :]
+
+    def _unpack(self, epoch: Epoch, y_row: np.ndarray) -> Spacecraft:
+        sc = self.state.set_vector(epoch, y_row[0:9])
+        if self.state.stm is not None:
+            sc.stm = y_row[9:90].reshape(9, 9).copy()
+        if self.dynamics.has_guidance:
+            sc.mode = int(round(float(y_row[-1])))
+        return sc
+
+    def _compiled(self, with_stm, n_capture, capture_stride):
+        key = (with_stm, n_capture, capture_stride)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        eom = self._eom(with_stm)
+        finally_fn = self.dynamics.make_finally()
+        opts, method = self.prop.opts, self.prop.method
+
+        @jax.jit
+        def run(y0, duration_s, ctx, sc_params):
+            return integrator.propagate(
+                eom,
+                y0,
+                duration_s,
+                opts,
+                method,
+                n_capture=n_capture,
+                capture_stride=capture_stride,
+                finally_fn=finally_fn,
+                eom_args=(ctx, sc_params),
+            )
+
+        self._jit_cache[key] = run
+        return run
+
+    def _sc_params(self):
+        sc = self.state
+        return dict(
+            dry_mass_kg=sc.dry_mass_kg,
+            srp_area_m2=sc.srp_area_m2,
+            drag_area_m2=sc.drag_area_m2,
+        )
+
+    def _run(self, duration_s: float, n_capture: int = 0, capture_stride: int = 1):
+        with_stm = self.state.stm is not None
+        ctx = self.dynamics.build_context(self.state.epoch, duration_s, self.almanac)
+        y0 = self._pack(with_stm)
+        run = self._compiled(with_stm, n_capture, capture_stride)
+        res = run(y0, duration_s, ctx, self._sc_params())
+        status = int(res.status[0])
+        if status == FAILED_NAN:
+            raise ArithmeticError(
+                "propagation diverged to NaN; try another method or smaller steps"
+            )
+        if status != DONE:
+            raise RuntimeError(
+                f"propagation did not finish (status={status}); "
+                f"increase IntegratorOptions.max_iterations"
+            )
+        new_epoch = self.state.epoch + duration_s
+        new_state = self._unpack(new_epoch, np.asarray(res.y[0]))
+        self.state = new_state
+        return res
+
+    # ---------------- reference API ----------------------------------
+    def for_duration(self, duration) -> Spacecraft:
+        d = _secs(duration)
+        if d == 0.0:
+            return self.state
+        self._run(d)
+        return self.state
+
+    def until_epoch(self, epoch: Epoch) -> Spacecraft:
+        return self.for_duration(epoch - self.state.epoch)
+
+    def for_duration_with_traj(self, duration, n_capture: int = 8192):
+        from ..md.trajectory import Trajectory
+
+        d = _secs(duration)
+        epoch0 = self.state.epoch
+        template = self.state
+        y0 = np.asarray(self._pack(template.stm is not None))[0]
+        res = self._run(d, n_capture=n_capture)
+        n = int(res.traj_len[0])
+        ts = np.concatenate([[0.0], np.asarray(res.traj_t[0, :n])])
+        ys = np.concatenate([y0[None, :], np.asarray(res.traj_y[0, :n])])
+        traj = Trajectory.from_capture(epoch0, ts, ys, template)
+        return self.state, traj
+
+    def until_epoch_with_traj(self, epoch: Epoch, n_capture: int = 8192):
+        return self.for_duration_with_traj(epoch - self.state.epoch, n_capture)
+
+    def latest_details(self) -> dict:
+        return dict(step=None, error=None, attempts=None)

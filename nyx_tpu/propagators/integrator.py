@@ -93,6 +93,7 @@ def propagate(
     n_capture: int = 0,
     capture_stride: int = 1,
     finally_fn: Optional[Callable] = None,
+    eom_args: tuple = (),
 ) -> PropResult:
     """Propagate a batch of states for `duration_s` (may be negative or per-lane).
 
@@ -110,7 +111,15 @@ def propagate(
       capture_stride: store every k-th accepted step (final state always).
       finally_fn: optional `(t[B], y[B,N]) -> [B,N]` post-step hook, the
         analogue of Dynamics::finally (dynamics/mod.rs:120-137).
+      eom_args: extra pytree arguments appended to each `eom`/`finally_fn`
+        call (e.g. the ephemeris context), so callers can jit this function
+        with those as traced inputs instead of baked closure constants.
     """
+    if eom_args:
+        inner_eom, inner_fin = eom, finally_fn
+        eom = lambda t, y: inner_eom(t, y, *eom_args)
+        if inner_fin is not None:
+            finally_fn = lambda t, y: inner_fin(t, y, *eom_args)
     y0 = jnp.asarray(y0, dtype=jnp.float64)
     if y0.ndim == 1:
         y0 = y0[None, :]

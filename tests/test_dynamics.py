@@ -1,0 +1,211 @@
+"""Force-model validation: harmonics vs GMAT/Monte, SRP, drag, point masses, STM.
+
+Mirrors the reference's tests/mission_design/orbitaldyn.rs and
+tests/propagation/stm.rs strategies.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nyx_tpu import Epoch, Frames, Orbit, Spacecraft
+from nyx_tpu.constants import GM, NAIF
+from nyx_tpu.dynamics import (
+    Drag,
+    Harmonics,
+    OrbitalDynamics,
+    PointMasses,
+    SolarPressure,
+    SpacecraftDynamics,
+)
+from nyx_tpu.ephem.almanac import Almanac
+from nyx_tpu.io.gravity import GravityFieldData
+from nyx_tpu.propagators import IntegratorOptions, Propagator
+
+JGM3 = "/root/reference/data/01_planetary/JGM3.cof.gz"
+DT = Epoch.from_tai_seconds_j2000(0.0)
+LEO = [-2436.45, -2436.45, 6891.037, 5.088_611, -5.088_611, 0.0]
+
+
+def _prop_1day(dynamics, orbit, opts=None):
+    inst = Propagator.rk89(dynamics, opts or IntegratorOptions()).with_state(
+        Spacecraft.from_orbit(orbit)
+    )
+    final = inst.for_duration(86_400.0)
+    return np.concatenate([final.orbit.r_km, final.orbit.v_km_s])
+
+
+def test_j2_pines_vs_closed_form():
+    J2 = 1.08262693637e-3
+    stor = GravityFieldData.from_j2(
+        -J2 / np.sqrt(5.0), mu_km3_s2=398600.4415, radius_km=6378.1363
+    )
+    h = Harmonics.from_stor(stor)
+    r = np.array([[-2436.45, -2436.45, 6891.037], [7000.0, 100.0, 300.0], [42164.0, 0.0, 1.0]])
+    acc = np.asarray(h.accel_body_fixed(jnp.asarray(r)))
+
+    def closed(rv):
+        x, y, z = rv
+        rm = np.linalg.norm(rv)
+        k = -1.5 * J2 * 398600.4415 * 6378.1363**2 / rm**4
+        zr2 = (z / rm) ** 2
+        return k * np.array(
+            [(1 - 5 * zr2) * x / rm, (1 - 5 * zr2) * y / rm, (3 - 5 * zr2) * z / rm]
+        )
+
+    for i in range(len(r)):
+        cf = closed(r[i])
+        assert np.abs(acc[i] - cf).max() / np.abs(cf).max() < 1e-12
+
+
+def test_val_earth_sph_harmonics_j2_vs_monte():
+    # orbitaldyn.rs:860-930 (assert: 2e-2 km, 2e-5 km/s vs Monte)
+    monte_gm = 3.986_004_328_969_392e5
+    eme2k = Frames.EME2000.with_mu_km3_s2(monte_gm)
+    iau = Frames.IAU_EARTH.with_mu_km3_s2(monte_gm)
+    h = Harmonics.from_stor(GravityFieldData.from_j2(-0.000_484_169_325_971, iau))
+    orbit = Orbit.cartesian(*LEO, DT, eme2k)
+    got = _prop_1day(SpacecraftDynamics.new(OrbitalDynamics.from_model(h, eme2k)), orbit)
+    truth = np.array(
+        [
+            -5.751_472_565_170_783e3, 4.721_183_256_208_691e3, 2.046_020_865_167_045e3,
+            -7.976_895_830_677_169e-1, -3.656_498_994_998_706, 6.139_616_747_276_084,
+        ]
+    )
+    assert np.linalg.norm(got[:3] - truth[:3]) < 2e-2
+    assert np.linalg.norm(got[3:] - truth[3:]) < 2e-5
+
+
+@pytest.mark.slow
+def test_val_earth_sph_harmonics_70x70_vs_gmat():
+    # orbitaldyn.rs:1021-1068 (assert: 0.2 km, 1e-3 km/s vs GMAT)
+    stor = GravityFieldData.from_cof(JGM3, 70, 70, True, Frames.IAU_EARTH)
+    assert stor.mu_km3_s2 == pytest.approx(398600.4415)
+    assert stor.radius_km == pytest.approx(6378.1363)
+    h = Harmonics.from_stor(stor)
+    orbit = Orbit.cartesian(*LEO, DT, Frames.EME2000)
+    got = _prop_1day(
+        SpacecraftDynamics.new(OrbitalDynamics.from_model(h, Frames.EME2000)), orbit
+    )
+    truth = np.array(
+        [
+            -5_751.924_618_076_704, 4_719.386_612_440_923, 2_048.696_011_823_441,
+            -0.795_383_404_365_819_8, -3.658_301_183_319_466, 6.138_865_498_487_843,
+        ]
+    )
+    assert np.linalg.norm(got[:3] - truth[:3]) < 0.2
+    assert np.linalg.norm(got[3:] - truth[3:]) < 1e-3
+
+
+def test_point_mass_third_body_accel():
+    alm = Almanac()
+    dyn = SpacecraftDynamics.new(
+        OrbitalDynamics.point_masses([NAIF.MOON, NAIF.SUN], Frames.EME2000)
+    )
+    ctx = dyn.build_context(DT, 86_400.0, alm)
+    eom = dyn.make_eom()
+    y = jnp.asarray(np.array([LEO + [1.8, 2.2, 0.0]] * 2))
+    p = dict(dry_mass_kg=100.0, srp_area_m2=0.0, drag_area_m2=0.0)
+    ydot = np.asarray(eom(jnp.zeros(2), y, ctx, p))
+    # two-body accel plus perturbation; compare against hand computation
+    r = np.asarray(y[0, 0:3])
+    a_tb = -Frames.EME2000.mu * r / np.linalg.norm(r) ** 3
+    pert = ydot[0, 3:6] - a_tb
+    # Moon+Sun tidal accel at LEO ~ 1e-9..1e-8 km/s^2
+    assert 1e-10 < np.linalg.norm(pert) < 1e-7
+    # cross-check vs direct formula using the same almanac
+    t = DT.to_tdb_seconds()
+    expect = np.zeros(3)
+    for body, mu in [(NAIF.MOON, GM.MOON), (NAIF.SUN, GM.SUN)]:
+        rb = alm.position(body, NAIF.EARTH, np.array([t]))[0]
+        d = rb - r
+        expect += mu * (d / np.linalg.norm(d) ** 3 - rb / np.linalg.norm(rb) ** 3)
+    np.testing.assert_allclose(pert, expect, rtol=1e-6)
+
+
+def test_srp_accel_direction_and_magnitude():
+    alm = Almanac()
+    srp = SolarPressure.default(NAIF.EARTH)
+    dyn = SpacecraftDynamics(OrbitalDynamics.two_body(), (srp,))
+    ctx = dyn.build_context(DT, 86_400.0, alm)
+    t = DT.to_tdb_seconds()
+    r_sun = alm.position(NAIF.SUN, NAIF.EARTH, np.array([t]))[0]
+    u_sun = r_sun / np.linalg.norm(r_sun)
+    # spacecraft on the sun side, fully lit
+    r_sc = (7000.0 * u_sun)[None, :]
+    v = np.zeros((1, 3))
+    sc = dict(
+        cr=jnp.array([1.8]), cd=jnp.array([2.2]),
+        srp_area_m2=2.0, drag_area_m2=0.0, mass_kg=jnp.array([100.0]),
+    )
+    a = np.asarray(srp.force_per_mass(ctx, jnp.array([t]), jnp.asarray(r_sc), jnp.asarray(v), sc))[0]
+    # magnitude: Cr * A/m * flux/c * (AU/d)^2 (Earth near perihelion in Jan)
+    au_scale = (149_597_870.7 / np.linalg.norm(r_sun)) ** 2
+    expect_mag = 1.8 * (2.0 / 100.0) * (1367.0 / 299_792_458.0) * 1e-3 * au_scale
+    assert np.linalg.norm(a) == pytest.approx(expect_mag, rel=2e-2)
+    # direction: away from the sun
+    assert np.dot(a, u_sun) < 0
+
+    # spacecraft behind the Earth: umbra, zero SRP
+    r_sc2 = (-7000.0 * u_sun)[None, :]
+    a2 = np.asarray(srp.force_per_mass(ctx, jnp.array([t]), jnp.asarray(r_sc2), jnp.asarray(v), sc))[0]
+    assert np.linalg.norm(a2) < expect_mag * 1e-6
+
+
+def test_drag_exponential_density():
+    d = Drag.earth_exp()
+    rho = np.asarray(d.density.density(jnp.array([700.0, 788.667])))
+    assert rho[0] == pytest.approx(3.614e-13, rel=1e-10)
+    assert rho[1] == pytest.approx(3.614e-13 / np.e, rel=1e-6)
+
+
+def test_drag_decelerates():
+    d = Drag.std_atm1976()
+    ctx = SpacecraftDynamics(OrbitalDynamics.two_body(), (d,)).build_context(DT, 100.0)
+    r = jnp.asarray([[6778.0, 0.0, 0.0]])
+    v = jnp.asarray([[0.0, 7.7, 0.0]])
+    sc = dict(cr=jnp.array([1.8]), cd=jnp.array([2.2]), srp_area_m2=0.0,
+              drag_area_m2=2.0, mass_kg=jnp.array([100.0]))
+    a = np.asarray(d.force_per_mass(ctx, jnp.array([0.0]), r, v, sc))[0]
+    assert a[1] < 0  # opposes velocity
+    assert 1e-12 < abs(a[1]) < 1e-6
+
+
+def test_stm_vs_finite_difference():
+    # tests/propagation/stm.rs pattern: AD STM at least as good as FD STM
+    eme2k = Frames.EME2000.with_mu_km3_s2(GM.GMAT_EARTH)
+    orbit = Orbit.cartesian(*LEO, DT, eme2k)
+    dyn = SpacecraftDynamics.new(OrbitalDynamics.two_body(eme2k))
+    opts = IntegratorOptions.with_adaptive_step(0.1, 30.0, 1e-12)
+
+    sc = Spacecraft.from_orbit(orbit).with_stm()
+    inst = Propagator.rk89(dyn, opts).with_state(sc)
+    final = inst.for_duration(3 * 3600.0)
+    stm = final.stm
+
+    # finite differences: perturb each of the 6 orbit components
+    base = _prop_final(dyn, orbit, opts, 3 * 3600.0)
+    fd = np.zeros((6, 6))
+    h = 1e-4
+    for j in range(6):
+        vec = np.array(LEO, dtype=float)
+        vec[j] += h
+        pert = _prop_final(dyn, Orbit.cartesian(*vec, DT, eme2k), opts, 3 * 3600.0)
+        fd[:, j] = (pert - base) / h
+    rel = np.abs(stm[:6, :6] - fd) / np.maximum(np.abs(fd), 1.0)
+    assert rel.max() < 2e-3  # FD truncation dominates; AD must sit inside it
+
+    # STM maps a small initial deviation accurately
+    dx0 = np.array([1e-3, -2e-3, 1e-3, 1e-6, 2e-6, -1e-6])
+    vec = np.array(LEO, dtype=float) + dx0
+    pert = _prop_final(dyn, Orbit.cartesian(*vec, DT, eme2k), opts, 3 * 3600.0)
+    dx_lin = stm[:6, :6] @ dx0
+    err = np.abs((pert - base) - dx_lin)
+    assert err[:3].max() < 1e-6  # mm-level linearization agreement
+
+
+def _prop_final(dyn, orbit, opts, dur):
+    inst = Propagator.rk89(dyn, opts).with_state(Spacecraft.from_orbit(orbit))
+    f = inst.for_duration(dur)
+    return np.concatenate([f.orbit.r_km, f.orbit.v_km_s])
