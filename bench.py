@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Benchmark: Monte Carlo trajectories/sec/chip (BASELINE.json primary metric).
+
+10k-member LEO ensemble, RK89 adaptive, 21x21 JGM3 gravity + exponential
+drag + SRP with Earth shadow, propagated 1 day (config #2). Prints ONE JSON
+line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline is measured against the north-star rate of 10 000 traj/s
+(100k members in <10 s on one chip, BASELINE.json).
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+# (jax import below needs Path already bound)
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    str(Path(__file__).resolve().parent / ".jax_cache"),
+)
+
+import jax.numpy as jnp
+import numpy as np
+
+from nyx_tpu import Epoch, Frames, Orbit, Spacecraft
+from nyx_tpu.dynamics import (
+    Drag,
+    Harmonics,
+    OrbitalDynamics,
+    SolarPressure,
+    SpacecraftDynamics,
+)
+from nyx_tpu.ephem.almanac import Almanac
+from nyx_tpu.io.gravity import GravityFieldData
+from nyx_tpu.mc import MonteCarlo, MvnSpacecraft, StateDispersion
+from nyx_tpu.propagators import IntegratorOptions, Propagator
+
+B = int(os.environ.get("NYX_BENCH_B", 10_000))
+DURATION_S = float(os.environ.get("NYX_BENCH_DURATION_S", 86_400.0))
+
+
+def main():
+    here = Path(__file__).resolve().parent
+    jgm3 = here / "data" / "JGM3.cof.gz"
+
+    epoch = Epoch.from_gregorian_utc(2021, 3, 4)
+    orbit = Orbit.keplerian(7136.6, 2e-4, 51.6, 30.0, 65.0, 80.0, epoch, Frames.EME2000)
+    sc = Spacecraft.new(orbit, 100.0, 0.0, 2.0, 2.0, 1.8, 2.2)
+
+    stor = GravityFieldData.from_cof(jgm3, 21, 21, True, Frames.IAU_EARTH)
+    dynamics = SpacecraftDynamics(
+        OrbitalDynamics.from_model(Harmonics.from_stor(stor), Frames.EME2000),
+        (SolarPressure.default(), Drag.earth_exp()),
+    )
+    # GMAT-default step bounds (options.rs:42-61); RK89 at 1e-9 tolerance
+    opts = IntegratorOptions.with_adaptive_step(0.1, 2700.0, 1e-9)
+    prop = Propagator.rk89(dynamics, opts)
+
+    mvn = MvnSpacecraft(
+        sc,
+        [
+            StateDispersion("sma", 0.5),
+            StateDispersion("inc", 0.01),
+            StateDispersion("raan", 0.01),
+        ],
+    )
+    mc = MonteCarlo(mvn, seed=42)
+    alm = Almanac()
+    end = epoch + DURATION_S
+
+    # warmup/compile at the SAME batch size (shape-keyed jit cache), short arc
+    mc.run_until_epoch(prop, alm, epoch + 120.0, B)
+    t0 = time.time()
+    results = mc.run_until_epoch(prop, alm, end, B)
+    jax.block_until_ready  # results already materialized as numpy
+    wall = time.time() - t0
+
+    ok = results.n_ok
+    rate = ok / wall
+    out = {
+        "metric": "MC trajectories/sec/chip (10k LEO, RK89 adaptive, 21x21 JGM3 + drag + SRP, 1 day)",
+        "value": round(rate, 2),
+        "unit": "traj/s",
+        "vs_baseline": round(rate / 10_000.0, 4),
+        "wall_s": round(wall, 3),
+        "n_ok": ok,
+        "n_runs": results.n_runs,
+        "mean_steps": float(np.mean(results.n_accepted)),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

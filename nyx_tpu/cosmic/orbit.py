@@ -204,6 +204,13 @@ _R2D = 180.0 / np.pi
 _D2R = np.pi / 180.0
 
 
+def _cpu():
+    """Host-side scalar work runs on the CPU backend: TPU scalar dispatch is
+    slow and TPU transcendentals take a low-precision path for scalar shapes
+    (see nyx_tpu.xmath)."""
+    return jax.default_device(jax.devices("cpu")[0])
+
+
 @dataclass
 class Orbit:
     """A Cartesian orbital state at an epoch in a frame (host convenience type).
@@ -230,15 +237,16 @@ class Orbit:
     def keplerian(
         cls, sma_km, ecc, inc_deg, raan_deg, aop_deg, ta_deg, epoch: Epoch, frame: Frame
     ) -> "Orbit":
-        r, v = cartesian_from_keplerian(
-            jnp.float64(sma_km),
-            jnp.float64(ecc),
-            jnp.float64(inc_deg * _D2R),
-            jnp.float64(raan_deg * _D2R),
-            jnp.float64(aop_deg * _D2R),
-            jnp.float64(ta_deg * _D2R),
-            frame.mu,
-        )
+        with _cpu():
+            r, v = cartesian_from_keplerian(
+                jnp.float64(sma_km),
+                jnp.float64(ecc),
+                jnp.float64(inc_deg * _D2R),
+                jnp.float64(raan_deg * _D2R),
+                jnp.float64(aop_deg * _D2R),
+                jnp.float64(ta_deg * _D2R),
+                frame.mu,
+            )
         return cls(np.asarray(r), np.asarray(v), epoch, frame)
 
     @classmethod
@@ -262,12 +270,13 @@ class Orbit:
         return float(np.linalg.norm(self.v_km_s))
 
     def _kep(self):
-        return jax.tree_util.tree_map(
-            float,
-            keplerian_from_cartesian(
-                jnp.asarray(self.r_km), jnp.asarray(self.v_km_s), self.frame.mu
-            ),
-        )
+        with _cpu():
+            return jax.tree_util.tree_map(
+                float,
+                keplerian_from_cartesian(
+                    jnp.asarray(self.r_km), jnp.asarray(self.v_km_s), self.frame.mu
+                ),
+            )
 
     @property
     def sma_km(self) -> float:
@@ -296,13 +305,15 @@ class Orbit:
     @property
     def ea_deg(self) -> float:
         k = self._kep()
-        return float(true_to_ecc_anomaly(k["ta"], k["ecc"])) * _R2D
+        with _cpu():
+            return float(true_to_ecc_anomaly(k["ta"], k["ecc"])) * _R2D
 
     @property
     def ma_deg(self) -> float:
         k = self._kep()
-        ea = true_to_ecc_anomaly(jnp.float64(k["ta"]), jnp.float64(k["ecc"]))
-        return float(ecc_to_mean_anomaly(ea, jnp.float64(k["ecc"]))) * _R2D
+        with _cpu():
+            ea = true_to_ecc_anomaly(jnp.float64(k["ta"]), jnp.float64(k["ecc"]))
+            return float(ecc_to_mean_anomaly(ea, jnp.float64(k["ecc"]))) * _R2D
 
     @property
     def energy_km2_s2(self) -> float:
@@ -359,9 +370,10 @@ class Orbit:
     def at_epoch(self, epoch: Epoch) -> "Orbit":
         """Analytic two-body propagation to another epoch."""
         dt = (epoch - self.epoch).to_seconds()
-        r, v = keplerian_propagate(
-            jnp.asarray(self.r_km), jnp.asarray(self.v_km_s), self.frame.mu, dt
-        )
+        with _cpu():
+            r, v = keplerian_propagate(
+                jnp.asarray(self.r_km), jnp.asarray(self.v_km_s), self.frame.mu, dt
+            )
         return Orbit(np.asarray(r), np.asarray(v), epoch, self.frame)
 
     def __str__(self):

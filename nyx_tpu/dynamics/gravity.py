@@ -101,12 +101,9 @@ class Harmonics:
             vr11_q=vr11[qs],
             n_is=ns.astype(np.float64),
         )
-        tables = (
-            {k: jnp.asarray(v) for k, v in xs.items()},
-            jnp.asarray(diag),
-            N,
-            M,
-        )
+        # kept as numpy: the unrolled path embeds per-degree rows as literal
+        # constants; the scan path converts to device arrays on trace.
+        tables = (xs, diag, N, M)
         return cls(
             c_nm=(id(stor),),
             _tables=tables,
@@ -134,12 +131,26 @@ class Harmonics:
         a_bf = self.accel_body_fixed(r_bf)
         return jnp.einsum("...ji,...j->...i", dcm, a_bf)
 
+    # Degrees up to this bound use the fully-unrolled fused path; above it,
+    # a lax.scan keeps program size (and compile time) in check.
+    UNROLL_MAX_DEGREE = 40
+
     def accel_body_fixed(self, r_bf):
         """Acceleration (km/s^2) in the body-fixed frame. r_bf: [B, 3] km.
 
         Includes ONLY the non-spherical terms (degree >= 1), exactly as the
         reference's AccelModel (two-body is applied separately).
+
+        For moderate degrees the (n,m) recursion is unrolled so XLA fuses the
+        whole field into one elementwise kernel (no HBM round-trip per
+        degree — a scan would spill its [B, M] carry every step, which
+        measures ~10x slower on TPU at B=1e4..1e5).
         """
+        if self.max_degree <= self.UNROLL_MAX_DEGREE:
+            return self._accel_unrolled(r_bf)
+        return self._accel_scan(r_bf)
+
+    def _prelude(self, r_bf):
         xs, diag, N, M = self._tables
         W = M + 2
         B = r_bf.shape[0]
@@ -147,8 +158,84 @@ class Harmonics:
         s_ = r_bf[:, 0] / r
         t_ = r_bf[:, 1] / r
         u_ = r_bf[:, 2] / r
+        rho = self.radius_km / r
+        mu_over_r = self.mu_km3_s2 / r
+        return xs, diag, N, M, W, B, r, s_, t_, u_, rho, mu_over_r
 
-        # r_m / i_m: Re/Im of (s + i t)^m for m = 0..M+1
+    def _accel_unrolled(self, r_bf):
+        xs, diag, N, M, W, B, r, s_, t_, u_, rho, mu_over_r = self._prelude(r_bf)
+        dt = r_bf.dtype
+
+        # r_m / i_m as [B, W], built unrolled (small W)
+        rms, ims = [jnp.ones(B, dt)], [jnp.zeros(B, dt)]
+        for m in range(1, W):
+            rms.append(s_ * rms[-1] - t_ * ims[-1])
+            ims.append(s_ * ims[-1] + t_ * rms[-2])
+        r_ms = jnp.stack(rms, axis=1)
+        i_ms = jnp.stack(ims, axis=1)
+        rm1 = jnp.concatenate([jnp.zeros((B, 1), dt), r_ms[:, :-1]], axis=1)
+        im1 = jnp.concatenate([jnp.zeros((B, 1), dt), i_ms[:, :-1]], axis=1)
+
+        m_f = jnp.arange(W, dtype=dt)[None, :]
+        row0 = jnp.concatenate([jnp.ones((B, 1), dt), jnp.zeros((B, W - 1), dt)], 1)
+        seed1 = np.zeros(W)
+        seed1[0] = 1.0
+        onehot1 = np.zeros(W)
+        if W > 1:
+            onehot1[1] = 1.0
+        row1 = (u_ * np.sqrt(3.0))[:, None] * seed1[None, :] + diag[1] * jnp.asarray(
+            onehot1
+        )[None, :]
+
+        acc4 = jnp.zeros((B, 4), dt)
+        rho_q = mu_over_r * rho
+        row_nm1, row_nm2 = row1, row0
+        for k in range(N):  # scan step k handles n = k+2, degree q = k+1
+            b_row = xs["b_row"][k][None, :]
+            c_row = xs["c_row"][k][None, :]
+            mask = xs["row_mask"][k][None, :]
+            n = float(xs["n_is"][k])
+            oh_diag = np.zeros(W)
+            oh_off = np.zeros(W)
+            if int(n) < W:
+                oh_diag[int(n)] = 1.0
+            if int(n) - 1 < W:
+                oh_off[int(n) - 1] = 1.0
+            rec = (u_[:, None] * b_row * row_nm1 - c_row * row_nm2) * mask
+            row_n = (
+                rec
+                + xs["diag_n"][k] * oh_diag[None, :]
+                + (xs["offdiag_n"][k] * u_)[:, None] * oh_off[None, :]
+            )
+
+            C_q = xs["C_q"][k][None, :]
+            S_q = xs["S_q"][k][None, :]
+            d_ = (C_q * r_ms + S_q * i_ms) * _SQRT2
+            e_ = (C_q * rm1 + S_q * im1) * _SQRT2
+            f_ = (S_q * rm1 - C_q * im1) * _SQRT2
+            row_q_p1 = jnp.concatenate([row_nm1[:, 1:], jnp.zeros((B, 1), dt)], 1)
+            row_q1_p1 = jnp.concatenate([row_n[:, 1:], jnp.zeros((B, 1), dt)], 1)
+            sx = jnp.sum(m_f * row_nm1 * e_, axis=1)
+            sy = jnp.sum(m_f * row_nm1 * f_, axis=1)
+            sz = jnp.sum(xs["vr01_q"][k][None, :] * row_q_p1 * d_, axis=1)
+            sw = -jnp.sum(xs["vr11_q"][k][None, :] * row_q1_p1 * d_, axis=1)
+            rho_q = rho_q * rho
+            rr = rho_q / self.radius_km
+            acc4 = acc4 + rr[:, None] * jnp.stack([sx, sy, sz, sw], axis=1)
+            row_nm1, row_nm2 = row_n, row_nm1
+
+        return jnp.stack(
+            [
+                acc4[:, 0] + acc4[:, 3] * s_,
+                acc4[:, 1] + acc4[:, 3] * t_,
+                acc4[:, 2] + acc4[:, 3] * u_,
+            ],
+            axis=1,
+        )
+
+    def _accel_scan(self, r_bf):
+        xs, diag, N, M, W, B, r, s_, t_, u_, rho, mu_over_r = self._prelude(r_bf)
+
         def _rm_step(carry, _):
             rm, im = carry
             return (s_ * rm - t_ * im, s_ * im + t_ * rm), (rm, im)
@@ -158,56 +245,47 @@ class Harmonics:
         )
         r_ms = jnp.moveaxis(r_ms, 0, -1)  # [B, W]
         i_ms = jnp.moveaxis(i_ms, 0, -1)
-        # shifted (index m-1) variants, m=0 column zeroed
         rm1 = jnp.concatenate([jnp.zeros((B, 1)), r_ms[:, :-1]], axis=1)
         im1 = jnp.concatenate([jnp.zeros((B, 1)), i_ms[:, :-1]], axis=1)
 
         m_f = jnp.arange(W, dtype=r_bf.dtype)[None, :]
 
-        rho = self.radius_km / r  # [B]
-        mu_over_r = self.mu_km3_s2 / r
-
-        # rows 0 and 1
         row0 = jnp.zeros((B, W)).at[:, 0].set(1.0)
         row1 = jnp.zeros((B, W))
         row1 = row1.at[:, 0].set(u_ * np.sqrt(3.0))
         if W > 1:
             row1 = row1.at[:, 1].set(diag[1])
 
+        xs_j = {k: jnp.asarray(v) for k, v in xs.items()}
+
         def step(carry, x):
             row_nm1, row_nm2, acc4, rho_q = carry
             n = x["n_is"]
-            # Helmholtz row n: recursion + diagonal/off-diagonal seeds
             rec = (
                 u_[:, None] * x["b_row"][None, :] * row_nm1
                 - x["c_row"][None, :] * row_nm2
             ) * x["row_mask"][None, :]
-            col = m_f  # [1, W]
+            col = m_f
             row_n = jnp.where(
                 col == n, x["diag_n"],
                 jnp.where(col == n - 1, x["offdiag_n"] * u_[:, None], rec),
             )
-
-            # accumulate degree q = n-1 using rows q (row_nm1) and q+1 (row_n)
             d_ = (x["C_q"] * r_ms + x["S_q"] * i_ms) * _SQRT2
             e_ = (x["C_q"] * rm1 + x["S_q"] * im1) * _SQRT2
             f_ = (x["S_q"] * rm1 - x["C_q"] * im1) * _SQRT2
-            # A[q, m+1] and A[q+1, m+1]: left-shift of rows
             row_q_p1 = jnp.concatenate([row_nm1[:, 1:], jnp.zeros((B, 1))], axis=1)
             row_q1_p1 = jnp.concatenate([row_n[:, 1:], jnp.zeros((B, 1))], axis=1)
-
             sx = jnp.sum(m_f * row_nm1 * e_, axis=1)
             sy = jnp.sum(m_f * row_nm1 * f_, axis=1)
             sz = jnp.sum(x["vr01_q"][None, :] * row_q_p1 * d_, axis=1)
             sw = -jnp.sum(x["vr11_q"][None, :] * row_q1_p1 * d_, axis=1)
-
-            rho_q_next = rho_q * rho  # = mu/r * rho^(q+1)
+            rho_q_next = rho_q * rho
             rr = rho_q_next / self.radius_km
             acc4 = acc4 + rr[:, None] * jnp.stack([sx, sy, sz, sw], axis=1)
             return (row_n, row_nm1, acc4, rho_q_next), None
 
         init = (row1, row0, jnp.zeros((B, 4)), mu_over_r * rho)
-        (_, _, acc4, _), _ = jax.lax.scan(step, init, xs)
+        (_, _, acc4, _), _ = jax.lax.scan(step, init, xs_j)
 
         return jnp.stack(
             [

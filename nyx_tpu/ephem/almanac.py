@@ -48,21 +48,39 @@ class EphemTable:
     def index_of(self, body: int) -> int:
         return self.bodies.index(body)
 
+    # Record selection: XLA gathers are slow on TPU (~2 ms at B=1e4); for the
+    # small uniform tables used per propagation a masked-sum select is a pure
+    # fused elementwise chain and ~100x cheaper.
+    _SELECT_MAX_RECORDS = 32
+
+    def _coeff_at(self, idx: int, rec):
+        n_rec = self.coeffs.shape[1]
+        body_c = self.coeffs[idx]  # [n_rec, 3, D] (static index)
+        if n_rec == 1:
+            return jnp.broadcast_to(body_c[0], rec.shape + body_c.shape[1:])
+        if n_rec <= self._SELECT_MAX_RECORDS:
+            sel = (
+                rec[..., None, None, None]
+                == jnp.arange(n_rec)[None, :, None, None]
+            )
+            return jnp.sum(jnp.where(sel, body_c, 0.0), axis=-3)
+        return body_c[rec]
+
+    def _rec_tau(self, t_tdb_s):
+        n_rec = self.coeffs.shape[1]
+        rel = t_tdb_s - self.t0
+        rec = jnp.clip(jnp.floor(rel / self.intlen), 0, n_rec - 1).astype(jnp.int32)
+        tau = 2.0 * (rel - rec * self.intlen) / self.intlen - 1.0
+        return rec, tau
+
     def position(self, idx: int, t_tdb_s):
         """Position [.., 3] km of body `idx` (static) at TDB seconds [..]."""
-        n_rec = self.coeffs.shape[1]
-        rel = t_tdb_s - self.t0
-        rec = jnp.clip(jnp.floor(rel / self.intlen), 0, n_rec - 1).astype(jnp.int32)
-        tau = 2.0 * (rel - rec * self.intlen) / self.intlen - 1.0
-        c = self.coeffs[idx, rec]  # [..., 3, D]
-        return eval_chebyshev(c, tau)
+        rec, tau = self._rec_tau(t_tdb_s)
+        return eval_chebyshev(self._coeff_at(idx, rec), tau)
 
     def posvel(self, idx: int, t_tdb_s):
-        n_rec = self.coeffs.shape[1]
-        rel = t_tdb_s - self.t0
-        rec = jnp.clip(jnp.floor(rel / self.intlen), 0, n_rec - 1).astype(jnp.int32)
-        tau = 2.0 * (rel - rec * self.intlen) / self.intlen - 1.0
-        c = self.coeffs[idx, rec]
+        rec, tau = self._rec_tau(t_tdb_s)
+        c = self._coeff_at(idx, rec)
         pos = eval_chebyshev(c, tau)
         vel = eval_chebyshev_deriv(c, tau) * (2.0 / self.intlen)
         return pos, vel

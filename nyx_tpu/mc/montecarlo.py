@@ -1,0 +1,119 @@
+"""Monte Carlo: the ensemble IS the batch axis.
+
+Counterpart of the reference's `MonteCarlo` (mc/montecarlo.rs:48-279), with
+the rayon thread fan-out replaced by one batched propagation: dispersed
+states are drawn with a seeded `jax.random` key, stacked [B, 9], and the
+whole ensemble advances through the batched adaptive-RK kernel in a single
+jitted call, optionally sharded over a device mesh (configs #2/#3 of
+BASELINE.json). `resume` semantics (skip N samples with an identical RNG
+stream) fall out of deterministic keys.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cosmic.spacecraft import Spacecraft
+from ..propagators import integrator
+from ..time import Duration, Epoch
+from .multivariate import MvnSpacecraft
+from .results import Results
+
+
+def _secs(x) -> float:
+    return x.to_seconds() if isinstance(x, Duration) else float(x)
+
+
+class MonteCarlo:
+    def __init__(
+        self,
+        random_state: MvnSpacecraft,
+        seed: int = 0,
+        scenario: str = "mc",
+    ):
+        self.random_state = random_state
+        self.seed = seed
+        self.scenario = scenario
+
+    def generate_states(self, n: int, skip: int = 0) -> jnp.ndarray:
+        """[n, 9] dispersed initial states; deterministic in (seed, skip)."""
+        key = jax.random.key(self.seed)
+        states = self.random_state.sample(key, skip + n)
+        return states[skip:]
+
+    def _compiled(self, prop, with_shm_capture, mesh):
+        dyn = prop.dynamics
+        eom = dyn.make_eom(False, thruster=self.random_state.template.thruster)
+        finally_fn = dyn.make_finally()
+        opts, method = prop.opts, prop.method
+
+        def run(y0, duration_s, ctx, sc_params):
+            return integrator.propagate(
+                eom,
+                y0,
+                duration_s,
+                opts,
+                method,
+                finally_fn=finally_fn,
+                eom_args=(ctx, sc_params),
+            )
+
+        if mesh is not None:
+            from ..parallel.mesh import ensemble_sharding
+
+            sh = ensemble_sharding(mesh)
+            return jax.jit(run, in_shardings=(sh, None, None, None))
+        return jax.jit(run)
+
+    def run_until_epoch(
+        self,
+        prop,
+        almanac,
+        end_epoch: Epoch,
+        n: int,
+        skip: int = 0,
+        mesh=None,
+    ) -> Results:
+        """Propagate n dispersed samples to an epoch; returns Results.
+
+        `prop` is a Propagator (dynamics + method + options); `mesh` an
+        optional jax mesh to shard the ensemble across devices.
+        """
+        template = self.random_state.template
+        epoch0 = template.epoch
+        duration_s = (end_epoch - epoch0).to_seconds()
+        y0 = self.generate_states(n, skip)
+        if mesh is not None:
+            from ..parallel.mesh import pad_to_multiple, shard_ensemble
+
+            y0, n_pad = pad_to_multiple(y0, mesh.devices.size)
+            y0 = shard_ensemble(y0, mesh)
+        else:
+            n_pad = 0
+        dyn = prop.dynamics
+        ctx = dyn.build_context(epoch0, duration_s, almanac)
+        sc_params = dict(
+            dry_mass_kg=template.dry_mass_kg,
+            srp_area_m2=template.srp_area_m2,
+            drag_area_m2=template.drag_area_m2,
+        )
+        run = self._compiled(prop, False, mesh)
+        res = run(y0, duration_s, ctx, sc_params)
+        return Results(
+            epoch0=epoch0,
+            end_epoch=end_epoch,
+            template=template,
+            y_final=np.asarray(res.y)[:n],
+            status=np.asarray(res.status[:n]),
+            n_accepted=np.asarray(res.n_accepted[:n]),
+            n_rejected=np.asarray(res.n_rejected[:n]),
+        )
+
+    # reference alias
+    def resume_run_until_epoch(self, prop, almanac, end_epoch, skip, n, mesh=None):
+        return self.run_until_epoch(prop, almanac, end_epoch, n, skip=skip, mesh=mesh)

@@ -63,7 +63,8 @@ class PropResult(NamedTuple):
 
 
 def _rk_stages(eom, a, b, b_star, c, t, y, h):
-    """One full RK stage evaluation for all lanes. Returns (next_y, err_vec)."""
+    """One full RK stage evaluation for all lanes (unrolled). Returns
+    (next_y, err_vec)."""
     stages = b.shape[0]
     hb = h[:, None]
     k = [eom(t, y)]
@@ -83,6 +84,30 @@ def _rk_stages(eom, a, b, b_star, c, t, y, h):
     return y + hb * acc, hb * err
 
 
+def _rk_stages_looped(eom, a, b, b_star, c, t, y, h):
+    """Stage evaluation with a fori_loop over stages: one EOM instantiation
+    in the compiled program instead of `stages` copies. Essential on TPU,
+    where heavyweight EOMs (high-degree gravity) make the 16x-unrolled RK89
+    body prohibitively slow to compile; the extra [S, B, N] stage buffer
+    traffic is negligible next to the EOM itself."""
+    stages = b.shape[0]
+    B, N = y.shape
+    hb = h[:, None]
+    a_j = jnp.asarray(a)
+    c_j = jnp.asarray(c)
+    k_buf = jnp.zeros((stages, B, N), dtype=y.dtype).at[0].set(eom(t, y))
+
+    def body(i, kb):
+        wi = jnp.einsum("s,sbn->bn", a_j[i], kb)
+        ki = eom(t + c_j[i] * h, y + hb * wi)
+        return kb.at[i].set(ki)
+
+    k_buf = jax.lax.fori_loop(1, stages, body, k_buf)
+    acc = jnp.einsum("s,sbn->bn", jnp.asarray(b), k_buf)
+    err = jnp.einsum("s,sbn->bn", jnp.asarray(b - b_star), k_buf)
+    return y + hb * acc, hb * err
+
+
 def propagate(
     eom: Callable,
     y0: jnp.ndarray,
@@ -94,6 +119,7 @@ def propagate(
     capture_stride: int = 1,
     finally_fn: Optional[Callable] = None,
     eom_args: tuple = (),
+    stage_mode: str = "auto",
 ) -> PropResult:
     """Propagate a batch of states for `duration_s` (may be negative or per-lane).
 
@@ -114,6 +140,8 @@ def propagate(
       eom_args: extra pytree arguments appended to each `eom`/`finally_fn`
         call (e.g. the ephemeris context), so callers can jit this function
         with those as traced inputs instead of baked closure constants.
+      stage_mode: "auto" (loop over stages for >= 8-stage methods),
+        "unroll", or "loop".
     """
     if eom_args:
         inner_eom, inner_fin = eom, finally_fn
@@ -134,6 +162,9 @@ def propagate(
     sgn = jnp.where(dur < 0, -1.0, 1.0)
 
     a, b, b_star, c = method.a_matrix, method.b, method.b_star, method.c
+    if stage_mode == "auto":
+        stage_mode = "loop" if method.stages >= 8 else "unroll"
+    stage_fn = _rk_stages_looped if stage_mode == "loop" else _rk_stages
     order = float(method.order)
     fixed = options.fixed_step or method.is_fixed_only
     min_step = options.min_step_s
@@ -174,7 +205,7 @@ def propagate(
         overshoot = (carry.t + carry.h) * sgn > t_stop * sgn
         h_use = jnp.where(overshoot, t_stop - carry.t, carry.h)
 
-        next_y, err_vec = _rk_stages(eom, a, b, b_star, c, carry.t, carry.y, h_use)
+        next_y, err_vec = stage_fn(eom, a, b, b_star, c, carry.t, carry.y, h_use)
 
         if fixed:
             err = jnp.zeros((B,))
