@@ -1,0 +1,20 @@
+"""Orbit determination stack (counterpart of nyx-core/src/od/)."""
+
+from .blse import BatchLeastSquares, BLSSolution, BLSSolver
+from .estimate import KfEstimate, Residual, SpacecraftUncertainty
+from .ground_station import GroundStation
+from .kalman import KalmanFilter, KalmanVariant, ProcessNoise
+from .msr import Measurement, MeasurementType, TrackingDataArc
+from .noise import GaussMarkov, StochasticNoise, WhiteNoise
+from .process import KalmanODProcess, SpacecraftKalmanOD
+from .simulator import Scheduler, TrackingArcSim, TrkConfig
+from .solution import ODSolution
+
+__all__ = [
+    "BatchLeastSquares", "BLSSolution", "BLSSolver",
+    "KfEstimate", "Residual", "SpacecraftUncertainty", "GroundStation",
+    "KalmanFilter", "KalmanVariant", "ProcessNoise", "Measurement",
+    "MeasurementType", "TrackingDataArc", "GaussMarkov", "StochasticNoise",
+    "WhiteNoise", "KalmanODProcess", "SpacecraftKalmanOD", "Scheduler",
+    "TrackingArcSim", "TrkConfig", "ODSolution",
+]

@@ -1,0 +1,260 @@
+"""Ground stations: geometry, visibility and measurement computation.
+
+Counterpart of the reference's `GroundStation` (od/ground_station/mod.rs:
+52-170, builtin.rs for the DSN sites) and its `TrackingDevice` impl
+(trk_device.rs:36-230). TPU-native design: the measurement function is a
+pure scalar JAX function `h(t_tdb_s, rv6) -> [m]`; the filter's H-tilde is
+`jax.jacfwd(h)` (replacing the reference's hand-derived partials in
+od/msr/sensitivity.rs:60-239) and the station's inertial velocity comes
+from `jax.jvp` through the body-fixed DCM rather than an omega-cross
+formula.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cosmic.frames import Frame, Frames
+from ..time import Epoch
+from .msr import MeasurementType
+from .noise import StochasticNoise
+
+
+def geodetic_to_body_fixed(lat_deg, lon_deg, height_km, radius_eq_km, flattening):
+    """Geodetic coordinates -> body-fixed Cartesian position [3] (km)."""
+    lat = jnp.deg2rad(lat_deg)
+    lon = jnp.deg2rad(lon_deg)
+    e2 = flattening * (2.0 - flattening)
+    sin_lat = jnp.sin(lat)
+    n = radius_eq_km / jnp.sqrt(1.0 - e2 * sin_lat**2)
+    x = (n + height_km) * jnp.cos(lat) * jnp.cos(lon)
+    y = (n + height_km) * jnp.cos(lat) * jnp.sin(lon)
+    z = (n * (1.0 - e2) + height_km) * sin_lat
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def sez_dcm(lat_deg, lon_deg):
+    """DCM body-fixed -> SEZ (South-East-Zenith) topocentric frame."""
+    lat = jnp.deg2rad(lat_deg)
+    lon = jnp.deg2rad(lon_deg)
+    sl, cl = jnp.sin(lat), jnp.cos(lat)
+    so, co = jnp.sin(lon), jnp.cos(lon)
+    return jnp.array(
+        [
+            [sl * co, sl * so, -cl],  # South
+            [-so, co, 0.0],  # East
+            [cl * co, cl * so, sl],  # Zenith
+        ]
+    )
+
+
+@dataclass
+class GroundStation:
+    """A tracking ground station (od/ground_station/mod.rs:52-63)."""
+
+    name: str
+    latitude_deg: float
+    longitude_deg: float
+    height_km: float
+    frame: Frame = Frames.IAU_EARTH
+    elevation_mask_deg: float = 0.0
+    measurement_types: Tuple[str, ...] = (
+        MeasurementType.RANGE_KM,
+        MeasurementType.DOPPLER_KM_S,
+    )
+    integration_time_s: Optional[float] = None
+    light_time_correction: bool = False
+    timestamp_noise_s: Optional[StochasticNoise] = None
+    stochastic_noises: Dict[str, StochasticNoise] = field(default_factory=dict)
+
+    # -- DSN builtins (builtin.rs), IAU_EARTH geodetic coordinates -------
+    @classmethod
+    def dss65_madrid(cls, elevation_mask_deg=5.0, frame=Frames.IAU_EARTH):
+        gs = cls(
+            "Madrid", 40.427_222, 4.250_556, 0.834_939, frame, elevation_mask_deg
+        )
+        return gs.with_dsn_defaults()
+
+    @classmethod
+    def dss34_canberra(cls, elevation_mask_deg=5.0, frame=Frames.IAU_EARTH):
+        gs = cls(
+            "Canberra", -35.398_333, 148.981_944, 0.691_750, frame, elevation_mask_deg
+        )
+        return gs.with_dsn_defaults()
+
+    @classmethod
+    def dss13_goldstone(cls, elevation_mask_deg=5.0, frame=Frames.IAU_EARTH):
+        gs = cls(
+            "Goldstone", 35.247_164, 243.205, 1.071_149, frame, elevation_mask_deg
+        )
+        return gs.with_dsn_defaults()
+
+    def with_dsn_defaults(self) -> "GroundStation":
+        self.stochastic_noises = {
+            MeasurementType.RANGE_KM: StochasticNoise.default_range_km(),
+            MeasurementType.DOPPLER_KM_S: StochasticNoise.default_doppler_km_s(),
+        }
+        return self
+
+    def with_msr_type(self, mtype: str, noise: StochasticNoise) -> "GroundStation":
+        out = replace(self, measurement_types=tuple(
+            dict.fromkeys(self.measurement_types + (mtype,))
+        ))
+        out.stochastic_noises = dict(self.stochastic_noises)
+        out.stochastic_noises[mtype] = noise
+        return out
+
+    def without_msr_type(self, mtype: str) -> "GroundStation":
+        out = replace(
+            self,
+            measurement_types=tuple(
+                t for t in self.measurement_types if t != mtype
+            ),
+        )
+        out.stochastic_noises = dict(self.stochastic_noises)
+        out.stochastic_noises.pop(mtype, None)
+        return out
+
+    def perfect(self) -> "GroundStation":
+        """Zero-noise clone — the reference test pattern ('perfect stations',
+        tests/orbit_determination/two_body.rs:31-70)."""
+        out = replace(self)
+        out.stochastic_noises = {
+            t: StochasticNoise.zero() for t in self.measurement_types
+        }
+        return out
+
+    # ------------------------------------------------------------------
+    def body_fixed_position(self) -> jnp.ndarray:
+        return geodetic_to_body_fixed(
+            self.latitude_deg,
+            self.longitude_deg,
+            self.height_km,
+            self.frame.radius_km,
+            self.frame.flattening,
+        )
+
+    def inertial_posvel(self, t_tdb_s):
+        """Station (position, velocity) in the J2000 frame of its body.
+
+        Velocity by forward-mode AD through the body-fixed DCM series.
+        """
+        r_bf = self.body_fixed_position()
+
+        def pos(t):
+            dcm = self.frame.dcm_from_j2000(t)  # J2000 -> body fixed
+            return dcm.T @ r_bf
+
+        return jax.jvp(pos, (t_tdb_s,), (jnp.ones_like(t_tdb_s),))
+
+    def sez_state(self, t_tdb_s, rv6):
+        """Topocentric SEZ relative position/velocity of a J2000 state."""
+        dcm_bf = self.frame.dcm_from_j2000(t_tdb_s)
+        r_st, v_st = self.inertial_posvel(t_tdb_s)
+        rho = rv6[0:3] - r_st
+        rho_dot = rv6[3:6] - v_st
+        sez = sez_dcm(self.latitude_deg, self.longitude_deg) @ dcm_bf
+        return sez @ rho, sez @ rho_dot
+
+    def azimuth_elevation_range(self, t_tdb_s, rv6):
+        """(az_deg, el_deg, range_km, range_rate_km_s), the ANISE AzElRange
+        equivalent used for visibility and angle measurements."""
+        rho_sez, rhod_sez = self.sez_state(t_tdb_s, rv6)
+        rng = jnp.linalg.norm(rho_sez)
+        el = jnp.rad2deg(jnp.arcsin(rho_sez[2] / rng))
+        az = jnp.rad2deg(jnp.arctan2(rho_sez[1], -rho_sez[0])) % 360.0
+        rr = jnp.dot(rho_sez, rhod_sez) / rng
+        return az, el, rng, rr
+
+    # ------------------------------------------------------------------
+    def _one_way(self, t_tdb_s, rv6, types):
+        az, el, rng, rr = self.azimuth_elevation_range(t_tdb_s, rv6)
+        table = {
+            MeasurementType.RANGE_KM: rng,
+            MeasurementType.DOPPLER_KM_S: rr,
+            MeasurementType.AZIMUTH_DEG: az,
+            MeasurementType.ELEVATION_DEG: el,
+            MeasurementType.X_KM: rv6[0],
+            MeasurementType.Y_KM: rv6[1],
+            MeasurementType.Z_KM: rv6[2],
+        }
+        return jnp.stack([table[t] for t in types])
+
+    def measurement_fn(self, types: Optional[Sequence[str]] = None):
+        """Pure `h(t_tdb_s, rv6) -> [m]` computed-observation function.
+
+        With `integration_time_s` set, range/doppler become two-way averages
+        over the integration interval (types.rs:121-156): range = mean of the
+        bounds, doppler = (rho1 - rho0) / T, needing the state at t - T which
+        the OD process supplies via its rolling trajectory.
+        """
+        types = tuple(types or self.measurement_types)
+        return lambda t, rv6: self._one_way(t, rv6, types)
+
+    def batch_values(self, ts_tdb_s, ys6, types: Optional[Sequence[str]] = None):
+        """Vectorized noiseless observations + elevations over a strand.
+
+        One vmapped device call per strand instead of per-epoch scalar
+        dispatch (the TPU-native variant of trk_device.rs:36-230's per-epoch
+        `measure`). Returns (values [K, T], elevation_deg [K])."""
+        types = tuple(types or self.measurement_types)
+        if not hasattr(self, "_batch_cache"):
+            self._batch_cache = {}
+        if types not in self._batch_cache:
+
+            def one(t, rv6):
+                vals = self._one_way(t, rv6, types)
+                _, el, _, _ = self.azimuth_elevation_range(t, rv6)
+                return vals, el
+
+            self._batch_cache[types] = jax.jit(jax.vmap(one))
+        vals, el = self._batch_cache[types](
+            jnp.asarray(ts_tdb_s), jnp.asarray(ys6)
+        )
+        return np.asarray(vals), np.asarray(el)
+
+    def measurement_covar(self, types: Optional[Sequence[str]] = None) -> np.ndarray:
+        types = tuple(types or self.measurement_types)
+        return np.diag([self.stochastic_noises[t].covariance() for t in types])
+
+    def elevation_of(self, t_tdb_s, rv6) -> float:
+        _, el, _, _ = self.azimuth_elevation_range(
+            jnp.float64(t_tdb_s), jnp.asarray(rv6)
+        )
+        return float(el)
+
+    # -- simulation (TrackingDevice::measure, trk_device.rs:36-230) ------
+    def measure_instantaneous(
+        self, epoch: Epoch, rv6, rng_np: np.random.Generator, noise_state=None
+    ):
+        """Simulated (noisy) measurement dict at an epoch, or None if the
+        spacecraft is below the elevation mask."""
+        t = jnp.float64(epoch.to_tdb_seconds())
+        rv6 = jnp.asarray(rv6)
+        az, el, rng_km, rr = self.azimuth_elevation_range(t, rv6)
+        if float(el) < self.elevation_mask_deg:
+            return None
+        vals = np.asarray(self._one_way(t, rv6, self.measurement_types))
+        t_tai = epoch.to_tai_seconds()
+        out = {}
+        for j, mtype in enumerate(self.measurement_types):
+            noise = 0.0
+            if noise_state is not None:
+                noise = noise_state.sample(mtype, t_tai, rng_np)
+            elif mtype in self.stochastic_noises:
+                sn = self.stochastic_noises[mtype]
+                if sn.white_noise is not None:
+                    noise = sn.white_noise.sample(rng_np)
+            out[mtype] = float(vals[j]) + noise
+        return out
+
+    def __str__(self):
+        return (
+            f"GroundStation({self.name}, lat {self.latitude_deg:.4f} deg, "
+            f"lon {self.longitude_deg:.4f} deg, alt {self.height_km*1e3:.1f} m)"
+        )

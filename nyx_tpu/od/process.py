@@ -1,0 +1,207 @@
+"""The OD engine: sequential Kalman processing of a tracking arc.
+
+Counterpart of the reference's `KalmanODProcess::process_arc`
+(od/process/mod.rs:51-497). For each measurement epoch: propagate the
+nominal with STM from the previous epoch (device-side batched RK kernel,
+one jit compile reused for every gap), compute the observation and its
+H-tilde by forward-mode AD through the station geometry, run the
+measurement update (Joseph/Cholesky/sigma-rejection), optionally swap the
+EKF reference, and reset the STM. `predict_for/until` performs pure
+covariance mapping at a fixed step.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cosmic.spacecraft import Spacecraft
+from ..propagators.propagator import Propagator
+from ..time import Duration, Epoch
+from .estimate import KfEstimate, Residual
+from .kalman import KalmanFilter, KalmanVariant, ProcessNoise
+from .msr import TrackingDataArc
+from .solution import ODSolution
+
+STATE_DIM = 9
+
+
+def _secs(x) -> float:
+    return x.to_seconds() if isinstance(x, Duration) else float(x)
+
+
+class KalmanODProcess:
+    """devices + propagator + filter configuration (od/process/mod.rs:51-97)."""
+
+    def __init__(
+        self,
+        prop: Propagator,
+        process_noise: Sequence[ProcessNoise] = (),
+        variant: str = KalmanVariant.ReferenceUpdate,
+        resid_rejection_sigmas: Optional[float] = 3.0,
+        max_step=60.0,
+        almanac=None,
+    ):
+        self.prop = prop
+        self.process_noise = process_noise
+        self.variant = variant
+        self.resid_rejection_sigmas = resid_rejection_sigmas
+        self.max_step_s = _secs(max_step)
+        self.almanac = almanac
+        self._h_cache: Dict = {}
+
+    # ------------------------------------------------------------------
+    def _h_fns(self, device, types: tuple):
+        """(h, jac_h) jitted: computed obs [m] and H-tilde [m, 9] of the
+        flat 9-state. AD replaces od/msr/sensitivity.rs:60-239."""
+        key = (id(device), types)
+        if key not in self._h_cache:
+            h_rv = device.measurement_fn(types)
+
+            def h(t_tdb_s, y9):
+                return h_rv(t_tdb_s, y9[0:6])
+
+            self._h_cache[key] = (
+                jax.jit(h),
+                jax.jit(jax.jacfwd(h, argnums=1)),
+            )
+        return self._h_cache[key]
+
+    def _propagate_stm(self, instance, epoch: Epoch):
+        """Advance the PropInstance (STM enabled) to `epoch`; returns
+        (nominal_spacecraft, phi [9,9], dt_s)."""
+        dt = (epoch - instance.state.epoch).to_seconds()
+        if abs(dt) < 1e-9:
+            return instance.state, np.eye(STATE_DIM), 0.0
+        instance.state.stm = np.eye(STATE_DIM)
+        sc = instance.for_duration(dt)
+        return sc, sc.stm.copy(), dt
+
+    # ------------------------------------------------------------------
+    def process_arc(
+        self,
+        initial_estimate: KfEstimate,
+        arc: TrackingDataArc,
+        devices: Sequence,
+    ) -> ODSolution:
+        """Run the filter over every measurement of the arc
+        (od/process/mod.rs:126-437)."""
+        dev_map = {d.name: d for d in devices}
+        kf = KalmanFilter(
+            prev_estimate=initial_estimate,
+            process_noise=self.process_noise,
+            variant=self.variant,
+        )
+        nominal = initial_estimate.nominal.with_stm()
+        instance = self.prop.with_state(nominal, self.almanac)
+
+        sol = ODSolution(
+            devices=tuple(dev_map),
+            measurement_types=arc.unique_types(),
+        )
+        sol.append(initial_estimate, None)
+
+        n = len(arc)
+        accepted = rejected = 0
+        for i in range(n):
+            msr = arc.measurement(i)
+            device = dev_map.get(msr.tracker)
+            if device is None:
+                continue
+            # 1. propagate nominal + STM to the measurement epoch
+            nominal, stm, dt_s = self._propagate_stm(instance, msr.epoch)
+
+            # 2. computed observation + sensitivity at the nominal
+            types = tuple(t for t in device.measurement_types if t in msr.data)
+            if not types:
+                continue
+            h_fn, jac_fn = self._h_fns(device, types)
+            t_tdb = jnp.float64(msr.epoch.to_tdb_seconds())
+            y9 = jnp.asarray(nominal.to_vector())
+            computed = np.asarray(h_fn(t_tdb, y9))
+            h_tilde = np.asarray(jac_fn(t_tdb, y9))
+            real = msr.observation(types)
+
+            # range-ambiguity moduli (od/process/mod.rs:336-348)
+            if arc.moduli:
+                for j, t in enumerate(types):
+                    if t in arc.moduli:
+                        modulus = arc.moduli[t]
+                        real[j] = computed[j] + (
+                            (real[j] - computed[j] + modulus / 2) % modulus
+                            - modulus / 2
+                        )
+
+            r_mat = device.measurement_covar(types)
+
+            # 3. filter update
+            est, resid = kf.measurement_update(
+                nominal,
+                real,
+                computed,
+                r_mat,
+                h_tilde,
+                stm,
+                dt_s,
+                self.resid_rejection_sigmas,
+                tracker=msr.tracker,
+                msr_types=types,
+            )
+            if resid.rejected:
+                rejected += 1
+            else:
+                accepted += 1
+
+            # 4. EKF reference swap (od/process/mod.rs:367-372)
+            if self.variant == KalmanVariant.ReferenceUpdate and not resid.rejected:
+                instance.state = est.nominal.with_stm()
+            else:
+                instance.state = nominal.with_stm()
+            sol.append(est, resid)
+
+        sol.accepted, sol.rejected = accepted, rejected
+        return sol
+
+    # ------------------------------------------------------------------
+    def predict_for(
+        self, initial_estimate: KfEstimate, duration, step=None
+    ) -> ODSolution:
+        """Covariance mapping only (od/process/mod.rs predict_for)."""
+        step_s = _secs(step) if step is not None else self.max_step_s
+        dur_s = _secs(duration)
+        kf = KalmanFilter(
+            prev_estimate=initial_estimate,
+            process_noise=self.process_noise,
+            variant=self.variant,
+        )
+        nominal = initial_estimate.nominal.with_stm()
+        instance = self.prop.with_state(nominal, self.almanac)
+        sol = ODSolution(devices=(), measurement_types=())
+        sol.append(initial_estimate, None)
+        t = 0.0
+        epoch0 = initial_estimate.epoch
+        while t < dur_s - 1e-9:
+            dt = min(step_s, dur_s - t)
+            t += dt
+            nominal, stm, _ = self._propagate_stm(instance, epoch0 + t)
+            est = kf.time_update(nominal, stm, dt)
+            instance.state = nominal.with_stm()
+            sol.append(est, None)
+        return sol
+
+    def predict_until(self, initial_estimate: KfEstimate, epoch: Epoch, step=None):
+        return self.predict_for(
+            initial_estimate, epoch - initial_estimate.epoch, step
+        )
+
+
+def SpacecraftKalmanOD(prop, process_noise=(), variant=KalmanVariant.ReferenceUpdate,
+                       resid_rejection_sigmas=3.0, max_step=60.0, almanac=None):
+    """Alias matching the reference's SpacecraftKalmanOD (od/mod.rs:76-99)."""
+    return KalmanODProcess(
+        prop, process_noise, variant, resid_rejection_sigmas, max_step, almanac
+    )

@@ -1,0 +1,200 @@
+"""Tracking-arc simulation: visibility scheduling + measurement generation.
+
+Counterpart of the reference's `TrackingArcSim` (od/simulator/arc.rs:46-443),
+`TrkConfig`/`Strand` (trkconfig.rs:41-327) and `Scheduler`
+(scheduler.rs:37-95). TPU-native twist: visibility is computed by sampling
+the truth trajectory at the cadence and evaluating every device's elevation
+over ALL epochs in one vmapped device call, instead of per-epoch scalar
+calls; strand extraction and the handoff logic stay on host (tiny data).
+Determinism comes from one numpy PCG64 generator seeded per simulator
+(matching the reference's seeded Pcg64Mcg, arc.rs:138).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..time import Duration, Epoch
+from .msr import Measurement, TrackingDataArc
+from .noise import NoiseState
+
+
+def _secs(x) -> float:
+    return x.to_seconds() if isinstance(x, Duration) else float(x)
+
+
+class Cadence:
+    Continuous = "continuous"
+
+
+@dataclass(frozen=True)
+class Scheduler:
+    """Visibility-strand post-processing (scheduler.rs:37-95)."""
+
+    handoff: str = "eager"  # 'eager' | 'greedy' | 'overlap'
+    cadence: str = Cadence.Continuous
+    min_samples: int = 10
+    sample_alignment_s: Optional[float] = None
+
+
+@dataclass
+class TrkConfig:
+    """Per-device tracking configuration (trkconfig.rs:41-80)."""
+
+    sampling_s: float = 60.0
+    scheduler: Optional[Scheduler] = None
+    strands: Optional[List[Tuple[Epoch, Epoch]]] = None  # manual strands
+
+    @classmethod
+    def default(cls) -> "TrkConfig":
+        return cls(sampling_s=60.0, scheduler=Scheduler())
+
+    @classmethod
+    def from_sample_rate(cls, rate) -> "TrkConfig":
+        return cls(sampling_s=_secs(rate), scheduler=Scheduler())
+
+
+@dataclass
+class Strand:
+    device: str
+    start_idx: int
+    end_idx: int  # inclusive sample indices into the sim grid
+
+
+class TrackingArcSim:
+    """devices + truth trajectory + configs + seed (arc.rs:46-138)."""
+
+    def __init__(self, devices: Sequence, trajectory, configs: Dict[str, TrkConfig],
+                 seed: int = 0):
+        self.devices = list(devices)
+        self.traj = trajectory
+        self.configs = dict(configs)
+        self.seed = seed
+        self._schedule: Optional[List[Strand]] = None
+        for d in self.devices:
+            if d.name not in self.configs:
+                self.configs[d.name] = TrkConfig.default()
+
+    @classmethod
+    def with_seed(cls, devices, trajectory, configs, seed):
+        return cls(devices, trajectory, configs, seed)
+
+    # ------------------------------------------------------------------
+    def _sample_grid(self, sampling_s: float):
+        """(epoch rel seconds grid, states [K, 6]) over the trajectory."""
+        t0, t1 = float(self.traj.ts[0]), float(self.traj.ts[-1])
+        ts = np.arange(t0, t1 + 1e-6, sampling_s)
+        ys = np.stack([self.traj.interpolate(t)[:6] for t in ts])
+        return ts, ys
+
+    def _elevations(self, device, ts_rel, ys) -> np.ndarray:
+        """Vectorized elevation [K] for one device over all samples."""
+        epoch0 = self.traj.epoch0
+
+        def el_of(t_rel, rv6):
+            t_tdb = jnp.float64(epoch0.to_tdb_seconds()) + t_rel
+            _, el, _, _ = device.azimuth_elevation_range(t_tdb, rv6)
+            return el
+
+        return np.asarray(
+            jax.jit(jax.vmap(el_of))(jnp.asarray(ts_rel), jnp.asarray(ys))
+        )
+
+    def build_schedule(self, almanac=None) -> List[Strand]:
+        """Find visibility strands per device and apply the scheduler
+        (arc.rs:293-443)."""
+        strands: List[Strand] = []
+        grids = {}
+        for dev in self.devices:
+            cfg = self.configs[dev.name]
+            ts, ys = self._sample_grid(cfg.sampling_s)
+            grids[dev.name] = (ts, ys)
+            if cfg.strands is not None:
+                for (s, e) in cfg.strands:
+                    i0 = int(np.searchsorted(ts, (s - self.traj.epoch0).to_seconds()))
+                    i1 = int(np.searchsorted(ts, (e - self.traj.epoch0).to_seconds(), "right")) - 1
+                    if i1 >= i0:
+                        strands.append(Strand(dev.name, i0, i1))
+                continue
+            el = self._elevations(dev, ts, ys)
+            visible = el >= dev.elevation_mask_deg
+            # contiguous visible runs -> strands
+            idx = np.where(visible)[0]
+            if len(idx) == 0:
+                continue
+            cuts = np.where(np.diff(idx) > 1)[0] + 1
+            for run in np.split(idx, cuts):
+                sched = cfg.scheduler or Scheduler()
+                if len(run) >= sched.min_samples:
+                    strands.append(Strand(dev.name, int(run[0]), int(run[-1])))
+
+        strands.sort(key=lambda s: s.start_idx)
+
+        # Eager handoff: a new station takes over as soon as it sees the
+        # spacecraft; truncate the previous strand (scheduler.rs:47-70).
+        sched_by_dev = {
+            d.name: (self.configs[d.name].scheduler or Scheduler())
+            for d in self.devices
+        }
+        pruned: List[Strand] = []
+        for s in strands:
+            if pruned:
+                prev = pruned[-1]
+                if (
+                    sched_by_dev[prev.device].handoff == "eager"
+                    and s.device != prev.device
+                    and s.start_idx <= prev.end_idx
+                ):
+                    prev.end_idx = max(prev.start_idx, s.start_idx - 1)
+                elif (
+                    sched_by_dev[prev.device].handoff == "greedy"
+                    and s.device != prev.device
+                    and s.start_idx <= prev.end_idx
+                ):
+                    s = Strand(s.device, prev.end_idx + 1, s.end_idx)
+                    if s.start_idx > s.end_idx:
+                        continue
+            pruned.append(s)
+        self._schedule = pruned
+        self._grids = grids
+        return pruned
+
+    # ------------------------------------------------------------------
+    def generate_measurements(self, almanac=None) -> TrackingDataArc:
+        """Sample every strand at the device cadence with seeded noise
+        (arc.rs:174-256)."""
+        if self._schedule is None:
+            self.build_schedule(almanac)
+        rng = np.random.default_rng(self.seed)
+        dev_map = {d.name: d for d in self.devices}
+        noise_states = {
+            d.name: NoiseState(d.stochastic_noises, rng) for d in self.devices
+        }
+        epoch0 = self.traj.epoch0
+        t0_tdb = epoch0.to_tdb_seconds()
+        measurements: List[Measurement] = []
+        for strand in self._schedule:
+            dev = dev_map[strand.device]
+            ts, ys = self._grids[strand.device]
+            sl = slice(strand.start_idx, strand.end_idx + 1)
+            # one vmapped device call for the whole strand, then host-side
+            # noise in deterministic per-epoch order
+            vals, els = dev.batch_values(t0_tdb + ts[sl], ys[sl, :6])
+            types = dev.measurement_types
+            nstate = noise_states[strand.device]
+            for k, i in enumerate(range(strand.start_idx, strand.end_idx + 1)):
+                if els[k] < dev.elevation_mask_deg:
+                    continue
+                epoch = epoch0 + float(ts[i])
+                t_tai = epoch.to_tai_seconds()
+                data = {
+                    mtype: float(vals[k, j]) + nstate.sample(mtype, t_tai, rng)
+                    for j, mtype in enumerate(types)
+                }
+                measurements.append(Measurement(dev.name, epoch, data))
+        return TrackingDataArc.from_measurements(measurements)

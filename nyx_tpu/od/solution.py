@@ -1,0 +1,235 @@
+"""OD solution: estimates + residuals, smoothing, consistency statistics.
+
+Counterpart of the reference's `ODSolution` (od/process/solution/mod.rs:63),
+the RTS backward smoother (smooth.rs:33-80) and the statistics suite
+(stats.rs:38-358): residual RMS, percent-within-N-sigma,
+Kolmogorov-Smirnov normality of residual ratios, and NIS chi-square
+consistency.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..time import Epoch
+from .estimate import KfEstimate, Residual
+
+STATE_DIM = 9
+
+
+@dataclass
+class ODSolution:
+    devices: Tuple[str, ...] = ()
+    measurement_types: Tuple[str, ...] = ()
+    estimates: List[KfEstimate] = field(default_factory=list)
+    residuals: List[Optional[Residual]] = field(default_factory=list)
+    accepted: int = 0
+    rejected: int = 0
+
+    def append(self, est: KfEstimate, resid: Optional[Residual]):
+        self.estimates.append(est)
+        self.residuals.append(resid)
+
+    def __len__(self):
+        return len(self.estimates)
+
+    @property
+    def final_estimate(self) -> KfEstimate:
+        return self.estimates[-1]
+
+    # ------------------------------------------------------------------
+    def smooth(self) -> "ODSolution":
+        """RTS backward smoother with the stored Φ/P̄ (smooth.rs:33-80)."""
+        n = len(self.estimates)
+        sm = [None] * n
+        sm[-1] = self.estimates[-1]
+        for k in range(n - 2, -1, -1):
+            ek = self.estimates[k]
+            ek1 = self.estimates[k + 1]
+            sk1 = sm[k + 1]
+            phi = ek1.stm
+            # pinv: the covariance is exactly singular when parameter slots
+            # (Cr/Cd/prop mass) carry zero variance; the RTS gain is then
+            # well-defined on the observable subspace only
+            try:
+                pbar_inv = np.linalg.inv(ek1.covar_bar)
+            except np.linalg.LinAlgError:
+                pbar_inv = np.linalg.pinv(ek1.covar_bar, hermitian=True)
+            s_gain = ek.covar @ phi.T @ pbar_inv
+            x_bar = phi @ ek.state_deviation
+            dev = ek.state_deviation + s_gain @ (sk1.state_deviation - x_bar)
+            cov = ek.covar + s_gain @ (sk1.covar - ek1.covar_bar) @ s_gain.T
+            sm[k] = KfEstimate(
+                nominal=ek.nominal,
+                state_deviation=dev,
+                covar=0.5 * (cov + cov.T),
+                covar_bar=ek.covar_bar,
+                stm=ek.stm,
+                predicted=ek.predicted,
+            )
+        out = ODSolution(
+            self.devices, self.measurement_types, sm, list(self.residuals),
+            self.accepted, self.rejected,
+        )
+        return out
+
+    # -------------------- statistics (stats.rs) ------------------------
+    def accepted_residuals(self) -> List[Residual]:
+        return [r for r in self.residuals if r is not None and not r.rejected]
+
+    def residual_rms(self, msr_type: Optional[str] = None) -> float:
+        """RMS of accepted prefit residuals (stats.rs:148-166)."""
+        vals = []
+        for r in self.accepted_residuals():
+            for j, t in enumerate(r.msr_types):
+                if msr_type is None or t == msr_type:
+                    vals.append(r.prefit[j])
+        if not vals:
+            return float("nan")
+        return float(np.sqrt(np.mean(np.square(vals))))
+
+    def postfit_rms(self, msr_type: Optional[str] = None) -> float:
+        vals = []
+        for r in self.accepted_residuals():
+            for j, t in enumerate(r.msr_types):
+                if msr_type is None or t == msr_type:
+                    vals.append(r.postfit[j])
+        if not vals:
+            return float("nan")
+        return float(np.sqrt(np.mean(np.square(vals))))
+
+    def ratios(self) -> np.ndarray:
+        return np.array([r.ratio for r in self.accepted_residuals()])
+
+    def percent_within_sigmas(self, num_sigmas: float = 3.0) -> float:
+        """Percentage of accepted ratios within N sigma (stats.rs:175)."""
+        ratios = self.ratios()
+        if len(ratios) == 0:
+            return float("nan")
+        return float(100.0 * np.mean(np.abs(ratios) <= num_sigmas))
+
+    def ks_normality(self) -> Tuple[float, float]:
+        """(statistic, p-value) KS test of residual-ratio normality
+        (stats.rs:196-245)."""
+        from scipy import stats as sstats
+
+        ratios = self.ratios()
+        if len(ratios) < 3:
+            return float("nan"), float("nan")
+        # ratio = |L^-1 r| / sqrt(m): under a consistent filter, sqrt(m)*ratio
+        # follows a chi distribution with m degrees of freedom.
+        ms = np.array([len(r.msr_types) for r in self.accepted_residuals()])
+        df = int(np.round(np.median(ms)))
+        stat, pval = sstats.kstest(np.sqrt(ms) * ratios, sstats.chi(df=df).cdf)
+        return float(stat), float(pval)
+
+    def nis(self) -> np.ndarray:
+        """Normalized innovation squared per accepted msr (stats.rs:282):
+        NIS = rᵀ S⁻¹ r = m * ratio²."""
+        return np.array(
+            [len(r.msr_types) * r.ratio**2 for r in self.accepted_residuals()]
+        )
+
+    def nis_test(self, alpha: float = 0.05) -> dict:
+        """Chi-square consistency of the NIS sequence (stats.rs:282-358)."""
+        from scipy import stats as sstats
+
+        vals = self.nis()
+        ms = np.array([len(r.msr_types) for r in self.accepted_residuals()])
+        if len(vals) == 0:
+            return dict(consistent=False, mean_nis=float("nan"))
+        n_dof = int(np.sum(ms))
+        total = float(np.sum(vals))
+        lo = sstats.chi2.ppf(alpha / 2, n_dof)
+        hi = sstats.chi2.ppf(1 - alpha / 2, n_dof)
+        return dict(
+            consistent=bool(lo <= total <= hi),
+            mean_nis=float(np.mean(vals / ms)),
+            total=total,
+            lo=float(lo),
+            hi=float(hi),
+            verdict=(
+                "consistent"
+                if lo <= total <= hi
+                else ("over-confident" if total > hi else "under-confident")
+            ),
+        )
+
+    def nees(self, truth_states: Sequence) -> np.ndarray:
+        """Normalized estimation error squared vs a truth trajectory
+        (stats.rs:358). truth_states: Spacecraft at each estimate epoch."""
+        out = []
+        for est, truth in zip(self.estimates, truth_states):
+            err = (truth.to_vector() - est.state().to_vector())[:6]
+            p = est.covar[:6, :6]
+            out.append(float(err @ np.linalg.solve(p, err)))
+        return np.array(out)
+
+    # -------------------- export / conversion --------------------------
+    def to_traj(self):
+        """Estimated trajectory from the filtered states (solution/mod.rs)."""
+        from ..md.trajectory import Trajectory
+
+        ests = self.estimates
+        epoch0 = ests[0].epoch
+        ts, ys = [], []
+        for e in ests:
+            t = (e.epoch - epoch0).to_seconds()
+            sc = e.state()
+            vec = np.zeros(9)
+            vec[0:9] = sc.to_vector()
+            ts.append(t)
+            ys.append(vec)
+        return Trajectory.from_capture(
+            epoch0, np.array(ts), np.stack(ys), ests[0].nominal
+        )
+
+    def to_parquet(self, path, local_frame: Optional[str] = None) -> str:
+        """Export estimates + covariances (+residuals) to parquet
+        (solution/export.rs:60)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = {
+            "epoch_tai_s": [],
+            "predicted": [],
+        }
+        labels = ["x", "y", "z", "vx", "vy", "vz", "cr", "cd", "prop_mass"]
+        for lbl in labels:
+            rows[f"{lbl}"] = []
+            rows[f"sigma_{lbl}"] = []
+        rows["ratio"] = []
+        rows["rejected"] = []
+        for est, res in zip(self.estimates, self.residuals):
+            rows["epoch_tai_s"].append(est.epoch.to_tai_seconds())
+            rows["predicted"].append(est.predicted)
+            vec = est.state().to_vector()
+            cov = (
+                est.covar
+                if local_frame is None
+                else _expand_local(est, local_frame)
+            )
+            sig = np.sqrt(np.maximum(np.diag(cov), 0.0))
+            for i, lbl in enumerate(labels):
+                rows[lbl].append(float(vec[i]))
+                rows[f"sigma_{lbl}"].append(float(sig[i]))
+            rows["ratio"].append(res.ratio if res else np.nan)
+            rows["rejected"].append(bool(res.rejected) if res else False)
+        table = pa.table(rows).replace_schema_metadata({b"generator": b"nyx_tpu"})
+        pq.write_table(table, str(path), compression="zstd")
+        return str(path)
+
+    def __str__(self):
+        return (
+            f"ODSolution: {len(self)} estimates, {self.accepted} accepted / "
+            f"{self.rejected} rejected measurements"
+        )
+
+
+def _expand_local(est: KfEstimate, local_frame: str) -> np.ndarray:
+    cov = est.covar.copy()
+    cov[0:6, 0:6] = est.covar_in_frame(local_frame)
+    return cov

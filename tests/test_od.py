@@ -1,0 +1,293 @@
+"""Orbit-determination end-to-end tests: self-consistent synthetic OD.
+
+Mirrors the reference's tests/orbit_determination/two_body.rs strategy
+(nyx-core/tests/orbit_determination/): (1) propagate a truth trajectory;
+(2) simulate tracking measurements with seeded noise (or zero-noise
+"perfect stations"); (3) filter from a deliberately dispersed initial
+estimate; (4) assert the final estimate recovers the truth, the covariance
+contracts, and the residual statistics are consistent.
+"""
+
+import numpy as np
+import pytest
+
+from nyx_tpu import Epoch, Frames, Orbit, Spacecraft
+from nyx_tpu.dynamics import OrbitalDynamics, SpacecraftDynamics
+from nyx_tpu.od import (
+    BatchLeastSquares,
+    GroundStation,
+    KalmanODProcess,
+    KalmanVariant,
+    KfEstimate,
+    MeasurementType,
+    ProcessNoise,
+    SpacecraftUncertainty,
+    TrackingArcSim,
+    TrackingDataArc,
+    TrkConfig,
+)
+from nyx_tpu.od.noise import StochasticNoise, WhiteNoise
+from nyx_tpu.od.simulator import Scheduler
+from nyx_tpu.propagators import IntegratorOptions, Propagator
+
+EPOCH = Epoch.from_gregorian_utc(2020, 1, 1, 0, 0, 0)
+
+
+def _white_only(gs):
+    """DSN white-noise magnitudes without the Gauss-Markov bias so the
+    filter's R matches the generated noise exactly."""
+    gs.stochastic_noises = {
+        MeasurementType.RANGE_KM: StochasticNoise(WhiteNoise(2.0e-3)),
+        MeasurementType.DOPPLER_KM_S: StochasticNoise(WhiteNoise(3.0e-6)),
+    }
+    return gs
+
+
+@pytest.fixture(scope="module")
+def two_body_prop():
+    dyn = SpacecraftDynamics.new(OrbitalDynamics.two_body(Frames.EME2000))
+    return Propagator.rk89(dyn, IntegratorOptions())
+
+
+@pytest.fixture(scope="module")
+def truth_setup(two_body_prop):
+    """Truth state + 1-day truth trajectory (two_body.rs:31-100 pattern)."""
+    orbit = Orbit.keplerian(
+        22_000.0, 0.01, 30.0, 80.0, 40.0, 0.0, EPOCH, Frames.EME2000
+    )
+    truth_sc = Spacecraft.from_orbit(orbit)
+    inst = two_body_prop.with_state(truth_sc)
+    _, traj = inst.for_duration_with_traj(86_400.0)
+    return truth_sc, traj
+
+
+@pytest.fixture(scope="module")
+def stations():
+    return [
+        _white_only(GroundStation.dss65_madrid(10.0)),
+        _white_only(GroundStation.dss34_canberra(10.0)),
+        _white_only(GroundStation.dss13_goldstone(10.0)),
+    ]
+
+
+@pytest.fixture(scope="module")
+def arc(truth_setup, stations):
+    _, traj = truth_setup
+    cfg = TrkConfig(sampling_s=60.0, scheduler=Scheduler(min_samples=5))
+    sim = TrackingArcSim.with_seed(
+        stations, traj, {g.name: cfg for g in stations}, seed=0
+    )
+    arc = sim.generate_measurements()
+    assert len(arc) > 300, f"too few measurements simulated: {len(arc)}"
+    return arc
+
+
+def _dispersed_estimate(truth_sc, rng, pos_sigma_km=0.15, vel_sigma_km_s=5e-6):
+    """Initial estimate offset from truth, consistent with its covariance.
+
+    Velocity dispersion is kept at mm/s scale so the CKF's never-updated
+    linearization stays valid over a 1-day arc (a cm/s error grows to km-level
+    deviation where second-order terms dominate) — the reference CKF tests
+    make the same choice.
+    """
+    uncertainty = SpacecraftUncertainty(
+        nominal=truth_sc, frame="ric",
+        x_km=pos_sigma_km, y_km=pos_sigma_km, z_km=pos_sigma_km,
+        vx_km_s=vel_sigma_km_s, vy_km_s=vel_sigma_km_s, vz_km_s=vel_sigma_km_s,
+    )
+    est = uncertainty.to_estimate()
+    draw = rng.multivariate_normal(np.zeros(9), est.covar)
+    nominal = truth_sc.set_vector(truth_sc.epoch, truth_sc.to_vector() + draw)
+    return KfEstimate.from_covar(nominal, est.covar), float(np.linalg.norm(draw[:3]))
+
+
+def _pos_err_km(est, truth_traj):
+    truth = truth_traj.at(est.epoch).to_vector()
+    return float(np.linalg.norm(est.state().to_vector()[:3] - truth[:3]))
+
+
+class TestCkf:
+    """CKF converges to the truth (two_body.rs od_tb_ckf pattern)."""
+
+    def test_ckf_two_body(self, two_body_prop, truth_setup, arc, stations):
+        truth_sc, traj = truth_setup
+        rng = np.random.default_rng(42)
+        initial_estimate, init_err_km = _dispersed_estimate(truth_sc, rng)
+        assert init_err_km > 0.05  # meaningful initial error (>50 m)
+
+        od = KalmanODProcess(
+            two_body_prop,
+            variant=KalmanVariant.DeviationTracking,
+            resid_rejection_sigmas=None,
+        )
+        sol = od.process_arc(initial_estimate, arc, stations)
+        assert sol.rejected == 0
+        final = sol.final_estimate
+
+        final_err = _pos_err_km(final, traj)
+        assert final_err < 0.01, f"final error {final_err*1e3:.3f} m"
+        assert final_err < init_err_km / 10.0
+        # covariance must have contracted dramatically
+        sig0 = np.sqrt(np.diag(initial_estimate.covar)[:3]).max()
+        sigf = np.sqrt(np.diag(final.covar)[:3]).max()
+        assert sigf < sig0 / 10.0
+        # residual ratios consistent with the noise model
+        assert sol.percent_within_sigmas(3.0) > 95.0
+        # postfit range RMS at the 2 m white-noise scale
+        assert sol.postfit_rms(MeasurementType.RANGE_KM) < 0.01
+
+    def test_smoother_improves_early_estimates(self, two_body_prop, truth_setup,
+                                               arc, stations):
+        truth_sc, traj = truth_setup
+        rng = np.random.default_rng(7)
+        initial_estimate, _ = _dispersed_estimate(truth_sc, rng)
+        od = KalmanODProcess(
+            two_body_prop,
+            variant=KalmanVariant.DeviationTracking,
+            resid_rejection_sigmas=None,
+        )
+        sol = od.process_arc(initial_estimate, arc, stations)
+        smoothed = sol.smooth()
+        # smoothing must substantially improve the pre-convergence estimates
+        # (smooth.rs filter-smoother consistency expectation)
+        n = len(sol)
+        mid = slice(1, n // 2)
+        filt_err = np.mean([_pos_err_km(e, traj) for e in sol.estimates[mid]])
+        sm_err = np.mean([_pos_err_km(e, traj) for e in smoothed.estimates[mid]])
+        assert sm_err < filt_err / 2.0, (sm_err, filt_err)
+        assert _pos_err_km(smoothed.final_estimate, traj) <= (
+            _pos_err_km(sol.final_estimate, traj) + 1e-12
+        )
+
+
+class TestEkf:
+    """EKF relinearizes, so it tolerates large dispersions
+    (two_body.rs od_tb_ekf + robust.rs pattern)."""
+
+    def test_ekf_large_dispersion(self, two_body_prop, truth_setup, arc, stations):
+        truth_sc, traj = truth_setup
+        rng = np.random.default_rng(11)
+        # 0.5 km / 0.5 m/s dispersion: far beyond CKF linearization range
+        initial_estimate, init_err_km = _dispersed_estimate(
+            truth_sc, rng, pos_sigma_km=0.5, vel_sigma_km_s=5e-4
+        )
+        od = KalmanODProcess(
+            two_body_prop,
+            variant=KalmanVariant.ReferenceUpdate,
+            resid_rejection_sigmas=4.0,
+        )
+        sol = od.process_arc(initial_estimate, arc, stations)
+        final = sol.final_estimate
+        final_err = _pos_err_km(final, traj)
+        assert final_err < 0.01, f"final error {final_err*1e3:.1f} m"
+        assert final_err < init_err_km / 10.0
+        assert sol.rejected < len(arc) // 4
+        assert sol.percent_within_sigmas(3.0) > 90.0
+
+    def test_snc_keeps_filter_consistent(self, two_body_prop, truth_setup,
+                                         arc, stations):
+        """With SNC the covariance stays inflated enough for NIS consistency."""
+        truth_sc, traj = truth_setup
+        rng = np.random.default_rng(13)
+        initial_estimate, _ = _dispersed_estimate(truth_sc, rng)
+        snc = ProcessNoise.from_diag([1e-18, 1e-18, 1e-18], disable_time_s=3600.0)
+        od = KalmanODProcess(
+            two_body_prop,
+            process_noise=(snc,),
+            variant=KalmanVariant.ReferenceUpdate,
+            resid_rejection_sigmas=None,
+        )
+        sol = od.process_arc(initial_estimate, arc, stations)
+        final_err = _pos_err_km(sol.final_estimate, traj)
+        assert final_err < 0.05
+        nis = sol.nis_test()
+        assert np.isfinite(nis["mean_nis"])
+        ks_stat, ks_p = sol.ks_normality()
+        assert np.isfinite(ks_stat)
+
+
+class TestBlse:
+    def test_blse_recovers_initial_state(self, two_body_prop, truth_setup):
+        """BLSE with perfect (noiseless) stations recovers the initial state
+        to sub-meter from a km-level offset (blse.rs pattern)."""
+        truth_sc, traj = truth_setup
+        perfect = [
+            GroundStation.dss65_madrid(10.0).perfect(),
+            GroundStation.dss34_canberra(10.0).perfect(),
+            GroundStation.dss13_goldstone(10.0).perfect(),
+        ]
+        cfg = TrkConfig(sampling_s=60.0, scheduler=Scheduler(min_samples=5))
+        sim = TrackingArcSim.with_seed(
+            perfect, traj, {g.name: cfg for g in perfect}, seed=1
+        )
+        arc = sim.generate_measurements().filter_by_epoch(EPOCH, EPOCH + 10_800.0)
+        assert len(arc) > 20
+
+        vec = truth_sc.to_vector()
+        vec[:3] += np.array([1.2, -0.9, 1.1])
+        vec[3:6] += np.array([0.5e-3, -0.7e-3, 0.3e-3])
+        guess = truth_sc.set_vector(truth_sc.epoch, vec)
+
+        blse = BatchLeastSquares(two_body_prop, max_iterations=10,
+                                 tolerance_pos_km=1e-6)
+        sol = blse.estimate(guess, arc, perfect)
+        assert sol.converged, str(sol)
+        err = sol.estimated_state.to_vector()[:3] - truth_sc.to_vector()[:3]
+        assert np.linalg.norm(err) < 1e-4, f"BLSE error {np.linalg.norm(err)*1e3:.3f} m"
+
+
+class TestArcOps:
+    """TrackingDataArc set operations and I/O (trackingdata/mod.rs:393-506)."""
+
+    def test_filters_and_downsample(self, arc):
+        half = arc.filter_by_epoch(EPOCH, EPOCH + 43_200.0)
+        assert 0 < len(half) < len(arc)
+        other = arc.exclude_by_epoch(EPOCH, EPOCH + 43_200.0)
+        assert len(half) + len(other) == len(arc)
+
+        one = arc.filter_by_tracker(["Madrid"])
+        assert set(one.unique_aliases()) <= {"Madrid"}
+        rest = arc.reject_by_tracker(["Madrid"])
+        assert "Madrid" not in rest.unique_aliases()
+        assert len(one) + len(rest) == len(arc)
+
+        rng_only = arc.filter_by_type([MeasurementType.RANGE_KM])
+        assert rng_only.unique_types() == (MeasurementType.RANGE_KM,)
+
+        ds = arc.downsample(300.0)
+        assert len(ds) < len(arc)
+        for trk in range(len(ds.trackers)):
+            diffs = np.diff(ds.epochs_tai_s[ds.tracker_idx == trk])
+            if len(diffs):
+                assert np.all(diffs >= 300.0 - 1e-6)
+
+    def test_split_by_gap(self, arc):
+        chunks = arc.split_by_gap(1800.0)
+        assert sum(len(c) for c in chunks) == len(arc)
+        assert len(chunks) >= 2  # distinct passes have gaps
+
+    def test_parquet_roundtrip(self, arc, tmp_path):
+        path = tmp_path / "arc.parquet"
+        arc.to_parquet(path)
+        back = TrackingDataArc.from_parquet(path)
+        assert len(back) == len(arc)
+        np.testing.assert_allclose(back.epochs_tai_s, arc.epochs_tai_s)
+        m0, b0 = arc.measurement(0), back.measurement(0)
+        assert m0.tracker == b0.tracker
+        for k, v in m0.data.items():
+            assert abs(b0.data[k] - v) < 1e-12
+
+
+class TestPredict:
+    def test_covariance_mapping_grows(self, two_body_prop, truth_setup):
+        truth_sc, _ = truth_setup
+        est = KfEstimate.from_diag(
+            truth_sc, [1e-2] * 3 + [1e-8] * 3 + [0.0] * 3
+        )
+        od = KalmanODProcess(two_body_prop)
+        sol = od.predict_for(est, 3600.0, step=300.0)
+        assert len(sol) == 13
+        sig0 = np.sqrt(np.trace(est.covar[:3, :3]))
+        sigf = np.sqrt(np.trace(sol.final_estimate.covar[:3, :3]))
+        assert sigf > sig0  # two-body uncertainty grows along-track
+        assert sol.final_estimate.predicted
