@@ -367,6 +367,17 @@ class Orbit:
             np.degrees(np.arcsin(rdotv / (self.rmag_km * self.vmag_km_s)))
         )
 
+    def value(self, param: str) -> float:
+        """Evaluate any StateParameter on this orbit (md/param.rs value)."""
+        from ..md.param import value as param_value
+
+        y = np.concatenate([self.r_km, self.v_km_s, [0.0, 0.0, 0.0]])
+        with _cpu():
+            return float(
+                param_value(param, jnp.asarray(y), self.frame.mu,
+                            self.frame.radius_km or 0.0)
+            )
+
     def at_epoch(self, epoch: Epoch) -> "Orbit":
         """Analytic two-body propagation to another epoch."""
         dt = (epoch - self.epoch).to_seconds()

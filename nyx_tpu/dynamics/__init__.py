@@ -3,6 +3,14 @@ from .gravity import Harmonics
 from .spacecraft_dyn import SpacecraftDynamics
 from .drag import Drag, AtmDensity
 from .srp import SolarPressure
+from .guidance import (
+    GuidanceLaw,
+    ImpulsiveManeuver,
+    LocalFrame,
+    Maneuver,
+    ManeuverSequence,
+    Ruggiero,
+)
 
 __all__ = [
     "OrbitalDynamics",
@@ -12,4 +20,10 @@ __all__ = [
     "Drag",
     "AtmDensity",
     "SolarPressure",
+    "GuidanceLaw",
+    "ImpulsiveManeuver",
+    "LocalFrame",
+    "Maneuver",
+    "ManeuverSequence",
+    "Ruggiero",
 ]
