@@ -49,6 +49,9 @@ class StateParameter:
     C3 = "c3"
     PERIOD = "period"
     AOL = "aol"  # argument of latitude = aop + ta
+    BDOT_R = "bdot_r"  # hyperbolic B-plane B.R (km)
+    BDOT_T = "bdot_t"  # hyperbolic B-plane B.T (km)
+    B_LTOF = "b_ltof"  # linearized time of flight (s)
 
     # default event-finding precision per parameter (value units), mirroring
     # md/param.rs default_event_precision
@@ -139,6 +142,11 @@ def value(param: str, y, mu: float, radius_km: float = 0.0):
         return -mu / el["sma"]
     if p == "period":
         return 2 * jnp.pi * jnp.sqrt(jnp.abs(el["sma"]) ** 3 / mu)
+    if p in ("bdot_r", "bdot_t", "b_ltof"):
+        from ..cosmic.bplane import bplane_from_rv
+
+        b_r, b_t, ltof, _ = bplane_from_rv(r, v, mu)
+        return {"bdot_r": b_r, "bdot_t": b_t, "b_ltof": ltof}[p]
     raise KeyError(f"unknown StateParameter {param!r}")
 
 

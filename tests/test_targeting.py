@@ -1,0 +1,140 @@
+"""Targeting tests: B-plane computation/targeting and the differential
+corrector.
+
+Mirrors the reference's tests/cosmic/bplane.rs (b_plane_davis values) and
+tests/mission_design/targeter/ (single-objective Δv targeting from a LEO,
+finite-difference vs dual/STM Jacobians).
+"""
+
+import numpy as np
+import pytest
+
+from nyx_tpu import Epoch, Frames, Orbit, Spacecraft
+from nyx_tpu.cosmic.bplane import BPlane, BPlaneTarget, try_achieve_b_plane
+from nyx_tpu.dynamics import OrbitalDynamics, SpacecraftDynamics
+from nyx_tpu.md.objective import Objective
+from nyx_tpu.md.opti import Targeter, Variable, Vary
+from nyx_tpu.md.param import StateParameter
+from nyx_tpu.propagators import IntegratorOptions, Propagator
+
+EPOCH = Epoch.from_gregorian_utc(2020, 1, 1, 0, 0, 0)
+
+
+class TestBPlane:
+    def test_davis_hyperbolic_values(self):
+        """Dr. Davis' IMD test case (tests/cosmic/bplane.rs:195-216)."""
+        orbit = Orbit.cartesian(
+            546507.344255845, -527978.380486028, 531109.066836708,
+            -4.9220589268733, 5.36316523097915, -5.22166308425181,
+            Epoch.from_gregorian_utc(2016, 1, 1, 0, 0, 0), Frames.EME2000,
+        )
+        bp = BPlane.from_orbit(orbit)
+        assert abs(bp.b_t_km - 45892.323790) < 1e-4
+        assert abs(bp.b_r_km - 10606.210428) < 1e-4
+
+    def test_davis_b_plane_targeting(self):
+        """Velocity correction to a desired (BT, BR)
+        (tests/cosmic/bplane.rs:228-238, asserted to 1e-9 km/s)."""
+        orbit = Orbit.cartesian(
+            546507.344255845, -527978.380486028, 531109.066836708,
+            -4.9220589268733, 5.36316523097915, -5.22166308425181,
+            Epoch.from_gregorian_utc(2016, 1, 1, 0, 0, 0), Frames.EME2000,
+        )
+        dv, achieved = try_achieve_b_plane(
+            orbit, BPlaneTarget.from_bt_br(13135.7982982557, 5022.26511510685)
+        )
+        expected = np.array(
+            [-0.25386251697606466, -0.18774460089778605, 0.046145009839345504]
+        )
+        assert np.abs(dv - expected).max() < 1e-9
+        assert abs(achieved.b_t_km - 13135.7982982557) < 1e-3
+        assert abs(achieved.b_r_km - 5022.26511510685) < 1e-3
+
+    def test_non_hyperbolic_rejected(self):
+        leo = Orbit.keplerian(7000.0, 0.01, 30.0, 0, 0, 0, EPOCH, Frames.EME2000)
+        with pytest.raises(ValueError):
+            BPlane.from_orbit(leo)
+
+    def test_bplane_state_parameters(self):
+        """bdot_r / bdot_t are targetable StateParameters."""
+        import jax.numpy as jnp
+        from nyx_tpu.md.param import value
+
+        orbit = Orbit.cartesian(
+            546507.344255845, -527978.380486028, 531109.066836708,
+            -4.9220589268733, 5.36316523097915, -5.22166308425181,
+            Epoch.from_gregorian_utc(2016, 1, 1, 0, 0, 0), Frames.EME2000,
+        )
+        y = jnp.asarray(np.concatenate([orbit.r_km, orbit.v_km_s, [0, 0, 0]]))
+        assert abs(float(value("bdot_t", y, orbit.frame.mu)) - 45892.323790) < 1e-4
+        assert abs(float(value("bdot_r", y, orbit.frame.mu)) - 10606.210428) < 1e-4
+
+
+class TestTargeter:
+    @pytest.fixture(scope="class")
+    def prop(self):
+        dyn = SpacecraftDynamics.new(OrbitalDynamics.two_body(Frames.EME2000))
+        return Propagator.rk89(dyn, IntegratorOptions())
+
+    @pytest.fixture(scope="class")
+    def leo(self):
+        orbit = Orbit.keplerian(
+            7378.1363, 0.01, 28.5, 10.0, 5.0, 0.0, EPOCH, Frames.EME2000
+        )
+        return Spacecraft.from_orbit(orbit)
+
+    def test_delta_v_sma_target_fd(self, prop, leo):
+        """Raise SMA to 8000 km measured half an orbit later by varying the
+        velocity now (targeter tests tgt_sma_from_peri pattern)."""
+        objectives = [Objective.within_tolerance(StateParameter.SMA, 8000.0, 1e-3)]
+        tgt = Targeter.delta_v(prop, objectives)
+        half_period = leo.orbit.period_s / 2.0
+        sol = tgt.try_achieve_fd(leo, EPOCH, EPOCH + half_period)
+        assert sol.converged, str(sol)
+        assert abs(sol.achieved_state.orbit.sma_km - 8000.0) < 1e-3
+        # the correction is a physical dv (hundreds of m/s here)
+        dv = np.linalg.norm(sol.correction)
+        assert 0.05 < dv < 1.0
+
+    def test_delta_v_sma_target_dual_matches_fd(self, prop, leo):
+        """STM-based (dual) Jacobian converges to the same correction as FD
+        (stm.rs/raphson_hyperdual parity expectation)."""
+        objectives = [Objective.within_tolerance(StateParameter.SMA, 8000.0, 1e-3)]
+        half_period = leo.orbit.period_s / 2.0
+        sol_fd = Targeter.delta_v(prop, objectives).try_achieve_fd(
+            leo, EPOCH, EPOCH + half_period
+        )
+        sol_dual = Targeter.delta_v(prop, objectives).try_achieve_dual(
+            leo, EPOCH, EPOCH + half_period
+        )
+        assert sol_dual.converged
+        assert np.abs(sol_fd.correction - sol_dual.correction).max() < 1e-6
+
+    def test_vnc_multi_objective(self, prop, leo):
+        """Two objectives (SMA + ECC) with a VNC-frame Δv.
+
+        Note the targets must be kinematically feasible from the correction
+        point: a velocity-only correction cannot change the radius, so the
+        periapsis of the target orbit must stay below the current rmag
+        (here rmag = 7304 km, target periapsis = 7500*(1-0.05) = 7125 km).
+        """
+        objectives = [
+            Objective.within_tolerance(StateParameter.SMA, 7500.0, 1e-3),
+            Objective.within_tolerance(StateParameter.ECC, 0.05, 1e-6),
+        ]
+        tgt = Targeter.vnc(prop, objectives)
+        sol = tgt.try_achieve_from(leo, EPOCH, EPOCH + 2000.0)
+        assert sol.converged, str(sol)
+        assert abs(sol.achieved_state.orbit.sma_km - 7500.0) < 1e-3
+        assert abs(sol.achieved_state.orbit.ecc - 0.05) < 1e-6
+
+    def test_position_targeting(self, prop, leo):
+        """Vary position to meet an apoapsis-radius objective (kept within
+        the Variable default +/-10 km bounds)."""
+        objectives = [
+            Objective.within_tolerance(StateParameter.APOAPSIS_RADIUS, 7465.0, 1e-3)
+        ]
+        tgt = Targeter.delta_r(prop, objectives)
+        sol = tgt.try_achieve_from(leo, EPOCH, EPOCH + 1000.0)
+        assert sol.converged, str(sol)
+        assert abs(sol.achieved_state.orbit.apoapsis_km - 7465.0) < 1e-3
