@@ -1,0 +1,71 @@
+"""Lambert solver tests: Vallado's example (the reference's
+tools/lambert/godding.rs and izzo.rs unit tests) + vmapped porkchop scan.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nyx_tpu import Epoch, Frames, Orbit
+from nyx_tpu.tools import LambertInput, TransferKind, gooding, izzo, lambert_izzo_rv
+
+FRAME = Frames.EME2000.with_mu_km3_s2(3.98600433e5)
+T0 = Epoch.from_gregorian_utc(2025, 1, 1, 0, 0, 0)
+R1 = [15945.34, 0.0, 0.0]
+R2 = [12214.83899, 10249.46731, 0.0]
+
+
+def _input(tof_min=76.0):
+    s0 = Orbit.cartesian(*R1, 0, 0, 0, T0, FRAME)
+    s1 = Orbit.cartesian(*R2, 0, 0, 0, T0 + tof_min * 60.0, FRAME)
+    return LambertInput.from_planetary_states(s0, s1)
+
+
+def test_lambert_vallado_shortway():
+    sol = izzo(_input(), TransferKind.ShortWay)
+    assert np.linalg.norm(sol.v_init_km_s - [2.058913, 2.915965, 0.0]) < 1e-6
+    assert np.linalg.norm(sol.v_final_km_s - [-3.451565, 0.910315, 0.0]) < 1e-6
+
+
+def test_lambert_vallado_longway():
+    sol = izzo(_input(), TransferKind.LongWay)
+    assert np.linalg.norm(sol.v_init_km_s - [-3.811158, -2.003854, 0.0]) < 1e-6
+    assert np.linalg.norm(sol.v_final_km_s - [4.207569, 0.914724, 0.0]) < 1e-6
+
+
+def test_lambert_auto_picks_shortway_here():
+    # transfer angle < 180 deg -> Auto == ShortWay (mod.rs:64-77)
+    auto = izzo(_input(), TransferKind.Auto)
+    short = izzo(_input(), TransferKind.ShortWay)
+    assert np.allclose(auto.v_init_km_s, short.v_init_km_s)
+    assert gooding(_input()).c3_km2_s2() == auto.c3_km2_s2()
+
+
+def test_lambert_transfer_orbit_consistency():
+    """Propagating the transfer orbit analytically for the TOF must land on
+    the arrival position."""
+    sol = izzo(_input(), TransferKind.ShortWay)
+    xfer = sol.transfer_orbit()
+    arrived = xfer.at_epoch(T0 + 76.0 * 60.0)
+    assert np.linalg.norm(arrived.r_km - R2) < 1e-5
+    assert np.linalg.norm(arrived.v_km_s - sol.v_final_km_s) < 1e-8
+
+
+def test_lambert_vmapped_porkchop_scan():
+    """One XLA call solves a whole TOF sweep — the TPU-native porkchop."""
+    tofs = jnp.linspace(40.0, 150.0, 56) * 60.0
+    v1s, v2s = jax.jit(
+        jax.vmap(
+            lambda t: lambert_izzo_rv(
+                jnp.asarray(R1), jnp.asarray(R2), t, FRAME.mu
+            )
+        )
+    )(tofs)
+    assert v1s.shape == (56, 3) and np.all(np.isfinite(np.asarray(v1s)))
+    # the 76-minute column matches the scalar solution
+    idx = int(np.argmin(np.abs(np.asarray(tofs) - 76.0 * 60.0)))
+    sol = izzo(_input(np.asarray(tofs)[idx] / 60.0), TransferKind.ShortWay)
+    assert np.linalg.norm(np.asarray(v1s[idx]) - sol.v_init_km_s) < 1e-9
+    # shorter TOF needs more departure energy in this geometry
+    c3 = np.sum((np.asarray(v1s)) ** 2, axis=1)
+    assert c3[0] > c3[idx]
