@@ -291,3 +291,38 @@ class TestPredict:
         sigf = np.sqrt(np.trace(sol.final_estimate.covar[:3, :3]))
         assert sigf > sig0  # two-body uncertainty grows along-track
         assert sol.final_estimate.predicted
+
+
+class TestScanFilter:
+    """Device-side lax.scan filter (od/scan_filter.py) must match the
+    host-loop KalmanODProcess."""
+
+    def test_scan_matches_host_ckf(self, two_body_prop, truth_setup, arc, stations):
+        from nyx_tpu.od.scan_filter import ScanKalmanOD
+
+        truth_sc, traj = truth_setup
+        rng = np.random.default_rng(42)
+        initial_estimate, _ = _dispersed_estimate(truth_sc, rng)
+
+        od = KalmanODProcess(
+            two_body_prop,
+            variant=KalmanVariant.DeviationTracking,
+            resid_rejection_sigmas=None,
+        )
+        host = od.process_arc(initial_estimate, arc, stations)
+
+        scan = ScanKalmanOD(
+            two_body_prop,
+            stations,
+            types=(MeasurementType.RANGE_KM, MeasurementType.DOPPLER_KM_S),
+            variant="ckf",
+        )
+        res = scan.process_arc(initial_estimate, arc)
+        host_y = host.final_estimate.state().to_vector()
+        diff_pos = np.linalg.norm(host_y[:3] - res.final_state()[:3])
+        assert diff_pos < 1e-3  # < 1 m between the two implementations
+        assert np.abs(res.final_covar() - host.final_estimate.covar).max() < 1e-10
+        # and the scan filter recovers the truth
+        truth_fin = traj.at(host.final_estimate.epoch).to_vector()
+        assert np.linalg.norm(res.final_state()[:3] - truth_fin[:3]) < 0.01
+        assert res.accepted == len(arc)
