@@ -74,10 +74,16 @@ def main():
     alm = Almanac()
     end = epoch + DURATION_S
 
+    # Lanes per device call: larger one-shot batches crash the TPU runtime
+    # (compiler working-set blowup in the fused RK while-loop body at
+    # B >= 4096 in f64); 2048-lane chunks run back-to-back instead.
+    chunk = int(os.environ.get("NYX_BENCH_CHUNK", 2048))
+
     # warmup/compile at the SAME batch size (shape-keyed jit cache), short arc
-    mc.run_until_epoch(prop, alm, epoch + 120.0, B)
+    mc.run_until_epoch(prop, alm, epoch + 120.0, min(B, chunk),
+                       max_lanes_per_call=chunk)
     t0 = time.time()
-    results = mc.run_until_epoch(prop, alm, end, B)
+    results = mc.run_until_epoch(prop, alm, end, B, max_lanes_per_call=chunk)
     jax.block_until_ready  # results already materialized as numpy
     wall = time.time() - t0
 

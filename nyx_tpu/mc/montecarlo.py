@@ -39,6 +39,7 @@ class MonteCarlo:
         self.random_state = random_state
         self.seed = seed
         self.scenario = scenario
+        self._jit_cache = {}
 
     def generate_states(self, n: int, skip: int = 0) -> jnp.ndarray:
         """[n, 9] dispersed initial states; deterministic in (seed, skip)."""
@@ -47,6 +48,9 @@ class MonteCarlo:
         return states[skip:]
 
     def _compiled(self, prop, with_shm_capture, mesh):
+        cache_key = (id(prop), with_shm_capture, id(mesh) if mesh is not None else None)
+        if cache_key in self._jit_cache:
+            return self._jit_cache[cache_key]
         dyn = prop.dynamics
         eom = dyn.make_eom(False, thruster=self.random_state.template.thruster)
         finally_fn = dyn.make_finally()
@@ -67,8 +71,11 @@ class MonteCarlo:
             from ..parallel.mesh import ensemble_sharding
 
             sh = ensemble_sharding(mesh)
-            return jax.jit(run, in_shardings=(sh, None, None, None))
-        return jax.jit(run)
+            fn = jax.jit(run, in_shardings=(sh, None, None, None))
+        else:
+            fn = jax.jit(run)
+        self._jit_cache[cache_key] = fn
+        return fn
 
     def run_until_epoch(
         self,
@@ -78,12 +85,34 @@ class MonteCarlo:
         n: int,
         skip: int = 0,
         mesh=None,
+        max_lanes_per_call: int = 0,
     ) -> Results:
         """Propagate n dispersed samples to an epoch; returns Results.
 
         `prop` is a Propagator (dynamics + method + options); `mesh` an
         optional jax mesh to shard the ensemble across devices.
+        `max_lanes_per_call` > 0 splits the ensemble into sequential device
+        calls of at most that many lanes (per-chip working-set control for
+        very large ensembles); results are identical to one big call since
+        lanes are independent.
         """
+        if max_lanes_per_call and n > max_lanes_per_call:
+            chunks = []
+            done = 0
+            while done < n:
+                take = min(max_lanes_per_call, n - done)
+                # same jit cache entry as long as `take` stays constant
+                if take != max_lanes_per_call:
+                    pad = max_lanes_per_call - take
+                else:
+                    pad = 0
+                res = self.run_until_epoch(
+                    prop, almanac, end_epoch, take + pad,
+                    skip=skip + done, mesh=mesh,
+                )
+                chunks.append(res.truncated(take))
+                done += take
+            return Results.concatenate(chunks)
         template = self.random_state.template
         epoch0 = template.epoch
         duration_s = (end_epoch - epoch0).to_seconds()

@@ -52,6 +52,25 @@ class Results:
     def final_state(self, index: int) -> Spacecraft:
         return self.template.set_vector(self.end_epoch, self.y_final[index])
 
+    def truncated(self, n: int) -> "Results":
+        """First n runs (drops chunk padding)."""
+        return Results(
+            self.epoch0, self.end_epoch, self.template,
+            self.y_final[:n], self.status[:n],
+            self.n_accepted[:n], self.n_rejected[:n],
+        )
+
+    @classmethod
+    def concatenate(cls, chunks: list) -> "Results":
+        first = chunks[0]
+        return cls(
+            first.epoch0, first.end_epoch, first.template,
+            np.concatenate([c.y_final for c in chunks]),
+            np.concatenate([c.status for c in chunks]),
+            np.concatenate([c.n_accepted for c in chunks]),
+            np.concatenate([c.n_rejected for c in chunks]),
+        )
+
     def to_parquet(self, path, fields=("x", "y", "z", "vx", "vy", "vz", "sma", "ecc", "inc")) -> str:
         import pyarrow as pa
         import pyarrow.parquet as pq
