@@ -3,8 +3,10 @@ from .gravity import Harmonics
 from .spacecraft_dyn import SpacecraftDynamics
 from .drag import Drag, AtmDensity
 from .srp import SolarPressure
+from .solid_tides import SolidTides, TidalPerturber
 from .guidance import (
     GuidanceLaw,
+    Kluever,
     ImpulsiveManeuver,
     LocalFrame,
     Maneuver,
@@ -20,7 +22,10 @@ __all__ = [
     "Drag",
     "AtmDensity",
     "SolarPressure",
+    "SolidTides",
+    "TidalPerturber",
     "GuidanceLaw",
+    "Kluever",
     "ImpulsiveManeuver",
     "LocalFrame",
     "Maneuver",

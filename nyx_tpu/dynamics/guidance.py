@@ -482,3 +482,93 @@ class ManeuverSequence(GuidanceLaw):
         inhibited = mode == GuidanceMode.Inhibit
         want = jnp.broadcast_to(want, jnp.shape(mode))
         return jnp.where(inhibited, mode, want.astype(mode.dtype))
+
+
+# ---------------------------------------------------------------------------
+# Kluever blended control law (kluever.rs:39-310)
+# ---------------------------------------------------------------------------
+@dataclass
+class Kluever(GuidanceLaw):
+    """Weighted-objective blended low-thrust law (kluever.rs:39-48).
+
+    Steering angles alpha/beta are blended over the weighted objectives
+    (sma, ecc, inc, raan supported), computed in the RCN frame.
+    """
+
+    objectives: Tuple[Objective, ...]
+    weights: Tuple[float, ...]
+    max_eclipse_prct: Optional[float] = None
+    shadow_bodies: Tuple[int, ...] = (NAIF.EARTH,)
+
+    @classmethod
+    def new(cls, objectives, weights) -> "Kluever":
+        return cls(tuple(objectives), tuple(weights))
+
+    @classmethod
+    def from_max_eclipse(cls, objectives, weights, max_eclipse) -> "Kluever":
+        return cls(tuple(objectives), tuple(weights), max_eclipse)
+
+    def required_bodies(self):
+        if self.max_eclipse_prct is None:
+            return ()
+        return (NAIF.SUN,) + tuple(self.shadow_bodies)
+
+    def direction_and_throttle(self, ctx, t_tdb, y9, mode):
+        r = y9[..., 0:3]
+        v = y9[..., 3:6]
+        mu = ctx.frame.mu
+        kep = keplerian_from_cartesian(r, v, mu)
+        e = kep["ecc"]
+        ta = kep["ta"]
+        u_rad = ta + kep["aop"]
+
+        num_a = jnp.zeros_like(e)
+        den_a = jnp.zeros_like(e)
+        num_b = jnp.zeros_like(e)
+        for obj, w0 in zip(self.objectives, self.weights):
+            if w0 == 0.0:
+                continue
+            osc = Ruggiero._osc_value(obj.parameter, kep)
+            error = obj.desired_value - osc
+            active = jnp.abs(error) >= obj.tolerance
+            w = jnp.where(active, w0 * jnp.sign(error), 0.0)
+            p = obj.parameter
+            if p == StateParameter.SMA:
+                num_a = num_a + w * (e * jnp.sin(ta))
+                den_a = den_a + w * (1.0 + e * jnp.cos(ta))
+            elif p == StateParameter.ECC:
+                num_a = num_a + w * jnp.sin(ta)
+                den_a = den_a + w * (
+                    jnp.cos(ta) + (e + jnp.cos(ta)) / (1.0 + e * jnp.cos(ta))
+                )
+            elif p == StateParameter.INC:
+                num_b = num_b + w * jnp.sign(jnp.cos(u_rad))
+            elif p == StateParameter.RAAN:
+                num_b = num_b + w * jnp.sign(jnp.sin(u_rad))
+            else:
+                raise ValueError(f"Kluever does not support objective {p}")
+
+        alpha = jnp.arctan2(num_a, den_a)
+        beta = jnp.arctan2(num_b, jnp.sqrt(num_a**2 + den_a**2))
+        steer_rcn = unit_vector_from_plane_angles(alpha, beta)
+        dcm = LocalFrame.dcm_to_inertial(LocalFrame.RCN, r, v)
+        u = jnp.einsum("...ij,...j->...i", dcm, steer_rcn)
+        thrusting = mode == GuidanceMode.Thrust
+        throttle = jnp.where(thrusting, 1.0, 0.0)
+        return jnp.where(thrusting[..., None], u, 0.0), throttle
+
+    def next_mode(self, ctx, t_tdb, y9, mode):
+        # identical transition logic to Ruggiero (kluever.rs:300-330)
+        helper = Ruggiero(
+            self.objectives,
+            tuple(0.0 for _ in self.objectives),
+            max_eclipse_prct=self.max_eclipse_prct,
+            shadow_bodies=self.shadow_bodies,
+        )
+        return helper.next_mode(ctx, t_tdb, y9, mode)
+
+    def achieved(self, sc) -> bool:
+        return all(
+            obj.assess_raw(float(sc.orbit.value(obj.parameter)))[0]
+            for obj in self.objectives
+        )

@@ -209,3 +209,30 @@ def _prop_final(dyn, orbit, opts, dur):
     inst = Propagator.rk89(dyn, opts).with_state(Spacecraft.from_orbit(orbit))
     f = inst.for_duration(dur)
     return np.concatenate([f.orbit.r_km, f.orbit.v_km_s])
+
+
+def test_solid_tides_earth_magnitude():
+    """LEO solid-tide acceleration is 1e-9..1e-6 km/s^2 and AD-differentiable
+    (the reference's test_solid_tides_earth, solid_tides.rs:658-689)."""
+    from nyx_tpu.dynamics import SolidTides
+    from nyx_tpu.ephem.almanac import Almanac
+
+    tides = SolidTides.earth_moon_system(Frames.IAU_EARTH)
+    epoch = Epoch.from_gregorian_utc(2024, 1, 1, 12, 0, 0)
+    dyn = SpacecraftDynamics.new(
+        OrbitalDynamics.from_model(tides, Frames.EME2000)
+    )
+    ctx = dyn.build_context(epoch, 60.0, Almanac())
+    r = jnp.asarray([[7000.0, 0.0, 0.0]])
+    v = jnp.asarray([[0.0, 7.5, 0.0]])
+    t = jnp.asarray([epoch.to_tdb_seconds() - float(ctx.epoch0_tdb)])
+    acc = np.asarray(tides.accel(ctx, ctx.epoch0_tdb + t, r, v))[0]
+    nrm = np.linalg.norm(acc)
+    assert 1e-11 < nrm < 1e-6, nrm  # reference asserts (0, 1e-6)
+
+    # gradient via forward AD (replaces the reference's hyperdual gradient)
+    grad = jax.jacfwd(
+        lambda rr: tides.accel(ctx, ctx.epoch0_tdb + t, rr[None], v)[0]
+    )(r[0])
+    assert np.all(np.isfinite(np.asarray(grad)))
+    assert np.linalg.norm(np.asarray(grad)) > 0.0

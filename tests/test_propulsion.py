@@ -152,3 +152,43 @@ def test_maneuver_polynomial_angles():
     assert abs(a0 - 0.1) < 1e-12 and abs(d0 - 0.05) < 1e-12
     assert abs(a50 - 0.15) < 1e-12 and abs(d50 - 0.05) < 1e-12
     assert abs(np.linalg.norm(u0) - 1.0) < 1e-12
+
+
+def test_kluever_sma_raise_direction():
+    """Kluever with a single SMA objective steers along-track like Ruggiero
+    (kluever.rs blending reduces to the single-objective optimum)."""
+    from nyx_tpu.dynamics import Kluever, Ruggiero
+
+    orbit = Orbit.keplerian(7378.1363, 0.05, 28.5, 0.0, 0.0, 45.0, EPOCH, EME2K)
+    sc = Spacecraft.from_orbit(orbit)
+    objectives = [Objective.within_tolerance(StateParameter.SMA, 42164.0, 1.0)]
+    klu = Kluever.new(objectives, [1.0])
+    rug = Ruggiero.simple(objectives, sc)
+    ctx = SimpleNamespace(frame=EME2K)
+    y9 = jnp.asarray(np.concatenate([orbit.r_km, orbit.v_km_s, [1.8, 2.2, 0.0]]))[None]
+    mode = jnp.full(1, float(GuidanceMode.Thrust))
+    uk, tk = klu.direction_and_throttle(ctx, jnp.zeros(1), y9, mode)
+    ur, tr = rug.direction_and_throttle(ctx, jnp.zeros(1), y9, mode)
+    assert float(tk[0]) == 1.0
+    # single-sma-objective Kluever == Ruggiero steering (same alpha law)
+    assert np.abs(np.asarray(uk[0]) - np.asarray(ur[0])).max() < 1e-12
+    # coast lanes: zero thrust
+    u0, t0 = klu.direction_and_throttle(ctx, jnp.zeros(1), y9,
+                                        jnp.full(1, float(GuidanceMode.Coast)))
+    assert float(t0[0]) == 0.0 and float(jnp.linalg.norm(u0)) == 0.0
+
+
+def test_kluever_closed_loop_inc_change():
+    """Kluever inclination-only objective reduces inclination."""
+    from nyx_tpu.dynamics import Kluever
+
+    orbit = Orbit.keplerian(8000.0, 0.001, 28.5, 10.0, 0.0, 0.0, EPOCH, EME2K)
+    thruster = Thruster(thrust_N=10.0, isp_s=1500.0)
+    sc = Spacecraft.from_thruster(orbit, 300.0, 100.0, thruster,
+                                  mode=GuidanceMode.Thrust)
+    objectives = [Objective.within_tolerance(StateParameter.INC, 28.0, 0.01)]
+    law = Kluever.new(objectives, [1.0])
+    dyn = SpacecraftDynamics.from_guidance_law(OrbitalDynamics.two_body(EME2K), law)
+    inst = Propagator.rk89(dyn, IntegratorOptions(max_step_s=60.0)).with_state(sc)
+    final = inst.for_duration(3600.0)
+    assert final.orbit.inc_deg < sc.orbit.inc_deg - 0.05
