@@ -9,6 +9,7 @@ from .noise import GaussMarkov, StochasticNoise, WhiteNoise
 from .process import KalmanODProcess, SpacecraftKalmanOD
 from .simulator import Scheduler, TrackingArcSim, TrkConfig
 from .solution import ODSolution
+from . import tdm as _tdm  # attaches TrackingDataArc.to_tdm/from_tdm
 
 __all__ = [
     "BatchLeastSquares", "BLSSolution", "BLSSolver",

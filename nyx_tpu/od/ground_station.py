@@ -186,15 +186,24 @@ class GroundStation:
         return jnp.stack([table[t] for t in types])
 
     def measurement_fn(self, types: Optional[Sequence[str]] = None):
-        """Pure `h(t_tdb_s, rv6) -> [m]` computed-observation function.
-
-        With `integration_time_s` set, range/doppler become two-way averages
-        over the integration interval (types.rs:121-156): range = mean of the
-        bounds, doppler = (rho1 - rho0) / T, needing the state at t - T which
-        the OD process supplies via its rolling trajectory.
-        """
+        """Pure `h(t_tdb_s, rv6) -> [m]` one-way computed-observation
+        function (types.rs compute_one_way)."""
         types = tuple(types or self.measurement_types)
         return lambda t, rv6: self._one_way(t, rv6, types)
+
+    def two_way_fn(self, types: Optional[Sequence[str]] = None):
+        """Pure `h2(t_tdb_s, rv6_t, rv6_tm) -> [m]`: two-way observation as
+        the average of the one-way values at the start (t - T_int) and end
+        (t) of the integration interval (types.rs compute_two_way:121-156)."""
+        types = tuple(types or self.measurement_types)
+        t_int = float(self.integration_time_s or 0.0)
+
+        def h2(t, rv6_t, rv6_tm):
+            v1 = self._one_way(t, rv6_t, types)
+            v0 = self._one_way(t - t_int, rv6_tm, types)
+            return 0.5 * (v0 + v1)
+
+        return h2
 
     def batch_values(self, ts_tdb_s, ys6, types: Optional[Sequence[str]] = None):
         """Vectorized noiseless observations + elevations over a strand.

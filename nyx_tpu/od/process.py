@@ -57,13 +57,25 @@ class KalmanODProcess:
     # ------------------------------------------------------------------
     def _h_fns(self, device, types: tuple):
         """(h, jac_h) jitted: computed obs [m] and H-tilde [m, 9] of the
-        flat 9-state. AD replaces od/msr/sensitivity.rs:60-239."""
+        flat 9-state. AD replaces od/msr/sensitivity.rs:60-239.
+
+        Two-way devices (integration_time_s set) get `h(t, y9, y6_tm)` — the
+        averaged observation over the integration interval
+        (trk_device.rs:49-138) with partials at the measurement epoch.
+        """
         key = (id(device), types)
         if key not in self._h_cache:
-            h_rv = device.measurement_fn(types)
+            if device.integration_time_s:
+                h2 = device.two_way_fn(types)
 
-            def h(t_tdb_s, y9):
-                return h_rv(t_tdb_s, y9[0:6])
+                def h(t_tdb_s, y9, y6_tm):
+                    return h2(t_tdb_s, y9[0:6], y6_tm)
+
+            else:
+                h_rv = device.measurement_fn(types)
+
+                def h(t_tdb_s, y9, y6_tm):
+                    return h_rv(t_tdb_s, y9[0:6])
 
             self._h_cache[key] = (
                 jax.jit(h),
@@ -112,8 +124,21 @@ class KalmanODProcess:
             device = dev_map.get(msr.tracker)
             if device is None:
                 continue
-            # 1. propagate nominal + STM to the measurement epoch
+            # 1. propagate nominal + STM to the measurement epoch; two-way
+            #    devices stop at t - T_int first to capture the turn-around
+            #    state (trk_device.rs:49-138)
+            y6_tm = jnp.zeros(6)
+            stm_pre = np.eye(STATE_DIM)
+            dt_pre = 0.0
+            if device.integration_time_s:
+                mid, stm_pre, dt_pre = self._propagate_stm(
+                    instance, msr.epoch - float(device.integration_time_s)
+                )
+                y6_tm = jnp.asarray(mid.to_vector()[0:6])
             nominal, stm, dt_s = self._propagate_stm(instance, msr.epoch)
+            if device.integration_time_s:
+                stm = stm @ stm_pre
+                dt_s = dt_s + dt_pre
 
             # 2. computed observation + sensitivity at the nominal
             types = tuple(t for t in device.measurement_types if t in msr.data)
@@ -122,8 +147,8 @@ class KalmanODProcess:
             h_fn, jac_fn = self._h_fns(device, types)
             t_tdb = jnp.float64(msr.epoch.to_tdb_seconds())
             y9 = jnp.asarray(nominal.to_vector())
-            computed = np.asarray(h_fn(t_tdb, y9))
-            h_tilde = np.asarray(jac_fn(t_tdb, y9))
+            computed = np.asarray(h_fn(t_tdb, y9, y6_tm))
+            h_tilde = np.asarray(jac_fn(t_tdb, y9, y6_tm))
             real = msr.observation(types)
 
             # range-ambiguity moduli (od/process/mod.rs:336-348)

@@ -185,15 +185,34 @@ class TrackingArcSim:
             # one vmapped device call for the whole strand, then host-side
             # noise in deterministic per-epoch order
             vals, els = dev.batch_values(t0_tdb + ts[sl], ys[sl, :6])
+            noise_scale = 1.0
+            skip_before = -np.inf
+            if dev.integration_time_s:
+                # two-way: average with the values at t - T_int
+                # (types.rs compute_two_way; noise scaled by 1/sqrt(2))
+                t_int = float(dev.integration_time_s)
+                ts_sl = ts[sl]
+                valid = ts_sl - t_int >= float(self.traj.ts[0]) - 1e-9
+                ys0 = np.stack(
+                    [
+                        self.traj.interpolate(max(t - t_int, float(self.traj.ts[0])))[:6]
+                        for t in ts_sl
+                    ]
+                )
+                vals0, _ = dev.batch_values(t0_tdb + ts_sl - t_int, ys0)
+                vals = 0.5 * (vals + vals0)
+                noise_scale = 1.0 / np.sqrt(2.0)
+                skip_before = float(self.traj.ts[0]) + t_int
             types = dev.measurement_types
             nstate = noise_states[strand.device]
             for k, i in enumerate(range(strand.start_idx, strand.end_idx + 1)):
-                if els[k] < dev.elevation_mask_deg:
+                if els[k] < dev.elevation_mask_deg or ts[i] < skip_before:
                     continue
                 epoch = epoch0 + float(ts[i])
                 t_tai = epoch.to_tai_seconds()
                 data = {
-                    mtype: float(vals[k, j]) + nstate.sample(mtype, t_tai, rng)
+                    mtype: float(vals[k, j])
+                    + noise_scale * nstate.sample(mtype, t_tai, rng)
                     for j, mtype in enumerate(types)
                 }
                 measurements.append(Measurement(dev.name, epoch, data))

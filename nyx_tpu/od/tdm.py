@@ -1,0 +1,169 @@
+"""CCSDS Tracking Data Message (TDM) KVN read/write.
+
+Counterpart of the reference's `io_ccsds_tdm.rs:86-418` (reader) and
+`:464-600` (writer): one META/DATA segment per tracker, PARTICIPANT_1 =
+tracker, two-way PATH (1,2,1) halves RANGE/DOPPLER values on read and
+doubles them on write, RANGE_UNITS must be km. Frequency observables
+(RECEIVE_FREQ et al.) are not simulated here, matching the reference's
+"only supported in CCSDS TDM parsing" stance — they are skipped with a
+warning on read.
+"""
+
+from __future__ import annotations
+
+import datetime
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..time import Epoch
+from .msr import Measurement, MeasurementType, TrackingDataArc
+
+#: CCSDS TDM keyword <-> MeasurementType (types.rs ccsds_tdm_name)
+TDM_NAMES = {
+    MeasurementType.RANGE_KM: "RANGE",
+    MeasurementType.DOPPLER_KM_S: "DOPPLER_INTEGRATED",
+    MeasurementType.AZIMUTH_DEG: "ANGLE_1",
+    MeasurementType.ELEVATION_DEG: "ANGLE_2",
+}
+TDM_TYPES = {v: k for k, v in TDM_NAMES.items()}
+_UNSUPPORTED = ("RECEIVE_FREQ", "TRANSMIT_FREQ", "TRANSMIT_FREQ_RATE")
+
+
+def write_tdm(arc: TrackingDataArc, path, spacecraft_name: str = "SPACECRAFT",
+              two_way: bool = False) -> str:
+    """Write the arc as a KVN TDM, one segment per tracker."""
+    lines: List[str] = []
+    lines.append("CCSDS_TDM_VERS = 2.0")
+    lines.append(f"CREATION_DATE = {datetime.datetime.now(datetime.UTC).strftime('%Y-%m-%dT%H:%M:%S')}")
+    lines.append("ORIGINATOR = nyx_tpu")
+    scale = 2.0 if two_way else 1.0
+
+    for trk_i, tracker in enumerate(arc.trackers):
+        mask = arc.tracker_idx == trk_i
+        if not np.any(mask):
+            continue
+        lines.append("")
+        lines.append("META_START")
+        lines.append("\tTIME_SYSTEM = UTC")
+        lines.append(f"\tPARTICIPANT_1 = {tracker}")
+        lines.append(f"\tPARTICIPANT_2 = {spacecraft_name}")
+        lines.append("\tMODE = SEQUENTIAL")
+        lines.append("\tPATH = 1,2,1" if two_way else "\tPATH = 1,2")
+        lines.append("\tRANGE_UNITS = km")
+        lines.append("\tANGLE_TYPE = AZEL")
+        lines.append("META_STOP")
+        lines.append("")
+        lines.append("DATA_START")
+        for i in np.where(mask)[0]:
+            epoch = Epoch.from_tai_seconds_j2000(float(arc.epochs_tai_s[i]))
+            iso = epoch.isoformat("UTC").split(" ")[0]  # bare ISO, no scale tag
+            for j, t in enumerate(arc.types):
+                v = arc.values[i, j]
+                if np.isfinite(v) and t in TDM_NAMES:
+                    sc = scale if t in (MeasurementType.RANGE_KM,
+                                        MeasurementType.DOPPLER_KM_S) else 1.0
+                    lines.append(f"\t{TDM_NAMES[t]} = {iso} {v * sc:.12e}")
+        lines.append("DATA_STOP")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return str(path)
+
+
+def read_tdm(path, aliases: Optional[Dict[str, str]] = None) -> TrackingDataArc:
+    """Parse a KVN TDM into a TrackingDataArc (io_ccsds_tdm.rs:86-418)."""
+    measurements: List[Measurement] = []
+    in_data = False
+    tracker = ""
+    time_system = "UTC"
+    divider = 1.0
+
+    with open(path) as f:
+        for raw in f:
+            line = raw.strip()
+            if not line or line.startswith("COMMENT"):
+                continue
+            if line == "DATA_START":
+                in_data = True
+                continue
+            if line == "DATA_STOP":
+                in_data = False
+                continue
+
+            if not in_data:
+                if line.startswith("PARTICIPANT_1"):
+                    tracker = line.split("=", 1)[1].strip()
+                    if aliases and tracker in aliases:
+                        tracker = aliases[tracker]
+                elif line.startswith("TIME_SYSTEM"):
+                    time_system = line.split("=", 1)[1].strip().upper()
+                    if time_system not in ("UTC", "TAI", "TDB", "TT"):
+                        raise ValueError(
+                            f"TDM time scale {time_system} not supported"
+                        )
+                elif line.startswith("PATH"):
+                    n_path = line.split("=", 1)[1].count(",") + 1
+                    if n_path == 2:
+                        divider = 1.0
+                    elif n_path == 3:
+                        divider = 2.0  # two-way: stored value is round-trip
+                    else:
+                        raise ValueError(f"{n_path} TDM paths unsupported")
+                elif line.startswith("RANGE_UNITS"):
+                    units = line.split("=", 1)[1].strip().lower()
+                    if units != "km":
+                        raise ValueError(f"RANGE_UNITS {units} not supported (km only)")
+                continue
+
+            # data line: KEYWORD = EPOCH VALUE
+            if "=" not in line:
+                continue
+            keyword, rest = (s.strip() for s in line.split("=", 1))
+            if keyword in _UNSUPPORTED:
+                continue
+            if keyword not in TDM_TYPES:
+                continue
+            parts = rest.split()
+            if len(parts) == 3 and parts[1] in ("UTC", "TAI", "TDB", "TT"):
+                parts = [parts[0], parts[2]]  # tolerate a scale tag
+            if len(parts) != 2:
+                continue
+            iso, value = parts
+            epoch = _parse_epoch(iso, time_system)
+            mtype = TDM_TYPES[keyword]
+            v = float(value)
+            if mtype in (MeasurementType.RANGE_KM, MeasurementType.DOPPLER_KM_S):
+                v /= divider
+            if (
+                measurements
+                and measurements[-1].tracker == tracker
+                and abs(
+                    measurements[-1].epoch.to_tai_seconds() - epoch.to_tai_seconds()
+                )
+                < 1e-7
+            ):
+                measurements[-1].data[mtype] = v
+            else:
+                measurements.append(Measurement(tracker, epoch, {mtype: v}))
+
+    return TrackingDataArc.from_measurements(measurements)
+
+
+def _parse_epoch(iso: str, scale: str) -> Epoch:
+    date, _, time = iso.partition("T")
+    y, mo, d = (int(x) for x in date.split("-"))
+    hh, mm, ss = time.split(":")
+    return Epoch.from_gregorian(y, mo, d, int(hh), int(mm), float(ss), scale)
+
+
+# attach as TrackingDataArc methods for reference API parity
+def _to_tdm(self, path, spacecraft_name="SPACECRAFT", two_way=False):
+    return write_tdm(self, path, spacecraft_name, two_way)
+
+
+def _from_tdm(cls, path, aliases=None):
+    return read_tdm(path, aliases)
+
+
+TrackingDataArc.to_tdm = _to_tdm
+TrackingDataArc.from_tdm = classmethod(_from_tdm)
