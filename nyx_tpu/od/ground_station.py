@@ -267,3 +267,35 @@ class GroundStation:
             f"GroundStation({self.name}, lat {self.latitude_deg:.4f} deg, "
             f"lon {self.longitude_deg:.4f} deg, alt {self.height_km*1e3:.1f} m)"
         )
+
+
+# -- ConfigRepr-style YAML loaders (io/mod.rs:182) ------------------------
+def _gs_load(cls, path):
+    """First ground station of a YAML document."""
+    from ..io.config import load_ground_stations
+
+    return load_ground_stations(path)[0]
+
+
+def _gs_load_many(cls, path):
+    from ..io.config import load_ground_stations
+
+    return load_ground_stations(path)
+
+
+def _gs_load_named(cls, path):
+    from ..io.config import load_ground_stations
+
+    return {g.name: g for g in load_ground_stations(path)}
+
+
+def _gs_save(self, path):
+    from ..io.config import save_ground_stations
+
+    return save_ground_stations([self], path)
+
+
+GroundStation.load = classmethod(_gs_load)
+GroundStation.load_many = classmethod(_gs_load_many)
+GroundStation.load_named = classmethod(_gs_load_named)
+GroundStation.save = _gs_save

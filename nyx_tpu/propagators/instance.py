@@ -148,5 +148,33 @@ class PropInstance:
     def until_epoch_with_traj(self, epoch: Epoch, n_capture: int = 8192):
         return self.for_duration_with_traj(epoch - self.state.epoch, n_capture)
 
+    def until_event(self, max_duration, event, n_capture: int = 8192):
+        """Propagate until the first occurrence of `event` (or max_duration).
+
+        The reference's `until_event` (propagators/event.rs:48-86):
+        propagate with trajectory capture, then root-solve the event
+        g-function on the Hermite-interpolated trajectory. Returns
+        (state_at_event, traj).
+        """
+        return self.until_nth_event(max_duration, event, 0, n_capture)
+
+    def until_nth_event(self, max_duration, event, trigger: int,
+                        n_capture: int = 8192):
+        """Propagate until the (trigger+1)-th event crossing
+        (propagators/event.rs:88-211). Raises if not found."""
+        from ..md.events import find_events
+
+        _, traj = self.for_duration_with_traj(max_duration, n_capture)
+        details = find_events(traj, event, max_events=trigger + 1)
+        if len(details) <= trigger:
+            raise RuntimeError(
+                f"event {event} not found {trigger + 1} time(s) within "
+                f"{_secs(max_duration)} s (found {len(details)})"
+            )
+        hit = details[trigger]
+        state = traj.at(hit.epoch)
+        self.state = state
+        return state, traj
+
     def latest_details(self) -> dict:
         return dict(step=None, error=None, attempts=None)

@@ -1,0 +1,137 @@
+"""YAML config round-trips (ConfigRepr, io/mod.rs:182) against the
+reference's own fixture files in /root/reference/data/03_tests/config/,
+plus the polyfit module."""
+
+import numpy as np
+import pytest
+
+REF_CFG = "/root/reference/data/03_tests/config"
+
+
+class TestGroundStationYaml:
+    def test_load_reference_single(self):
+        from nyx_tpu.od import GroundStation
+
+        gs = GroundStation.load(f"{REF_CFG}/one_ground_station.yaml")
+        assert gs.name == "Demo ground station"
+        assert abs(gs.latitude_deg - 2.3522) < 1e-9
+        assert abs(gs.longitude_deg - 48.8566) < 1e-9
+        assert abs(gs.height_km - 0.4) < 1e-9
+        assert gs.elevation_mask_deg == 5.0
+        assert gs.measurement_types == ("range_km", "doppler_km_s")
+        assert gs.integration_time_s == 60.0
+        assert gs.stochastic_noises["range_km"].bias.process_noise == 5.0e-3
+        assert gs.stochastic_noises["range_km"].bias.tau_s == 24 * 3600.0
+
+    def test_load_reference_many(self):
+        from nyx_tpu.od import GroundStation
+
+        stations = GroundStation.load_many(f"{REF_CFG}/many_ground_stations.yaml")
+        assert len(stations) == 2
+        names = {g.name for g in stations}
+        assert names == {"Demo ground station", "Canberra"}
+        canberra = [g for g in stations if g.name == "Canberra"][0]
+        assert abs(canberra.latitude_deg + 35.398333) < 1e-9
+
+    def test_roundtrip(self, tmp_path):
+        from nyx_tpu.od import GroundStation
+
+        gs = GroundStation.dss65_madrid(12.0)
+        gs.integration_time_s = 30.0
+        path = tmp_path / "gs.yaml"
+        gs.save(path)
+        back = GroundStation.load(path)
+        assert back.name == gs.name
+        assert abs(back.latitude_deg - gs.latitude_deg) < 1e-12
+        assert back.elevation_mask_deg == 12.0
+        assert back.integration_time_s == 30.0
+        assert back.stochastic_noises.keys() == gs.stochastic_noises.keys()
+        for k in gs.stochastic_noises:
+            assert (
+                back.stochastic_noises[k].covariance()
+                == gs.stochastic_noises[k].covariance()
+            )
+
+
+class TestSpacecraftYaml:
+    def test_load_reference_spacecraft(self):
+        from nyx_tpu.io.config import load_spacecraft
+
+        sc = load_spacecraft(f"{REF_CFG}/spacecraft.yaml")
+        assert abs(sc.orbit.r_km[0] + 9042.862234) < 1e-9
+        assert sc.prop_mass_kg == 50.0
+        assert sc.dry_mass_kg == 50.0
+        assert sc.cd == 2.2
+        assert sc.drag_area_m2 == 0.95
+        assert sc.thruster is not None and sc.thruster.isp_s == 300.0
+        assert sc.epoch.to_gregorian("UTC")[0] == 2018
+
+    def test_roundtrip(self, tmp_path):
+        from nyx_tpu import Epoch, Frames, Orbit, Spacecraft
+        from nyx_tpu.io.config import load_spacecraft, save_spacecraft
+
+        orbit = Orbit.keplerian(
+            8000.0, 0.01, 30.0, 40.0, 50.0, 60.0,
+            Epoch.from_gregorian_utc(2022, 3, 4, 5, 6, 7.0), Frames.EME2000,
+        )
+        sc = Spacecraft.from_orbit(orbit).with_srp(2.5, 1.9).with_drag(1.5, 2.1)
+        path = tmp_path / "sc.yaml"
+        save_spacecraft(sc, path)
+        back = load_spacecraft(path)
+        assert np.abs(back.orbit.r_km - sc.orbit.r_km).max() < 1e-6
+        assert np.abs(back.orbit.v_km_s - sc.orbit.v_km_s).max() < 1e-9
+        assert back.cr == 1.9 and back.srp_area_m2 == 2.5
+
+
+class TestTrkConfigYaml:
+    def test_load_reference_named(self):
+        from nyx_tpu.io.config import load_trk_configs
+
+        cfgs = load_trk_configs(f"{REF_CFG}/tracking_cfg.yaml")
+        assert set(cfgs) == {"Demo ground station", "Canberra"}
+        c = cfgs["Canberra"]
+        assert c.sampling_s == 1.0
+        assert c.scheduler.handoff == "eager"
+        assert c.scheduler.min_samples == 10
+        assert c.scheduler.sample_alignment_s == 10.0
+
+    def test_load_reference_single(self):
+        from nyx_tpu.io.config import load_trk_configs
+
+        cfgs = load_trk_configs(f"{REF_CFG}/trk_cfg_od_val.yaml")
+        c = cfgs[""]
+        assert c.sampling_s == 10.0
+        assert c.scheduler.handoff == "overlap"
+
+
+class TestPolyfit:
+    def test_polynomial_eval_deriv(self):
+        from nyx_tpu.polyfit import CommonPolynomial, Polynomial
+
+        p = Polynomial((1.0, 2.0, 3.0))  # 1 + 2t + 3t^2
+        assert p.eval(0.0) == 1.0
+        assert p.eval(2.0) == 1 + 4 + 12
+        assert p.deriv(2.0) == 2 + 12.0
+        assert p.derivative().coefficients == (2.0, 6.0)
+        q = CommonPolynomial.Quadratic(3.0, 2.0, 1.0)
+        assert q.coefficients == p.coefficients
+        lin = CommonPolynomial.Linear(0.001, 0.1)
+        assert abs(lin.eval(50.0) - 0.15) < 1e-15
+
+    def test_lagrange_fit(self):
+        from nyx_tpu.polyfit import lagrange
+
+        xs = [0.0, 1.0, 2.0, 3.0]
+        ys = [2.0 - 3 * x + x**3 for x in xs]
+        p = lagrange(xs, ys)
+        for t in np.linspace(-1, 4, 13):
+            assert abs(p.eval(t) - (2.0 - 3 * t + t**3)) < 1e-9
+
+    def test_hermite_eval(self):
+        from nyx_tpu.polyfit import hermite_eval
+
+        # f = sin, samples of value and derivative
+        xs = np.linspace(0.0, 1.0, 5)
+        val, dval = hermite_eval(xs, np.sin(xs), np.cos(xs), 0.41)
+        assert abs(float(val) - np.sin(0.41)) < 1e-10
+        assert abs(float(dval) - np.cos(0.41)) < 1e-7

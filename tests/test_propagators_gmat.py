@@ -112,3 +112,32 @@ def test_trajectory_capture():
     ys = np.asarray(res.traj_y[0, :n])
     en = 0.5 * np.sum(ys[:, 3:] ** 2, 1) - MU / np.linalg.norm(ys[:, :3], axis=1)
     np.testing.assert_allclose(en, en[0], rtol=1e-12)
+
+
+def test_until_event_periapsis():
+    """until_nth_event stops at the requested periapsis crossing
+    (propagators/event.rs:48-211 pattern, tests/propagation/stopcond.rs)."""
+    from nyx_tpu import Epoch, Frames, Orbit, Spacecraft
+    from nyx_tpu.dynamics import OrbitalDynamics, SpacecraftDynamics
+    from nyx_tpu.md.events import Event
+    from nyx_tpu.propagators import Propagator
+
+    eme2k = Frames.EME2000
+    epoch = Epoch.from_gregorian_utc(2020, 1, 1, 0, 0, 0)
+    orbit = Orbit.keplerian(8000.0, 0.1, 30.0, 0.0, 0.0, 90.0, epoch, eme2k)
+    sc = Spacecraft.from_orbit(orbit)
+    dyn = SpacecraftDynamics.new(OrbitalDynamics.two_body(eme2k))
+    inst = Propagator.rk89(dyn, IntegratorOptions()).with_state(sc)
+    period = orbit.period_s
+
+    state, traj = inst.until_event(2.0 * period, Event.periapsis())
+    # at periapsis: rmag = a(1-e), ta = 0
+    assert abs(state.orbit.rmag_km - 8000.0 * 0.9) < 1e-3
+    ta = state.orbit.ta_deg
+    assert min(ta, 360.0 - ta) < 0.05
+
+    # second crossing is one period after the first
+    inst2 = Propagator.rk89(dyn, IntegratorOptions()).with_state(sc)
+    state2, _ = inst2.until_nth_event(3.0 * period, Event.periapsis(), 1)
+    gap = (state2.epoch - state.epoch).to_seconds()
+    assert abs(gap - period) < 1.0
