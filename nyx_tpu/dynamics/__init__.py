@@ -4,6 +4,14 @@ from .spacecraft_dyn import SpacecraftDynamics
 from .drag import Drag, AtmDensity
 from .srp import SolarPressure
 from .solid_tides import SolidTides, TidalPerturber
+from .sequence import (
+    DiscreteEvent,
+    DynamicsConfig,
+    Phase,
+    PhysicalProperties,
+    PropagatorConfig,
+    SpacecraftSequence,
+)
 from .guidance import (
     GuidanceLaw,
     Kluever,
@@ -24,6 +32,12 @@ __all__ = [
     "SolarPressure",
     "SolidTides",
     "TidalPerturber",
+    "DiscreteEvent",
+    "DynamicsConfig",
+    "Phase",
+    "PhysicalProperties",
+    "PropagatorConfig",
+    "SpacecraftSequence",
     "GuidanceLaw",
     "Kluever",
     "ImpulsiveManeuver",

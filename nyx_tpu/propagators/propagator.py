@@ -35,6 +35,29 @@ class Propagator:
     def default(cls, dynamics) -> "Propagator":
         return cls(dynamics)
 
+    @classmethod
+    def from_method(cls, dynamics, method: str, opts=None) -> "Propagator":
+        """Method by name ('rk89', 'dp78', 'dp45', 'ck45', 'rk4', 'verner56'),
+        the IntegratorMethod dispatch of rk_methods/mod.rs:65-79."""
+        table = {
+            "rk89": IntegratorMethod.RK89,
+            "dp78": IntegratorMethod.DormandPrince78,
+            "dormandprince78": IntegratorMethod.DormandPrince78,
+            "dp45": IntegratorMethod.DormandPrince45,
+            "dormandprince45": IntegratorMethod.DormandPrince45,
+            "ck45": IntegratorMethod.CashKarp45,
+            "cashkarp45": IntegratorMethod.CashKarp45,
+            "rk4": IntegratorMethod.RK4Fixed,
+            "verner56": IntegratorMethod.Verner56,
+        }
+        return cls(dynamics, table[method.lower()], opts)
+
+    def with_guidance(self, law) -> "Propagator":
+        """A copy whose dynamics run the given guidance law."""
+        return Propagator(
+            self.dynamics.with_guidance_law(law), self.method, self.opts
+        )
+
     def with_state(self, state, almanac=None):
         from .instance import PropInstance
 
