@@ -3,6 +3,8 @@
 from .blse import BatchLeastSquares, BLSSolution, BLSSolver
 from .estimate import KfEstimate, Residual, SpacecraftUncertainty
 from .ground_station import GroundStation
+from .interlink import DeviceTrajectory, InterlinkTxSpacecraft
+from .position import PositionDevice
 from .kalman import KalmanFilter, KalmanVariant, ProcessNoise
 from .msr import Measurement, MeasurementType, TrackingDataArc
 from .noise import GaussMarkov, StochasticNoise, WhiteNoise
@@ -14,6 +16,7 @@ from . import tdm as _tdm  # attaches TrackingDataArc.to_tdm/from_tdm
 __all__ = [
     "BatchLeastSquares", "BLSSolution", "BLSSolver",
     "KfEstimate", "Residual", "SpacecraftUncertainty", "GroundStation",
+    "InterlinkTxSpacecraft", "DeviceTrajectory", "PositionDevice",
     "KalmanFilter", "KalmanVariant", "ProcessNoise", "Measurement",
     "MeasurementType", "TrackingDataArc", "GaussMarkov", "StochasticNoise",
     "WhiteNoise", "KalmanODProcess", "SpacecraftKalmanOD", "Scheduler",

@@ -376,3 +376,64 @@ class TestTwoWay:
             assert abs(m0.epoch.to_tai_seconds() - b0.epoch.to_tai_seconds()) < 1e-5
             for k, v in m0.data.items():
                 assert abs(b0.data[k] - v) < 1e-9, (k, v, b0.data[k])
+
+
+class TestPremiumDevices:
+    """Interlink crosslink tracking and GNSS position devices
+    (od/interlink/, od/position/ — premium parity)."""
+
+    def test_interlink_od(self, two_body_prop, truth_setup):
+        from nyx_tpu import Orbit, Spacecraft
+        from nyx_tpu.od import InterlinkTxSpacecraft
+
+        truth_sc, traj = truth_setup
+        # transmitter on a different orbit, trajectory from the same dynamics
+        tx_orbit = Orbit.keplerian(
+            26_560.0, 0.02, 55.0, 120.0, 10.0, 30.0, EPOCH, truth_sc.frame
+        )
+        tx_inst = two_body_prop.with_state(Spacecraft.from_orbit(tx_orbit))
+        _, tx_traj = tx_inst.for_duration_with_traj(86_400.0)
+
+        tx = InterlinkTxSpacecraft(tx_traj, name="TX1",
+                                   occulting_radius_km=6378.0)
+        from nyx_tpu.od.noise import StochasticNoise, WhiteNoise
+
+        tx.stochastic_noises = {
+            MeasurementType.RANGE_KM: StochasticNoise(WhiteNoise(2.0e-3)),
+            MeasurementType.DOPPLER_KM_S: StochasticNoise(WhiteNoise(3.0e-6)),
+        }
+        cfg = TrkConfig(sampling_s=120.0, scheduler=Scheduler(min_samples=5))
+        sim = TrackingArcSim.with_seed([tx], traj, {"TX1": cfg}, seed=31)
+        arc = sim.generate_measurements()
+        assert len(arc) > 200  # crosslink is visible most of the arc
+
+        rng = np.random.default_rng(33)
+        initial_estimate, init_err_km = _dispersed_estimate(truth_sc, rng)
+        od = KalmanODProcess(
+            two_body_prop, variant=KalmanVariant.ReferenceUpdate,
+            resid_rejection_sigmas=None,
+        )
+        sol = od.process_arc(initial_estimate, arc, [tx])
+        final_err = _pos_err_km(sol.final_estimate, traj)
+        assert final_err < 0.05, f"final error {final_err*1e3:.1f} m"
+        assert final_err < init_err_km / 3.0
+
+    def test_gnss_position_od(self, two_body_prop, truth_setup):
+        from nyx_tpu.od import PositionDevice
+
+        truth_sc, traj = truth_setup
+        dev = PositionDevice(name="gnss", sigma_km=1e-3)
+        cfg = TrkConfig(sampling_s=300.0, scheduler=Scheduler(min_samples=2))
+        sim = TrackingArcSim.with_seed([dev], traj, {"gnss": cfg}, seed=41)
+        arc = sim.generate_measurements()
+        assert len(arc) > 200  # always visible
+
+        rng = np.random.default_rng(43)
+        initial_estimate, init_err_km = _dispersed_estimate(truth_sc, rng)
+        od = KalmanODProcess(
+            two_body_prop, variant=KalmanVariant.ReferenceUpdate,
+            resid_rejection_sigmas=None,
+        )
+        sol = od.process_arc(initial_estimate, arc, [dev])
+        final_err = _pos_err_km(sol.final_estimate, traj)
+        assert final_err < 0.005, f"final error {final_err*1e3:.1f} m"
