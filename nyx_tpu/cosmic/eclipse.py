@@ -66,3 +66,131 @@ def illumination_factor(r_sc_to_sun, occulters):
             occ, occultation_percentage(r_sc_to_sun, r_occ, radius)
         )
     return 1.0 - occ
+
+
+class EclipseState:
+    """Occultation result (eclipse.rs EclipseState): percentage in [0, 1]."""
+
+    def __init__(self, percentage: float):
+        self.percentage = float(percentage)
+
+    @property
+    def is_umbra(self) -> bool:
+        return self.percentage >= 1.0 - 1e-9
+
+    @property
+    def is_penumbra(self) -> bool:
+        return 0.0 < self.percentage < 1.0
+
+    @property
+    def is_visible(self) -> bool:
+        return self.percentage <= 1e-9
+
+    def __str__(self):
+        if self.is_umbra:
+            return "Umbra"
+        if self.is_visible:
+            return "Visibilis"
+        return f"Penumbra {self.percentage*100:.2f}%"
+
+
+class ShadowModel:
+    """Max-occultation over a list of shadow bodies (eclipse.rs:35-87)."""
+
+    def __init__(self, shadow_bodies, almanac=None):
+        from ..constants import NAIF, RADIUS_BY_NAIF
+
+        self.shadow_bodies = tuple(shadow_bodies)
+        self.almanac = almanac
+
+    @classmethod
+    def cislunar(cls, almanac=None) -> "ShadowModel":
+        from ..constants import NAIF
+
+        return cls((NAIF.EARTH, NAIF.MOON), almanac)
+
+    def _almanac(self):
+        if self.almanac is None:
+            from ..ephem.almanac import default_almanac
+
+            self.almanac = default_almanac()
+        return self.almanac
+
+    def compute(self, orbit, almanac=None) -> EclipseState:
+        """Eclipse state of an Orbit (scalar host call)."""
+        from ..constants import NAIF, RADIUS_BY_NAIF
+
+        alm = almanac or self._almanac()
+        center = orbit.frame.center
+        t_tdb = orbit.epoch.to_tdb_seconds()
+        r = jnp.asarray(orbit.r_km)
+        r_sun = jnp.asarray(alm.position(NAIF.SUN, center, t_tdb)) - r
+        pct = 0.0
+        for body in self.shadow_bodies:
+            if body == center:
+                r_occ = -r
+            else:
+                r_occ = jnp.asarray(alm.position(body, center, t_tdb)) - r
+            pct = max(
+                pct,
+                float(occultation_percentage(r_sun, r_occ, RADIUS_BY_NAIF[body])),
+            )
+        return EclipseState(pct)
+
+    def percentages(self, traj, step_s: float = 60.0):
+        """(epochs_rel_s [K], percentage [K]) sampled along a trajectory,
+        vectorized on device — drives umbra/penumbra event search."""
+        import numpy as np
+
+        from ..constants import NAIF, RADIUS_BY_NAIF
+
+        alm = self._almanac()
+        center = traj.template.frame.center
+        ts = np.arange(float(traj.ts[0]), float(traj.ts[-1]) + 1e-9, step_s)
+        rs = np.stack([traj.interpolate(t)[:3] for t in ts])
+        epoch0 = traj.epoch0
+        t_tdb = epoch0.to_tdb_seconds() + ts
+        table = alm.build_table(
+            [NAIF.SUN] + [b for b in self.shadow_bodies if b != center],
+            center, epoch0 + float(ts[0]), epoch0 + float(ts[-1]),
+        )
+        r = jnp.asarray(rs)
+        tt = jnp.asarray(t_tdb)
+        r_sun = table.position(table.index_of(NAIF.SUN), tt) - r
+        pct = jnp.zeros(len(ts))
+        for body in self.shadow_bodies:
+            if body == center:
+                r_occ = -r
+            else:
+                r_occ = table.position(table.index_of(body), tt) - r
+            pct = jnp.maximum(
+                pct, occultation_percentage(r_sun, r_occ, RADIUS_BY_NAIF[body])
+            )
+        return ts, np.asarray(pct)
+
+    def find_eclipse_events(self, traj, threshold: float = 1e-6,
+                            step_s: float = 60.0):
+        """Entry/exit epochs of eclipse (percentage > threshold), the
+        analogue of to_umbra_events/to_penumbra_events (eclipse.rs:87)."""
+        import numpy as np
+
+        ts, pct = self.percentages(traj, step_s)
+        inside = pct > threshold
+        out = []
+        for i in range(len(ts) - 1):
+            if inside[i] != inside[i + 1]:
+                # bisect the crossing
+                lo, hi = ts[i], ts[i + 1]
+                for _ in range(30):
+                    mid = 0.5 * (lo + hi)
+                    state = traj.template.set_vector(
+                        traj.epoch0 + float(mid), traj.interpolate(mid)[:9]
+                    )
+                    p = self.compute(state.orbit).percentage
+                    if (p > threshold) == bool(inside[i]):
+                        lo = mid
+                    else:
+                        hi = mid
+                kind = "exit" if inside[i] else "entry"
+                out.append((traj.epoch0 + float(0.5 * (lo + hi)), kind))
+        return out

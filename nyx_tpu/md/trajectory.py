@@ -181,3 +181,110 @@ class Trajectory:
             f"Trajectory from {self.start_epoch} to {self.end_epoch} "
             f"({len(self.ts)} states)"
         )
+
+
+# -- frame transforms & comparisons (md/trajectory/sc_traj.rs) ------------
+def _traj_to_frame(self, frame, almanac=None):
+    """Bulk transform of every stored state into another frame
+    (sc_traj.rs:56-90). Rotation-only when the centers match; with an
+    almanac, also translates to a new central body."""
+    import jax.numpy as jnp
+
+    from ..cosmic.orbit import Orbit
+
+    old = self.template.frame
+    ys = np.array(self.ys, copy=True)
+    t_tdb = self.epoch0.to_tdb_seconds() + self.ts
+    if frame.center != old.center:
+        if almanac is None:
+            raise ValueError("changing central bodies requires an almanac")
+        delta = almanac.position(old.center, frame.center, t_tdb)
+        h = 16.0
+        dvel = (
+            almanac.position(old.center, frame.center, t_tdb + h)
+            - almanac.position(old.center, frame.center, t_tdb - h)
+        ) / (2 * h)
+        ys[:, 0:3] += delta
+        ys[:, 3:6] += dvel
+    if frame.orientation is not old.orientation:
+        # rotate via J2000: old -> J2000 -> new, batched on device
+        tt = jnp.asarray(t_tdb)
+        dcm_old = old.dcm_from_j2000(tt)  # J2000 -> old rows
+        dcm_new = frame.dcm_from_j2000(tt)
+        r = jnp.einsum("...ji,...j->...i", dcm_old, jnp.asarray(ys[:, 0:3]))
+        v = jnp.einsum("...ji,...j->...i", dcm_old, jnp.asarray(ys[:, 3:6]))
+        ys[:, 0:3] = np.asarray(jnp.einsum("...ij,...j->...i", dcm_new, r))
+        ys[:, 3:6] = np.asarray(jnp.einsum("...ij,...j->...i", dcm_new, v))
+    template = self.template.with_orbit(
+        Orbit(ys[0, 0:3].copy(), ys[0, 3:6].copy(), self.epoch0 + float(self.ts[0]), frame)
+    )
+    return Trajectory(self.epoch0, self.ts.copy(), ys, template)
+
+
+def _traj_groundtrack(self, body_frame=None, step=60.0):
+    """(epochs_rel_s, lat_deg, lon_deg, alt_km) ground track under the
+    trajectory (sc_traj.rs groundtrack export)."""
+    import jax.numpy as jnp
+
+    from ..cosmic.frames import Frames
+
+    body_frame = body_frame or Frames.IAU_EARTH
+    from ..propagators.instance import _secs
+
+    step_s = _secs(step)
+    ts = np.arange(float(self.ts[0]), float(self.ts[-1]) + 1e-9, step_s)
+    rs = np.stack([self.interpolate(t)[:3] for t in ts])
+    t_tdb = jnp.asarray(self.epoch0.to_tdb_seconds() + ts)
+    dcm = body_frame.dcm_from_j2000(t_tdb)
+    r_bf = np.asarray(jnp.einsum("...ij,...j->...i", dcm, jnp.asarray(rs)))
+    rmag = np.linalg.norm(r_bf, axis=-1)
+    lat = np.degrees(np.arcsin(r_bf[:, 2] / rmag))
+    lon = np.degrees(np.arctan2(r_bf[:, 1], r_bf[:, 0]))
+    alt = rmag - (body_frame.radius_km or 0.0)
+    return ts, lat, lon, alt
+
+
+def _traj_ric_diff(self, other, step=60.0):
+    """(epochs_rel_s, dr_ric [K,3], dv_ric [K,3]) of self minus `other`
+    in the RIC frame of `other` (sc_traj.rs ric_diff_to_parquet)."""
+    import jax.numpy as jnp
+
+    from ..cosmic.orbit import ric_dcm
+    from ..propagators.instance import _secs
+
+    step_s = _secs(step)
+    t0 = max(float(self.ts[0]), float((other.epoch0 - self.epoch0).to_seconds() + other.ts[0]))
+    t1 = min(float(self.ts[-1]), float((other.epoch0 - self.epoch0).to_seconds() + other.ts[-1]))
+    ts = np.arange(t0, t1 + 1e-9, step_s)
+    off = (self.epoch0 - other.epoch0).to_seconds()
+    mine = np.stack([self.interpolate(t)[:6] for t in ts])
+    theirs = np.stack([other.interpolate(t + off)[:6] for t in ts])
+    dcm = np.asarray(
+        ric_dcm(jnp.asarray(theirs[:, 0:3]), jnp.asarray(theirs[:, 3:6]))
+    )
+    dr = np.einsum("kij,kj->ki", dcm, mine[:, 0:3] - theirs[:, 0:3])
+    dv = np.einsum("kij,kj->ki", dcm, mine[:, 3:6] - theirs[:, 3:6])
+    return ts, dr, dv
+
+
+def _traj_ric_diff_to_parquet(self, other, path, step=60.0):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts, dr, dv = self.ric_diff(other, step)
+    cols = {
+        "epoch_rel_s": ts,
+        "delta_r_km": np.linalg.norm(dr, axis=-1),
+        "delta_v_km_s": np.linalg.norm(dv, axis=-1),
+    }
+    for i, lbl in enumerate(("radial", "in_track", "cross_track")):
+        cols[f"dr_{lbl}_km"] = dr[:, i]
+        cols[f"dv_{lbl}_km_s"] = dv[:, i]
+    pq.write_table(pa.table(cols), str(path), compression="zstd")
+    return str(path)
+
+
+Trajectory.to_frame = _traj_to_frame
+Trajectory.groundtrack = _traj_groundtrack
+Trajectory.ric_diff = _traj_ric_diff
+Trajectory.ric_diff_to_parquet = _traj_ric_diff_to_parquet

@@ -30,6 +30,7 @@ def _secs(x) -> float:
 
 class Cadence:
     Continuous = "continuous"
+    Intermittent = "intermittent"
 
 
 @dataclass(frozen=True)
@@ -40,6 +41,19 @@ class Scheduler:
     cadence: str = Cadence.Continuous
     min_samples: int = 10
     sample_alignment_s: Optional[float] = None
+    #: Intermittent cadence: track for `on_s`, stand down for `off_s`
+    #: (trkconfig.rs Cadence::Intermittent)
+    on_s: Optional[float] = None
+    off_s: Optional[float] = None
+
+    @classmethod
+    def intermittent(cls, on, off, **kw) -> "Scheduler":
+        from ..time import Duration
+
+        def _s(x):
+            return x.to_seconds() if isinstance(x, Duration) else float(x)
+
+        return cls(cadence=Cadence.Intermittent, on_s=_s(on), off_s=_s(off), **kw)
 
 
 @dataclass
@@ -123,15 +137,28 @@ class TrackingArcSim:
                 continue
             el = self._elevations(dev, ts, ys)
             visible = el >= dev.elevation_mask_deg
+            sched = cfg.scheduler or Scheduler()
+            # intermittent cadence: on/off duty cycle from the arc start
+            # (scheduler.rs Cadence::Intermittent)
+            if sched.cadence == Cadence.Intermittent and sched.on_s:
+                period = sched.on_s + (sched.off_s or 0.0)
+                visible = visible & ((ts - ts[0]) % period < sched.on_s)
             # contiguous visible runs -> strands
             idx = np.where(visible)[0]
             if len(idx) == 0:
                 continue
             cuts = np.where(np.diff(idx) > 1)[0] + 1
             for run in np.split(idx, cuts):
-                sched = cfg.scheduler or Scheduler()
-                if len(run) >= sched.min_samples:
-                    strands.append(Strand(dev.name, int(run[0]), int(run[-1])))
+                start = int(run[0])
+                # round the strand start up to the alignment grid
+                # (scheduler.rs:73-80 sample_alignment)
+                if sched.sample_alignment_s:
+                    align = sched.sample_alignment_s
+                    t_aligned = np.ceil((ts[start] - 1e-9) / align) * align
+                    while start <= run[-1] and ts[start] < t_aligned - 1e-9:
+                        start += 1
+                if run[-1] - start + 1 >= sched.min_samples:
+                    strands.append(Strand(dev.name, start, int(run[-1])))
 
         strands.sort(key=lambda s: s.start_idx)
 

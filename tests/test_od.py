@@ -437,3 +437,80 @@ class TestPremiumDevices:
         sol = od.process_arc(initial_estimate, arc, [dev])
         final_err = _pos_err_km(sol.final_estimate, traj)
         assert final_err < 0.005, f"final error {final_err*1e3:.1f} m"
+
+
+class TestSchedulerAndEclipse:
+    def test_intermittent_cadence(self, truth_setup, stations):
+        """Intermittent on/off cadence limits strands
+        (scheduler.rs Cadence::Intermittent)."""
+        _, traj = truth_setup
+        on, off = 600.0, 1200.0
+        cfg = TrkConfig(
+            sampling_s=60.0,
+            scheduler=Scheduler.intermittent(on, off, min_samples=3),
+        )
+        sim = TrackingArcSim.with_seed(
+            stations, traj, {g.name: cfg for g in stations}, seed=51
+        )
+        arc = sim.generate_measurements()
+        cont = TrackingArcSim.with_seed(
+            stations, traj,
+            {g.name: TrkConfig(sampling_s=60.0, scheduler=Scheduler(min_samples=3))
+             for g in stations},
+            seed=51,
+        ).generate_measurements()
+        # duty cycle 1/3: strictly fewer measurements than continuous
+        assert 0 < len(arc) < 0.55 * len(cont)
+
+    def test_eclipse_model_leo(self, truth_setup):
+        """A MEO orbit spends part of its day in Earth shadow; entry/exit
+        events are found (cosmic/eclipse.rs + tests/cosmic/eclipse.rs)."""
+        from nyx_tpu.constants import NAIF
+        from nyx_tpu.cosmic.eclipse import ShadowModel
+
+        _, traj = truth_setup
+        model = ShadowModel((NAIF.EARTH,))
+        ts, pct = model.percentages(traj, step_s=120.0)
+        assert pct.min() == 0.0  # some sunlight
+        if pct.max() > 1e-6:  # geometry-dependent: eclipse this day
+            events = model.find_eclipse_events(traj, step_s=120.0)
+            assert len(events) >= 1
+            kinds = [k for _, k in events]
+            assert "entry" in kinds or "exit" in kinds
+
+    def test_trajectory_frame_and_ric(self, truth_setup, two_body_prop):
+        """Trajectory.to_frame round-trip + RIC diff against itself is zero,
+        against a perturbed twin is the injected offset scale."""
+        from nyx_tpu import Frames, Spacecraft
+
+        truth_sc, traj = truth_setup
+        bf = traj.to_frame(Frames.IAU_EARTH)
+        back = bf.to_frame(Frames.EME2000)
+        assert np.abs(back.ys[:, :3] - traj.ys[:, :3]).max() < 1e-6
+        # rmag is rotation-invariant
+        assert (
+            abs(
+                np.linalg.norm(bf.ys[0, :3]) - np.linalg.norm(traj.ys[0, :3])
+            )
+            < 1e-9
+        )
+
+        ts, dr, dv = traj.ric_diff(traj, step=600.0)
+        assert np.abs(dr).max() < 1e-9
+
+        vec = truth_sc.to_vector()
+        vec[0] += 0.1  # 100 m radial-ish offset
+        twin_inst = two_body_prop.with_state(
+            truth_sc.set_vector(truth_sc.epoch, vec)
+        )
+        _, twin = twin_inst.for_duration_with_traj(86_400.0)
+        ts, dr, dv = twin.ric_diff(traj, step=600.0)
+        assert 0.01 < np.abs(dr).max() < 10.0  # grows along-track over a day
+
+    def test_groundtrack(self, truth_setup):
+        _, traj = truth_setup
+        ts, lat, lon, alt = traj.groundtrack(step=600.0)
+        assert np.all(np.abs(lat) <= 90.0)
+        assert np.all(np.abs(lon) <= 180.0)
+        # 22000 km sma, low ecc: altitude above 15000 km
+        assert np.all(alt > 15_000.0 - 400.0)
