@@ -70,11 +70,33 @@ def dcm_from_euler_ra_dec_w(alpha_deg, delta_deg, w_deg):
 
     Angles are reduced mod 360 in exact arithmetic before the trig calls
     (TPU f64 trig loses accuracy on large arguments; see nyx_tpu.xmath).
+
+    The 3-1-3 composition R3(w) R1(pi/2-delta) R3(pi/2+alpha) is expanded in
+    closed form: batched [B,3,3]@[B,3,3] products lower to padded f64
+    dot_generals on TPU (~10x the cost of the whole gravity recursion);
+    the elementwise expansion stays on the VPU.
     """
     alpha = reduce_deg(alpha_deg) * _D2R
     delta = reduce_deg(delta_deg) * _D2R
     w = reduce_deg(w_deg) * _D2R
-    return rot3(w) @ rot1(jnp.pi / 2 - delta) @ rot3(jnp.pi / 2 + alpha)
+    b = jnp.pi / 2 - delta
+    c = jnp.pi / 2 + alpha
+    cw, sw = jnp.cos(w), jnp.sin(w)
+    cb, sb = jnp.cos(b), jnp.sin(b)
+    cc, sc = jnp.cos(c), jnp.sin(c)
+    # M = R1(b) @ R3(c)
+    m00, m01, m02 = cc, sc, jnp.zeros_like(cc)
+    m10, m11, m12 = -cb * sc, cb * cc, sb
+    m20, m21, m22 = sb * sc, -sb * cc, cb
+    # R3(w) @ M
+    return jnp.stack(
+        [
+            jnp.stack([cw * m00 + sw * m10, cw * m01 + sw * m11, cw * m02 + sw * m12], -1),
+            jnp.stack([-sw * m00 + cw * m10, -sw * m01 + cw * m11, -sw * m02 + cw * m12], -1),
+            jnp.stack([m20, m21, m22], -1),
+        ],
+        -2,
+    )
 
 
 def iau_earth_angles(t_tdb_s):
@@ -160,4 +182,29 @@ def iau_sun_dcm(t_tdb_s):
     d = t_tdb_s / 86_400.0
     return dcm_from_euler_ra_dec_w(
         286.13, 63.87, linear_angle_deg(84.176, 14.1844000, d)
+    )
+
+
+def apply_dcm(dcm, v):
+    """dcm [...,3,3] @ v [...,3] expanded elementwise (VPU-friendly; the
+    einsum/dot_general form pads tiny dims onto the MXU in f64)."""
+    return jnp.stack(
+        [
+            dcm[..., 0, 0] * v[..., 0] + dcm[..., 0, 1] * v[..., 1] + dcm[..., 0, 2] * v[..., 2],
+            dcm[..., 1, 0] * v[..., 0] + dcm[..., 1, 1] * v[..., 1] + dcm[..., 1, 2] * v[..., 2],
+            dcm[..., 2, 0] * v[..., 0] + dcm[..., 2, 1] * v[..., 1] + dcm[..., 2, 2] * v[..., 2],
+        ],
+        -1,
+    )
+
+
+def apply_dcm_t(dcm, v):
+    """dcm^T [...,3,3] @ v [...,3] expanded elementwise."""
+    return jnp.stack(
+        [
+            dcm[..., 0, 0] * v[..., 0] + dcm[..., 1, 0] * v[..., 1] + dcm[..., 2, 0] * v[..., 2],
+            dcm[..., 0, 1] * v[..., 0] + dcm[..., 1, 1] * v[..., 1] + dcm[..., 2, 1] * v[..., 2],
+            dcm[..., 0, 2] * v[..., 0] + dcm[..., 1, 2] * v[..., 1] + dcm[..., 2, 2] * v[..., 2],
+        ],
+        -1,
     )

@@ -73,9 +73,18 @@ class Harmonics:
     max_degree: int
     max_order: int
     frame: object = None
+    #: "f64": full field in float64 (the reference's precision).
+    #: "mixed": degrees <= MIXED_SPLIT_DEGREE in f64, the rest of the field
+    #: in f32 — TPU-native speed/precision split. High degrees contribute
+    #: <= ~1e-7 km/s^2 at LEO, so their f32 rounding (6e-8 relative) lands at
+    #: ~1e-14 km/s^2 absolute: centimeters over a 1-day arc even if fully
+    #: systematic, while the expensive recursion runs at VPU f32 rate
+    #: instead of emulated f64.
+    precision: str = "mixed"
+    MIXED_SPLIT_DEGREE = 3
 
     @classmethod
-    def from_stor(cls, stor: GravityFieldData) -> "Harmonics":
+    def from_stor(cls, stor: GravityFieldData, precision: str = "mixed") -> "Harmonics":
         N, M = stor.max_degree, stor.max_order
         b_nm, c_nm, vr01, vr11, diag = _precompute(N, M)
         W = M + 2
@@ -112,10 +121,12 @@ class Harmonics:
             max_degree=N,
             max_order=M,
             frame=stor.frame,
+            precision=precision,
         )
 
     def __hash__(self):
-        return hash((self.mu_km3_s2, self.radius_km, self.max_degree, self.max_order))
+        return hash((self.mu_km3_s2, self.radius_km, self.max_degree,
+                     self.max_order, self.precision))
 
     def __eq__(self, other):
         return self is other
@@ -126,10 +137,12 @@ class Harmonics:
     def accel(self, ctx, t_tdb, r, v):
         """Inertial-frame acceleration: rotate to the gravity frame, run the
         Pines recursion, rotate back (gravity_field.rs:148-268)."""
+        from ..cosmic.rotations import apply_dcm, apply_dcm_t
+
         dcm = self.frame.dcm_from_j2000(t_tdb)  # [B, 3, 3]
-        r_bf = jnp.einsum("...ij,...j->...i", dcm, r)
+        r_bf = apply_dcm(dcm, r)
         a_bf = self.accel_body_fixed(r_bf)
-        return jnp.einsum("...ji,...j->...i", dcm, a_bf)
+        return apply_dcm_t(dcm, a_bf)
 
     # Degrees up to this bound use the fully-unrolled fused path; above it,
     # a lax.scan keeps program size (and compile time) in check.
@@ -146,9 +159,19 @@ class Harmonics:
         degree — a scan would spill its [B, M] carry every step, which
         measures ~10x slower on TPU at B=1e4..1e5).
         """
+        split = self.MIXED_SPLIT_DEGREE
+        if self.precision == "mixed" and self.max_degree > split:
+            low = self._accel_any(r_bf, q_hi=split)
+            high32 = self._accel_any(
+                r_bf.astype(jnp.float32), q_lo=split
+            )
+            return low + high32.astype(r_bf.dtype)
+        return self._accel_any(r_bf)
+
+    def _accel_any(self, r_bf, q_lo: int = 0, q_hi: int = 0):
         if self.max_degree <= self.UNROLL_MAX_DEGREE:
-            return self._accel_unrolled(r_bf)
-        return self._accel_scan(r_bf)
+            return self._accel_unrolled(r_bf, q_lo, q_hi)
+        return self._accel_scan(r_bf, q_lo, q_hi)
 
     def _prelude(self, r_bf):
         xs, diag, N, M = self._tables
@@ -162,9 +185,13 @@ class Harmonics:
         mu_over_r = self.mu_km3_s2 / r
         return xs, diag, N, M, W, B, r, s_, t_, u_, rho, mu_over_r
 
-    def _accel_unrolled(self, r_bf):
+    def _accel_unrolled(self, r_bf, q_lo: int = 0, q_hi: int = 0):
+        """Accumulates degrees q with q_lo < q <= (q_hi or N); the recursion
+        always runs from the bottom (rows feed higher degrees)."""
         xs, diag, N, M, W, B, r, s_, t_, u_, rho, mu_over_r = self._prelude(r_bf)
         dt = r_bf.dtype
+        q_hi = q_hi or N
+        n_steps = min(N, q_hi)  # degree q = k+1 at loop step k
 
         # r_m / i_m as [B, W], built unrolled (small W)
         rms, ims = [jnp.ones(B, dt)], [jnp.zeros(B, dt)]
@@ -183,17 +210,18 @@ class Harmonics:
         onehot1 = np.zeros(W)
         if W > 1:
             onehot1[1] = 1.0
-        row1 = (u_ * np.sqrt(3.0))[:, None] * seed1[None, :] + diag[1] * jnp.asarray(
-            onehot1
-        )[None, :]
+        row1 = (u_ * dt.type(np.sqrt(3.0)))[:, None] * jnp.asarray(
+            seed1, dt
+        )[None, :] + dt.type(diag[1]) * jnp.asarray(onehot1, dt)[None, :]
 
         acc4 = jnp.zeros((B, 4), dt)
         rho_q = mu_over_r * rho
         row_nm1, row_nm2 = row1, row0
-        for k in range(N):  # scan step k handles n = k+2, degree q = k+1
-            b_row = xs["b_row"][k][None, :]
-            c_row = xs["c_row"][k][None, :]
-            mask = xs["row_mask"][k][None, :]
+        npdt = np.dtype(dt.name)
+        for k in range(n_steps):  # scan step k handles n = k+2, degree q = k+1
+            b_row = xs["b_row"][k][None, :].astype(npdt)
+            c_row = xs["c_row"][k][None, :].astype(npdt)
+            mask = xs["row_mask"][k][None, :].astype(npdt)
             n = float(xs["n_is"][k])
             oh_diag = np.zeros(W)
             oh_off = np.zeros(W)
@@ -204,24 +232,26 @@ class Harmonics:
             rec = (u_[:, None] * b_row * row_nm1 - c_row * row_nm2) * mask
             row_n = (
                 rec
-                + xs["diag_n"][k] * oh_diag[None, :]
-                + (xs["offdiag_n"][k] * u_)[:, None] * oh_off[None, :]
+                + npdt.type(xs["diag_n"][k]) * jnp.asarray(oh_diag, dt)[None, :]
+                + (npdt.type(xs["offdiag_n"][k]) * u_)[:, None]
+                * jnp.asarray(oh_off, dt)[None, :]
             )
 
-            C_q = xs["C_q"][k][None, :]
-            S_q = xs["S_q"][k][None, :]
-            d_ = (C_q * r_ms + S_q * i_ms) * _SQRT2
-            e_ = (C_q * rm1 + S_q * im1) * _SQRT2
-            f_ = (S_q * rm1 - C_q * im1) * _SQRT2
-            row_q_p1 = jnp.concatenate([row_nm1[:, 1:], jnp.zeros((B, 1), dt)], 1)
-            row_q1_p1 = jnp.concatenate([row_n[:, 1:], jnp.zeros((B, 1), dt)], 1)
-            sx = jnp.sum(m_f * row_nm1 * e_, axis=1)
-            sy = jnp.sum(m_f * row_nm1 * f_, axis=1)
-            sz = jnp.sum(xs["vr01_q"][k][None, :] * row_q_p1 * d_, axis=1)
-            sw = -jnp.sum(xs["vr11_q"][k][None, :] * row_q1_p1 * d_, axis=1)
             rho_q = rho_q * rho
-            rr = rho_q / self.radius_km
-            acc4 = acc4 + rr[:, None] * jnp.stack([sx, sy, sz, sw], axis=1)
+            if k + 1 > q_lo:  # accumulate degree q = k+1 only above the split
+                C_q = xs["C_q"][k][None, :].astype(npdt)
+                S_q = xs["S_q"][k][None, :].astype(npdt)
+                d_ = (C_q * r_ms + S_q * i_ms) * npdt.type(_SQRT2)
+                e_ = (C_q * rm1 + S_q * im1) * npdt.type(_SQRT2)
+                f_ = (S_q * rm1 - C_q * im1) * npdt.type(_SQRT2)
+                row_q_p1 = jnp.concatenate([row_nm1[:, 1:], jnp.zeros((B, 1), dt)], 1)
+                row_q1_p1 = jnp.concatenate([row_n[:, 1:], jnp.zeros((B, 1), dt)], 1)
+                sx = jnp.sum(m_f * row_nm1 * e_, axis=1)
+                sy = jnp.sum(m_f * row_nm1 * f_, axis=1)
+                sz = jnp.sum(xs["vr01_q"][k][None, :].astype(npdt) * row_q_p1 * d_, axis=1)
+                sw = -jnp.sum(xs["vr11_q"][k][None, :].astype(npdt) * row_q1_p1 * d_, axis=1)
+                rr = rho_q / npdt.type(self.radius_km)
+                acc4 = acc4 + rr[:, None] * jnp.stack([sx, sy, sz, sw], axis=1)
             row_nm1, row_nm2 = row_n, row_nm1
 
         return jnp.stack(
@@ -233,30 +263,36 @@ class Harmonics:
             axis=1,
         )
 
-    def _accel_scan(self, r_bf):
+    def _accel_scan(self, r_bf, q_lo: int = 0, q_hi: int = 0):
         xs, diag, N, M, W, B, r, s_, t_, u_, rho, mu_over_r = self._prelude(r_bf)
+        dt = r_bf.dtype
+        q_hi = q_hi or N
 
         def _rm_step(carry, _):
             rm, im = carry
             return (s_ * rm - t_ * im, s_ * im + t_ * rm), (rm, im)
 
         (_, _), (r_ms, i_ms) = jax.lax.scan(
-            _rm_step, (jnp.ones(B), jnp.zeros(B)), None, length=W
+            _rm_step, (jnp.ones(B, dt), jnp.zeros(B, dt)), None, length=W
         )
         r_ms = jnp.moveaxis(r_ms, 0, -1)  # [B, W]
         i_ms = jnp.moveaxis(i_ms, 0, -1)
-        rm1 = jnp.concatenate([jnp.zeros((B, 1)), r_ms[:, :-1]], axis=1)
-        im1 = jnp.concatenate([jnp.zeros((B, 1)), i_ms[:, :-1]], axis=1)
+        rm1 = jnp.concatenate([jnp.zeros((B, 1), dt), r_ms[:, :-1]], axis=1)
+        im1 = jnp.concatenate([jnp.zeros((B, 1), dt), i_ms[:, :-1]], axis=1)
 
-        m_f = jnp.arange(W, dtype=r_bf.dtype)[None, :]
+        m_f = jnp.arange(W, dtype=dt)[None, :]
 
-        row0 = jnp.zeros((B, W)).at[:, 0].set(1.0)
-        row1 = jnp.zeros((B, W))
-        row1 = row1.at[:, 0].set(u_ * np.sqrt(3.0))
+        row0 = jnp.zeros((B, W), dt).at[:, 0].set(1.0)
+        row1 = jnp.zeros((B, W), dt)
+        row1 = row1.at[:, 0].set(u_ * dt.type(np.sqrt(3.0)))
         if W > 1:
-            row1 = row1.at[:, 1].set(diag[1])
+            row1 = row1.at[:, 1].set(dt.type(diag[1]))
 
-        xs_j = {k: jnp.asarray(v) for k, v in xs.items()}
+        xs_j = {k: jnp.asarray(v, dt) for k, v in xs.items()}
+        # per-step accumulation gate: degree q = step k + 1
+        xs_j["acc_gate"] = jnp.asarray(
+            (np.arange(1, N + 1) > q_lo) & (np.arange(1, N + 1) <= q_hi), dt
+        )
 
         def step(carry, x):
             row_nm1, row_nm2, acc4, rho_q = carry
@@ -270,21 +306,22 @@ class Harmonics:
                 col == n, x["diag_n"],
                 jnp.where(col == n - 1, x["offdiag_n"] * u_[:, None], rec),
             )
-            d_ = (x["C_q"] * r_ms + x["S_q"] * i_ms) * _SQRT2
-            e_ = (x["C_q"] * rm1 + x["S_q"] * im1) * _SQRT2
-            f_ = (x["S_q"] * rm1 - x["C_q"] * im1) * _SQRT2
-            row_q_p1 = jnp.concatenate([row_nm1[:, 1:], jnp.zeros((B, 1))], axis=1)
-            row_q1_p1 = jnp.concatenate([row_n[:, 1:], jnp.zeros((B, 1))], axis=1)
+            sq2 = dt.type(_SQRT2)
+            d_ = (x["C_q"] * r_ms + x["S_q"] * i_ms) * sq2
+            e_ = (x["C_q"] * rm1 + x["S_q"] * im1) * sq2
+            f_ = (x["S_q"] * rm1 - x["C_q"] * im1) * sq2
+            row_q_p1 = jnp.concatenate([row_nm1[:, 1:], jnp.zeros((B, 1), dt)], axis=1)
+            row_q1_p1 = jnp.concatenate([row_n[:, 1:], jnp.zeros((B, 1), dt)], axis=1)
             sx = jnp.sum(m_f * row_nm1 * e_, axis=1)
             sy = jnp.sum(m_f * row_nm1 * f_, axis=1)
             sz = jnp.sum(x["vr01_q"][None, :] * row_q_p1 * d_, axis=1)
             sw = -jnp.sum(x["vr11_q"][None, :] * row_q1_p1 * d_, axis=1)
             rho_q_next = rho_q * rho
-            rr = rho_q_next / self.radius_km
+            rr = x["acc_gate"] * rho_q_next / dt.type(self.radius_km)
             acc4 = acc4 + rr[:, None] * jnp.stack([sx, sy, sz, sw], axis=1)
             return (row_n, row_nm1, acc4, rho_q_next), None
 
-        init = (row1, row0, jnp.zeros((B, 4)), mu_over_r * rho)
+        init = (row1, row0, jnp.zeros((B, 4), dt), mu_over_r * rho)
         (_, _, acc4, _), _ = jax.lax.scan(step, init, xs_j)
 
         return jnp.stack(
