@@ -5,6 +5,7 @@ from .estimate import KfEstimate, Residual, SpacecraftUncertainty
 from .ground_station import GroundStation
 from .interlink import DeviceTrajectory, InterlinkTxSpacecraft
 from .position import PositionDevice
+from .groundpnt import GroundAsset, GroundPntProcess, GroundPntSim
 from .kalman import KalmanFilter, KalmanVariant, ProcessNoise
 from .msr import Measurement, MeasurementType, TrackingDataArc
 from .noise import GaussMarkov, StochasticNoise, WhiteNoise
@@ -17,6 +18,7 @@ __all__ = [
     "BatchLeastSquares", "BLSSolution", "BLSSolver",
     "KfEstimate", "Residual", "SpacecraftUncertainty", "GroundStation",
     "InterlinkTxSpacecraft", "DeviceTrajectory", "PositionDevice",
+    "GroundAsset", "GroundPntProcess", "GroundPntSim",
     "KalmanFilter", "KalmanVariant", "ProcessNoise", "Measurement",
     "MeasurementType", "TrackingDataArc", "GaussMarkov", "StochasticNoise",
     "WhiteNoise", "KalmanODProcess", "SpacecraftKalmanOD", "Scheduler",

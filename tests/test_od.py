@@ -514,3 +514,64 @@ class TestSchedulerAndEclipse:
         assert np.all(np.abs(lon) <= 180.0)
         # 22000 km sma, low ecc: altitude above 15000 km
         assert np.all(alt > 15_000.0 - 400.0)
+
+
+class TestGroundPnt:
+    """Ground-point PNT: a surface asset estimated from station tracking
+    (od/groundpnt/ premium parity)."""
+
+    def test_ground_asset_roundtrip(self):
+        from nyx_tpu.od import GroundAsset
+
+        a = GroundAsset("asset", 12.3456, -45.678, 1.234, EPOCH)
+        b = GroundAsset.from_vector("asset", a.to_vector(), EPOCH)
+        assert abs(b.latitude_deg - a.latitude_deg) < 1e-9
+        assert abs(b.longitude_deg - a.longitude_deg) < 1e-9
+        assert abs(b.height_km - a.height_km) < 1e-9
+
+    def test_ground_pnt_filter_recovers_position(self):
+        from nyx_tpu.od import GroundAsset, GroundPntProcess, GroundPntSim
+
+        truth = GroundAsset("rover", 35.0, 243.4, 1.0, EPOCH)
+        # ground-to-ground links sit at slightly negative elevation, so
+        # disable the masks; angles pin the transverse directions the
+        # short baseline cannot observe from range alone
+        from nyx_tpu.od.noise import StochasticNoise, WhiteNoise
+
+        def pnt_station(gs):
+            gs = _white_only(gs)
+            gs.measurement_types = (
+                MeasurementType.RANGE_KM,
+                MeasurementType.AZIMUTH_DEG,
+                MeasurementType.ELEVATION_DEG,
+            )
+            gs.stochastic_noises = {
+                MeasurementType.RANGE_KM: StochasticNoise(WhiteNoise(2.0e-3)),
+                MeasurementType.AZIMUTH_DEG: StochasticNoise(WhiteNoise(1e-3)),
+                MeasurementType.ELEVATION_DEG: StochasticNoise(WhiteNoise(1e-3)),
+            }
+            return gs
+
+        stations = [
+            pnt_station(GroundStation.dss13_goldstone(-90.0)),
+            pnt_station(
+                GroundStation("Apple Valley", 34.6, 242.8, 0.9,
+                              elevation_mask_deg=-90.0)
+            ),
+        ]
+
+        sim = GroundPntSim(stations, truth, sampling_s=60.0, seed=3)
+        arc = sim.generate_measurements(3600.0)
+        assert len(arc) > 50
+
+        # dispersed initial guess: 200 m offset
+        guess = GroundAsset("rover", 35.001, 243.401, 1.05, EPOCH)
+        p0 = np.diag([1e-2] * 3 + [1e-10] * 3) ** 2
+        proc = GroundPntProcess(stations)
+        est, covar, residuals = proc.process_arc(guess, p0, arc)
+
+        err = np.linalg.norm(est.to_vector()[:3] - truth.to_vector()[:3])
+        init_err = np.linalg.norm(guess.to_vector()[:3] - truth.to_vector()[:3])
+        assert init_err > 0.05
+        assert err < 0.005, f"final error {err*1e3:.1f} m"
+        assert np.sqrt(np.diag(covar)[:3]).max() < 0.01
