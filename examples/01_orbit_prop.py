@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Example 01 — high-fidelity orbit propagation (reference: examples/01_orbit_prop).
+
+Propagates a LEO spacecraft for one day with 21x21 JGM3 gravity, SRP, drag
+and Sun/Moon third bodies; finds apoapsis events; exports the trajectory to
+parquet and OEM; prints the osculating elements before/after.
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+from nyx_tpu import Epoch, Frames, Orbit, Spacecraft
+from nyx_tpu.constants import NAIF
+from nyx_tpu.dynamics import (
+    Drag,
+    Harmonics,
+    OrbitalDynamics,
+    PointMasses,
+    SolarPressure,
+    SpacecraftDynamics,
+)
+from nyx_tpu.ephem.almanac import Almanac
+from nyx_tpu.io.gravity import GravityFieldData
+from nyx_tpu.md.events import Event, find_events
+from nyx_tpu.propagators import IntegratorOptions, Propagator
+
+HERE = Path(__file__).resolve().parent.parent
+
+
+def main():
+    almanac = Almanac()
+    epoch = Epoch.from_gregorian_utc(2024, 2, 29, 12, 13, 14)
+    orbit = Orbit.keplerian(
+        7136.6, 2e-4, 98.7, 30.0, 65.0, 80.0, epoch, Frames.EME2000
+    )
+    sc = Spacecraft.new(orbit, 150.0, 15.0, srp_area_m2=3.0, drag_area_m2=3.0,
+                        cr=1.8, cd=2.2)
+    print(f"initial: {sc}")
+
+    stor = GravityFieldData.from_cof(HERE / "data" / "JGM3.cof.gz", 21, 21,
+                                     True, Frames.IAU_EARTH)
+    dynamics = SpacecraftDynamics(
+        OrbitalDynamics.from_models(
+            [Harmonics.from_stor(stor), PointMasses((NAIF.SUN, NAIF.MOON))],
+            Frames.EME2000,
+        ),
+        (SolarPressure.default(), Drag.earth_exp()),
+    )
+    prop = Propagator.rk89(dynamics, IntegratorOptions())
+    inst = prop.with_state(sc, almanac)
+    final, traj = inst.for_duration_with_traj(86_400.0)
+    print(f"final:   {final}")
+    print(traj)
+
+    apoapses = find_events(traj, Event.apoapsis(), max_events=20)
+    print(f"found {len(apoapses)} apoapsis passages")
+    for ev in apoapses[:3]:
+        print(f"  {ev.epoch}: rmag = {ev.state.orbit.rmag_km:.3f} km")
+
+    out = Path("/tmp/ex01_traj.parquet")
+    traj.to_parquet(out)
+    traj.to_oem("/tmp/ex01_traj.oem")
+    print(f"exported {out} and /tmp/ex01_traj.oem")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Example 04 — lunar orbiter OD (reference: examples/04_lro_od).
+
+An LRO-like low lunar orbit with a 50x50 gravity field (synthetic Kaula-rule
+coefficients, since GRAIL data cannot be downloaded in this environment —
+the OD is self-consistent: truth and filter share the field). Simulates DSN
+range/Doppler tracking, runs a CKF with SNC, smooths, and prints the
+statistics (reference main.rs:193-346 flow).
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+from nyx_tpu import Epoch, Frames, Orbit, Spacecraft
+from nyx_tpu.dynamics import Harmonics, OrbitalDynamics, SpacecraftDynamics
+from nyx_tpu.ephem.almanac import Almanac
+from nyx_tpu.io.gravity import GravityFieldData
+from nyx_tpu.od import (
+    GroundStation,
+    KalmanODProcess,
+    KalmanVariant,
+    MeasurementType,
+    ProcessNoise,
+    SpacecraftUncertainty,
+    TrackingArcSim,
+    TrkConfig,
+)
+from nyx_tpu.od.noise import StochasticNoise, WhiteNoise
+from nyx_tpu.od.simulator import Scheduler
+from nyx_tpu.propagators import IntegratorOptions, Propagator
+
+
+def kaula_moon_field(n_max=50, seed=7):
+    """Synthetic lunar field: |C_nm|,|S_nm| ~ 3.5e-4/n^2 (Kaula's rule for
+    the Moon), J2 fixed at the real value."""
+    rng = np.random.default_rng(seed)
+    c = np.zeros((n_max + 1, n_max + 1))
+    s = np.zeros((n_max + 1, n_max + 1))
+    c[0, 0] = 1.0
+    for n in range(2, n_max + 1):
+        sigma = 3.5e-4 / n**2
+        for m in range(0, n + 1):
+            c[n, m] = rng.normal(0, sigma)
+            if m > 0:
+                s[n, m] = rng.normal(0, sigma)
+    c[2, 0] = -9.08e-5  # real lunar J2 (normalized ~ -2.03e-4 / sqrt(5))
+    return GravityFieldData(
+        mu_km3_s2=4902.800066, radius_km=1737.4,
+        c_nm=c, s_nm=s, max_degree=n_max, max_order=n_max,
+        frame=Frames.IAU_MOON,
+    )
+
+
+def main():
+    almanac = Almanac()
+    epoch = Epoch.from_gregorian_utc(2024, 1, 1, 0, 0, 0)
+    # LRO-like 50x100 km polar lunar orbit
+    moon_j2000 = Frames.MOON_J2000
+    orbit = Orbit.keplerian_apsis_radii(
+        1737.4 + 50.0, 1737.4 + 110.0, 89.7, 120.0, 30.0, 0.0, epoch, moon_j2000
+    )
+    truth_sc = Spacecraft.from_orbit(orbit)
+
+    field = kaula_moon_field(50)
+    dyn = SpacecraftDynamics.new(
+        OrbitalDynamics.from_model(Harmonics.from_stor(field), moon_j2000)
+    )
+    prop = Propagator.rk89(dyn, IntegratorOptions(max_step_s=60.0))
+
+    print("propagating truth (12 h, 50x50 lunar gravity)...")
+    _, truth_traj = prop.with_state(truth_sc, almanac).for_duration_with_traj(
+        12 * 3600.0
+    )
+
+    def dsn(gs):
+        gs.stochastic_noises = {
+            MeasurementType.RANGE_KM: StochasticNoise(WhiteNoise(2.0e-3)),
+            MeasurementType.DOPPLER_KM_S: StochasticNoise(WhiteNoise(3.0e-6)),
+        }
+        return gs
+
+    stations = [
+        dsn(GroundStation.dss65_madrid(10.0)),
+        dsn(GroundStation.dss34_canberra(10.0)),
+        dsn(GroundStation.dss13_goldstone(10.0)),
+    ]
+    # NOTE: stations are Earth-fixed; for this lunar scenario we track from
+    # a Moon-centered pseudo-station network (the reference uses full
+    # Earth-Moon light-time geometry through ANISE)
+    cfg = TrkConfig(sampling_s=60.0, scheduler=Scheduler(min_samples=5))
+    sim = TrackingArcSim.with_seed(
+        stations, truth_traj, {g.name: cfg for g in stations}, seed=4
+    )
+    arc = sim.generate_measurements(almanac)
+    print(f"simulated {len(arc)} measurements")
+
+    rng = np.random.default_rng(42)
+    unc = SpacecraftUncertainty(
+        nominal=truth_sc, frame="ric",
+        x_km=0.1, y_km=0.1, z_km=0.1,
+        vx_km_s=1e-5, vy_km_s=1e-5, vz_km_s=1e-5,
+    )
+    est0 = unc.to_estimate()
+    draw = rng.multivariate_normal(np.zeros(9), est0.covar)
+    est0.nominal = truth_sc.set_vector(epoch, truth_sc.to_vector() + draw)
+    print(f"initial error: {np.linalg.norm(draw[:3])*1e3:.1f} m")
+
+    od = KalmanODProcess(
+        prop,
+        process_noise=(ProcessNoise.from_diag([1e-18] * 3, 3600.0),),
+        variant=KalmanVariant.DeviationTracking,
+        resid_rejection_sigmas=None,
+        almanac=almanac,
+    )
+    sol = od.process_arc(est0, arc, stations)
+    fin = sol.final_estimate
+    truth_fin = truth_traj.at(fin.epoch).to_vector()
+    err = np.linalg.norm(fin.state().to_vector()[:3] - truth_fin[:3])
+    print(str(sol))
+    print(f"final position error: {err*1e3:.2f} m")
+    print(f"range postfit RMS: {sol.postfit_rms(MeasurementType.RANGE_KM)*1e3:.2f} m")
+    print(f"{100 - sol.percent_within_sigmas(3.0):.2f}% of residual ratios beyond 3-sigma")
+    smoothed = sol.smooth()
+    print(f"smoothed final sigma: {np.sqrt(np.diag(smoothed.estimates[0].covar)[:3]).max()*1e3:.2f} m")
+
+
+if __name__ == "__main__":
+    main()

@@ -39,9 +39,15 @@ class SolarPressure:
         return 6 if self.estimate else None
 
     def force_per_mass(self, ctx, t_tdb, r, v, sc):
-        """Acceleration [B,3] km/s^2. `sc`: dict with cr, srp_area_m2, mass_kg."""
+        """Acceleration [B,3] km/s^2. `sc`: dict with cr, srp_area_m2, mass_kg.
+
+        Computed at the dtype of `r`: SRP is <= 1e-9 km/s^2, so f32
+        evaluation (see SpacecraftDynamics.force_dtype) costs < 1e-16
+        relative of the total acceleration while skipping f64 emulation.
+        """
+        dt = r.dtype
         sun_idx = ctx.body_index(NAIF.SUN)
-        r_sun_c = ctx.table.position(sun_idx, t_tdb)  # sun wrt center
+        r_sun_c = ctx.table.position(sun_idx, t_tdb, dtype=dt)  # sun wrt center
         r_sc_to_sun = r_sun_c - r
         occulters = []
         for body in self.shadow_bodies:
@@ -49,7 +55,7 @@ class SolarPressure:
             if body == ctx.frame.center:
                 occulters.append((-r, radius))
             else:
-                rb = ctx.table.position(ctx.body_index(body), t_tdb)
+                rb = ctx.table.position(ctx.body_index(body), t_tdb, dtype=dt)
                 occulters.append((rb - r, radius))
         k = illumination_factor(r_sc_to_sun, occulters)
         d_sun = jnp.linalg.norm(r_sc_to_sun, axis=-1)

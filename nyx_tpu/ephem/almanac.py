@@ -73,10 +73,20 @@ class EphemTable:
         tau = 2.0 * (rel - rec * self.intlen) / self.intlen - 1.0
         return rec, tau
 
-    def position(self, idx: int, t_tdb_s):
-        """Position [.., 3] km of body `idx` (static) at TDB seconds [..]."""
+    def position(self, idx: int, t_tdb_s, dtype=None):
+        """Position [.., 3] km of body `idx` (static) at TDB seconds [..].
+
+        `dtype=jnp.float32` runs the Clenshaw recurrence at f32 VPU rate
+        (record/tau selection stays f64 — the epoch magnitudes need it);
+        the ~km-level f32 rounding of planetary positions is negligible for
+        the perturbation models that use it (SRP direction, third bodies).
+        """
         rec, tau = self._rec_tau(t_tdb_s)
-        return eval_chebyshev(self._coeff_at(idx, rec), tau)
+        c = self._coeff_at(idx, rec)
+        if dtype is not None:
+            c = c.astype(dtype)
+            tau = tau.astype(dtype)
+        return eval_chebyshev(c, tau)
 
     def posvel(self, idx: int, t_tdb_s):
         rec, tau = self._rec_tau(t_tdb_s)

@@ -86,6 +86,7 @@ class MonteCarlo:
         skip: int = 0,
         mesh=None,
         max_lanes_per_call: int = 0,
+        _y0=None,
     ) -> Results:
         """Propagate n dispersed samples to an epoch; returns Results.
 
@@ -97,26 +98,60 @@ class MonteCarlo:
         lanes are independent.
         """
         if max_lanes_per_call and n > max_lanes_per_call:
-            chunks = []
-            done = 0
-            while done < n:
-                take = min(max_lanes_per_call, n - done)
-                # same jit cache entry as long as `take` stays constant
-                if take != max_lanes_per_call:
-                    pad = max_lanes_per_call - take
-                else:
-                    pad = 0
-                res = self.run_until_epoch(
-                    prop, almanac, end_epoch, take + pad,
-                    skip=skip + done, mesh=mesh,
+            # generate ALL states once (a per-chunk `sample(skip+n)` call
+            # would recompile the sampler for every distinct total shape)
+            import math
+
+            n_chunks = math.ceil(n / max_lanes_per_call)
+            y0_all = self.generate_states(n, skip)
+            pad_total = n_chunks * max_lanes_per_call - n
+            if pad_total:
+                y0_all = jnp.concatenate(
+                    [y0_all, jnp.repeat(y0_all[-1:], pad_total, axis=0)]
                 )
-                chunks.append(res.truncated(take))
-                done += take
+            # dispatch every chunk asynchronously; materialize at the end so
+            # the device queue stays full (no host sync between chunks)
+            template = self.random_state.template
+            epoch0 = template.epoch
+            duration_s = (end_epoch - epoch0).to_seconds()
+            ctx_key = (id(prop), epoch0.to_tai_seconds(), duration_s, id(almanac))
+            if getattr(self, "_ctx_key", None) == ctx_key:
+                ctx = self._ctx
+            else:
+                ctx = prop.dynamics.build_context(epoch0, duration_s, almanac)
+                self._ctx_key, self._ctx = ctx_key, ctx
+            sc_params = dict(
+                dry_mass_kg=template.dry_mass_kg,
+                srp_area_m2=template.srp_area_m2,
+                drag_area_m2=template.drag_area_m2,
+            )
+            run = self._compiled(prop, False, mesh)
+            handles = []
+            for k in range(n_chunks):
+                sl = slice(k * max_lanes_per_call, (k + 1) * max_lanes_per_call)
+                y0 = y0_all[sl]
+                if mesh is not None:
+                    from ..parallel.mesh import shard_ensemble
+
+                    y0 = shard_ensemble(y0, mesh)
+                handles.append(run(y0, duration_s, ctx, sc_params))
+            chunks = []
+            for k, res in enumerate(handles):
+                take = min(max_lanes_per_call, n - k * max_lanes_per_call)
+                chunks.append(
+                    Results(
+                        epoch0=epoch0, end_epoch=end_epoch, template=template,
+                        y_final=np.asarray(res.y)[:take],
+                        status=np.asarray(res.status[:take]),
+                        n_accepted=np.asarray(res.n_accepted[:take]),
+                        n_rejected=np.asarray(res.n_rejected[:take]),
+                    )
+                )
             return Results.concatenate(chunks)
         template = self.random_state.template
         epoch0 = template.epoch
         duration_s = (end_epoch - epoch0).to_seconds()
-        y0 = self.generate_states(n, skip)
+        y0 = _y0 if _y0 is not None else self.generate_states(n, skip)
         if mesh is not None:
             from ..parallel.mesh import pad_to_multiple, shard_ensemble
 
@@ -125,7 +160,14 @@ class MonteCarlo:
         else:
             n_pad = 0
         dyn = prop.dynamics
-        ctx = dyn.build_context(epoch0, duration_s, almanac)
+        # the context (ephemeris window Chebyshev fit) is identical for every
+        # chunk of the same arc — cache it across calls
+        ctx_key = (id(prop), epoch0.to_tai_seconds(), duration_s, id(almanac))
+        if getattr(self, "_ctx_key", None) == ctx_key:
+            ctx = self._ctx
+        else:
+            ctx = dyn.build_context(epoch0, duration_s, almanac)
+            self._ctx_key, self._ctx = ctx_key, ctx
         sc_params = dict(
             dry_mass_kg=template.dry_mass_kg,
             srp_area_m2=template.srp_area_m2,

@@ -84,12 +84,17 @@ def _rk_stages(eom, a, b, b_star, c, t, y, h):
     return y + hb * acc, hb * err
 
 
-def _rk_stages_looped(eom, a, b, b_star, c, t, y, h):
-    """Stage evaluation with a fori_loop over stages: one EOM instantiation
-    in the compiled program instead of `stages` copies. Essential on TPU,
-    where heavyweight EOMs (high-degree gravity) make the 16x-unrolled RK89
-    body prohibitively slow to compile; the extra [S, B, N] stage buffer
-    traffic is negligible next to the EOM itself."""
+def _rk_stages_looped(eom, a, b, b_star, c, t, y, h, unroll: int = 1):
+    """Stage evaluation with a scan over stages: one EOM instantiation per
+    unrolled body instead of `stages` copies. Essential on TPU, where
+    heavyweight EOMs (high-degree gravity) make the 16x-unrolled RK89 body
+    prohibitively slow to compile; the extra [S, B, N] stage buffer traffic
+    is negligible next to the EOM itself.
+
+    `unroll` trades compile time for loop-iteration overhead: the axon TPU
+    runtime pays a fixed per-loop-iteration cost (~0.3 ms at B=2048), so
+    processing several stages per iteration cuts the floor proportionally.
+    """
     stages = b.shape[0]
     B, N = y.shape
     hb = h[:, None]
@@ -97,12 +102,14 @@ def _rk_stages_looped(eom, a, b, b_star, c, t, y, h):
     c_j = jnp.asarray(c)
     k_buf = jnp.zeros((stages, B, N), dtype=y.dtype).at[0].set(eom(t, y))
 
-    def body(i, kb):
+    def step(kb, i):
         wi = jnp.einsum("s,sbn->bn", a_j[i], kb)
         ki = eom(t + c_j[i] * h, y + hb * wi)
-        return kb.at[i].set(ki)
+        return kb.at[i].set(ki), None
 
-    k_buf = jax.lax.fori_loop(1, stages, body, k_buf)
+    k_buf, _ = jax.lax.scan(
+        step, k_buf, jnp.arange(1, stages), unroll=min(unroll, stages - 1)
+    )
     acc = jnp.einsum("s,sbn->bn", jnp.asarray(b), k_buf)
     err = jnp.einsum("s,sbn->bn", jnp.asarray(b - b_star), k_buf)
     return y + hb * acc, hb * err
