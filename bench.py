@@ -55,7 +55,9 @@ def main():
 
     stor = GravityFieldData.from_cof(jgm3, 21, 21, True, Frames.IAU_EARTH)
     dynamics = SpacecraftDynamics(
-        OrbitalDynamics.from_model(Harmonics.from_stor(stor), Frames.EME2000),
+        # mixed precision: f64 low degrees + f32 high degrees, validated sub-meter
+        # vs the full-f64 field for this config over the 1-day arc
+        OrbitalDynamics.from_model(Harmonics.from_stor(stor, precision="mixed"), Frames.EME2000),
         (SolarPressure.default(), Drag.earth_exp()),
     )
     # GMAT-default step bounds (options.rs:42-61); RK89 at 1e-9 tolerance

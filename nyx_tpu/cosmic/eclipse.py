@@ -14,27 +14,48 @@ import jax.numpy as jnp
 from ..constants import MeanRadius
 
 
+def _safe_arccos(x):
+    """arccos with a finite gradient at |x| -> 1 (the double-where trick:
+    arccos'(+-1) is infinite, and under jax.jvp an inf * 0 from a clip
+    produces NaN tangents — this NaN'd STM propagation of any SRP-bearing
+    dynamics in the common no-eclipse geometry)."""
+    inside = jnp.abs(x) < 1.0 - 1e-12
+    xs = jnp.where(inside, x, 0.0)
+    return jnp.where(inside, jnp.arccos(xs), jnp.where(x > 0.0, 0.0, jnp.pi))
+
+
+def _safe_sqrt(x):
+    good = x > 1e-300
+    return jnp.where(good, jnp.sqrt(jnp.where(good, x, 1.0)), 0.0)
+
+
 def _apparent_overlap_fraction(ang, r_sun_app, r_occ_app):
-    """Fraction of the Sun's apparent disk covered by the occulter's disk."""
+    """Fraction of the Sun's apparent disk covered by the occulter's disk.
+
+    Branch selection happens on masked inputs so every branch stays
+    NaN-free under forward-mode AD (STM propagation differentiates through
+    this in the no-overlap regime almost everywhere).
+    """
     eps = 1e-30
     full = r_occ_app >= r_sun_app + 0.0
-    # circle-circle intersection (lens) area
-    d = jnp.maximum(ang, eps)
+    no_overlap = ang >= r_sun_app + r_occ_app
+    contained = ang <= jnp.abs(r_occ_app - r_sun_app)
+    partial = (~no_overlap) & (~contained)
+    # circle-circle intersection (lens) area, masked to the partial branch
+    d = jnp.where(partial, jnp.maximum(ang, eps), 1.0)
     r1, r2 = r_sun_app, r_occ_app
     d1 = (d * d + r1 * r1 - r2 * r2) / (2 * d)
     d2 = d - d1
-    a1 = r1 * r1 * jnp.arccos(jnp.clip(d1 / jnp.maximum(r1, eps), -1, 1)) - d1 * jnp.sqrt(
-        jnp.maximum(r1 * r1 - d1 * d1, 0.0)
+    a1 = r1 * r1 * _safe_arccos(d1 / jnp.maximum(r1, eps)) - d1 * _safe_sqrt(
+        r1 * r1 - d1 * d1
     )
-    a2 = r2 * r2 * jnp.arccos(jnp.clip(d2 / jnp.maximum(r2, eps), -1, 1)) - d2 * jnp.sqrt(
-        jnp.maximum(r2 * r2 - d2 * d2, 0.0)
+    a2 = r2 * r2 * _safe_arccos(d2 / jnp.maximum(r2, eps)) - d2 * _safe_sqrt(
+        r2 * r2 - d2 * d2
     )
     lens = a1 + a2
     sun_area = jnp.pi * r1 * r1
     frac_partial = jnp.clip(lens / jnp.maximum(sun_area, eps), 0.0, 1.0)
 
-    no_overlap = ang >= r_sun_app + r_occ_app
-    contained = ang <= jnp.abs(r_occ_app - r_sun_app)
     frac_contained = jnp.where(
         full, 1.0, jnp.clip((r2 * r2) / jnp.maximum(r1 * r1, eps), 0.0, 1.0)
     )
@@ -47,10 +68,10 @@ def occultation_percentage(r_sc_to_sun, r_sc_to_occ, occ_radius_km, sun_radius_k
     """Occulted fraction of the Sun [0..1]. Inputs [..., 3] km from spacecraft."""
     d_sun = jnp.linalg.norm(r_sc_to_sun, axis=-1)
     d_occ = jnp.linalg.norm(r_sc_to_occ, axis=-1)
-    r_sun_app = jnp.arcsin(jnp.clip(sun_radius_km / d_sun, 0.0, 1.0))
-    r_occ_app = jnp.arcsin(jnp.clip(occ_radius_km / d_occ, 0.0, 1.0))
+    r_sun_app = jnp.arcsin(jnp.clip(sun_radius_km / d_sun, 0.0, 1.0 - 1e-12))
+    r_occ_app = jnp.arcsin(jnp.clip(occ_radius_km / d_occ, 0.0, 1.0 - 1e-12))
     cosang = jnp.sum(r_sc_to_sun * r_sc_to_occ, axis=-1) / (d_sun * d_occ)
-    ang = jnp.arccos(jnp.clip(cosang, -1.0, 1.0))
+    ang = _safe_arccos(cosang)
     frac = _apparent_overlap_fraction(ang, r_sun_app, r_occ_app)
     # A body between us and the Sun only occults when it is closer than the Sun
     return jnp.where(d_occ < d_sun, frac, 0.0)

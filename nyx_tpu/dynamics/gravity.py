@@ -73,18 +73,24 @@ class Harmonics:
     max_degree: int
     max_order: int
     frame: object = None
-    #: "f64": full field in float64 (the reference's precision).
+    #: "f64": full field in float64 (the reference's precision; default).
     #: "mixed": degrees <= MIXED_SPLIT_DEGREE in f64, the rest of the field
     #: in f32 — TPU-native speed/precision split. High degrees contribute
     #: <= ~1e-7 km/s^2 at LEO, so their f32 rounding (6e-8 relative) lands at
     #: ~1e-14 km/s^2 absolute: centimeters over a 1-day arc even if fully
     #: systematic, while the expensive recursion runs at VPU f32 rate
     #: instead of emulated f64.
-    precision: str = "mixed"
+    #:
+    #: CAVEAT: the f32 jitter acts as a noise floor on the integrator's
+    #: error estimate. For very low altitudes (radius ratio near 1, e.g. a
+    #: 50 km lunar orbit) combined with tolerances <= 1e-12 the adaptive
+    #: step collapses chasing that noise — use "f64" there. Validated for
+    #: Earth LEO 21x21 at tolerance 1e-9 (sub-meter vs f64 over 1 day).
+    precision: str = "f64"
     MIXED_SPLIT_DEGREE = 3
 
     @classmethod
-    def from_stor(cls, stor: GravityFieldData, precision: str = "mixed") -> "Harmonics":
+    def from_stor(cls, stor: GravityFieldData, precision: str = "f64") -> "Harmonics":
         N, M = stor.max_degree, stor.max_order
         b_nm, c_nm, vr01, vr11, diag = _precompute(N, M)
         W = M + 2

@@ -214,8 +214,16 @@ class Ruggiero(GuidanceLaw):
         )
         denom_init = init + tol if abs(init - target) < tol else init
         weight = (target - osc) / abs(target - denom_init)
-        achieved_or_inefficient = (jnp.abs(osc - target) < tol) | (eta < threshold)
-        return jnp.where(achieved_or_inefficient, 0.0, weight)
+        # Smooth ramp across [tol, 2 tol] instead of the reference's hard
+        # zero at |err| < tol (ruggiero.rs:216-240): a discontinuous thrust
+        # cut inside an RK step collapses the adaptive step size to
+        # min_step when an element oscillates at the tolerance boundary
+        # (continuous-time integration artifact the reference avoids only
+        # by per-step scalar evaluation).
+        err = jnp.abs(osc - target)
+        gate = jnp.clip(err / tol - 1.0, 0.0, 1.0)
+        gate = jnp.where(eta < threshold, 0.0, gate)
+        return weight * gate
 
     def _steering_rcn(self, kep, mu, rmag, vmag):
         """Unit steering vector in the RCN frame (ruggiero.rs direction)."""

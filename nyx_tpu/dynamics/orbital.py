@@ -71,9 +71,15 @@ class PointMasses:
                 dt = jnp.linalg.norm(rb, axis=-1) / SPEED_OF_LIGHT_KM_S
                 rb = ctx.table.position(idx, t_tdb - dt)
             d = rb - r  # spacecraft -> body
-            dmag3 = jnp.sum(d * d, axis=-1, keepdims=True) ** 1.5
-            rbmag3 = jnp.sum(rb * rb, axis=-1, keepdims=True) ** 1.5
-            a = a + mu * (d / dmag3 - rb / rbmag3)
+            # normalize-first formulation: the axon TPU runtime emulates f64
+            # with f32-range exponents, so |x|^3-scale intermediates
+            # (~1e24 km^3 for the Sun) overflow under forward-mode AD;
+            # unit vectors divided twice keep every intermediate near 1
+            dmag = jnp.linalg.norm(d, axis=-1, keepdims=True)
+            dhat = d / dmag
+            rbmag = jnp.linalg.norm(rb, axis=-1, keepdims=True)
+            rbhat = rb / rbmag
+            a = a + mu * (dhat / (dmag * dmag) - rbhat / (rbmag * rbmag))
         return a
 
 
@@ -111,8 +117,9 @@ class OrbitalDynamics:
 
     def accel(self, ctx: EomContext, t_tdb, r, v):
         """Total acceleration [B,3] including the central two-body term."""
-        rmag3 = jnp.sum(r * r, axis=-1, keepdims=True) ** 1.5
-        a = -ctx.frame.mu * r / rmag3
+        rmag_kd = jnp.linalg.norm(r, axis=-1, keepdims=True)
+        rhat = r / rmag_kd
+        a = -ctx.frame.mu * rhat / (rmag_kd * rmag_kd)
         for m in self.models:
             a = a + m.accel(ctx, t_tdb, r, v)
         return a

@@ -140,6 +140,12 @@ class PropInstance:
         y0 = np.asarray(self._pack(template.stm is not None))[0]
         res = self._run(d, n_capture=n_capture)
         n = int(res.traj_len[0])
+        if n >= n_capture:
+            raise RuntimeError(
+                f"trajectory capture buffer saturated ({n_capture} accepted "
+                "steps): increase n_capture or the integrator tolerance — an "
+                "overflowed buffer would interpolate garbage"
+            )
         ts = np.concatenate([[0.0], np.asarray(res.traj_t[0, :n])])
         ys = np.concatenate([y0[None, :], np.asarray(res.traj_y[0, :n])])
         traj = Trajectory.from_capture(epoch0, ts, ys, template)

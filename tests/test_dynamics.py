@@ -236,3 +236,26 @@ def test_solid_tides_earth_magnitude():
     )(r[0])
     assert np.all(np.isfinite(np.asarray(grad)))
     assert np.linalg.norm(np.asarray(grad)) > 0.0
+
+
+def test_mixed_precision_harmonics_validated_leo():
+    """The mixed f64/f32 harmonics split stays sub-meter vs full f64 over a
+    1-day LEO arc at the benchmark tolerance (the documented validity
+    envelope of precision='mixed')."""
+    from nyx_tpu.propagators import IntegratorOptions, Propagator
+
+    stor = GravityFieldData.from_cof(JGM3, 21, 21, True, Frames.IAU_EARTH)
+    epoch = Epoch.from_gregorian_utc(2021, 3, 4)
+    orbit = Orbit.keplerian(7136.6, 2e-4, 51.6, 30.0, 65.0, 80.0, epoch, Frames.EME2000)
+    opts = IntegratorOptions.with_adaptive_step(0.1, 2700.0, 1e-9)
+    finals = {}
+    for prec in ("f64", "mixed"):
+        dyn = SpacecraftDynamics.new(
+            OrbitalDynamics.from_model(
+                Harmonics.from_stor(stor, precision=prec), Frames.EME2000
+            )
+        )
+        inst = Propagator.rk89(dyn, opts).with_state(Spacecraft.from_orbit(orbit))
+        finals[prec] = inst.for_duration(86_400.0).orbit.r_km
+    diff = np.linalg.norm(finals["f64"] - finals["mixed"])
+    assert diff < 1e-3, f"mixed vs f64 diverged by {diff*1e3:.1f} m over 1 day"
