@@ -20,6 +20,7 @@ from .guidance import (
     Maneuver,
     ManeuverSequence,
     Ruggiero,
+    ThrustDirectionReplay,
 )
 
 __all__ = [
@@ -45,4 +46,5 @@ __all__ = [
     "Maneuver",
     "ManeuverSequence",
     "Ruggiero",
+    "ThrustDirectionReplay",
 ]

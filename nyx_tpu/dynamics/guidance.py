@@ -580,3 +580,50 @@ class Kluever(GuidanceLaw):
             obj.assess_raw(float(sc.orbit.value(obj.parameter)))[0]
             for obj in self.objectives
         )
+
+
+@dataclass
+class ThrustDirectionReplay(GuidanceLaw):
+    """Replays recorded thrust directions (guidance/replay.rs:32-128):
+    reconstructs a flown burn from logged (epoch, inertial unit vector,
+    throttle) samples, interpolated on device (zero-order hold on throttle,
+    renormalized linear interpolation on direction)."""
+
+    ts_tdb: np.ndarray  # [K] sample epochs, TDB s past J2000, sorted
+    directions: np.ndarray  # [K, 3] inertial unit vectors
+    throttles: np.ndarray  # [K]
+
+    @classmethod
+    def from_samples(cls, epochs, directions, throttles) -> "ThrustDirectionReplay":
+        ts = np.array([e.to_tdb_seconds() for e in epochs])
+        order = np.argsort(ts)
+        return cls(
+            ts[order],
+            np.asarray(directions, dtype=np.float64)[order],
+            np.asarray(throttles, dtype=np.float64)[order],
+        )
+
+    def direction_and_throttle(self, ctx, t_tdb, y9, mode):
+        ts = jnp.asarray(self.ts_tdb)
+        dirs = jnp.asarray(self.directions)
+        thr = jnp.asarray(self.throttles)
+        i = jnp.clip(jnp.searchsorted(ts, t_tdb) - 1, 0, ts.shape[0] - 2)
+        f = jnp.clip(
+            (t_tdb - ts[i]) / jnp.maximum(ts[i + 1] - ts[i], 1e-9), 0.0, 1.0
+        )
+        u = dirs[i] * (1.0 - f[..., None]) + dirs[i + 1] * f[..., None]
+        nrm = jnp.linalg.norm(u, axis=-1, keepdims=True)
+        u = u / jnp.where(nrm > 0, nrm, 1.0)
+        throttle = thr[i]
+        in_window = (t_tdb >= ts[0]) & (t_tdb <= ts[-1])
+        thrusting = (mode == GuidanceMode.Thrust) & in_window
+        return (
+            jnp.where(thrusting[..., None], u, 0.0),
+            jnp.where(thrusting, throttle, 0.0),
+        )
+
+    def next_mode(self, ctx, t_tdb, y9, mode):
+        in_window = (t_tdb >= self.ts_tdb[0]) & (t_tdb <= self.ts_tdb[-1])
+        want = jnp.where(in_window, GuidanceMode.Thrust, GuidanceMode.Coast)
+        inhibited = mode == GuidanceMode.Inhibit
+        return jnp.where(inhibited, mode, jnp.broadcast_to(want, jnp.shape(mode)).astype(mode.dtype))

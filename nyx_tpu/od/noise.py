@@ -129,3 +129,88 @@ class NoiseState:
             self.last_epoch_s[mtype] = t_s
             out += self.bias[mtype]
         return out
+
+
+# ---------------------------------------------------------------------------
+# Link-budget-derived noise (od/noise/link_specific.rs:40-225)
+# ---------------------------------------------------------------------------
+class SN0:
+    """Signal-power-to-noise-density ratio, returned in Hz (not dB-Hz)."""
+
+    Strong = 10.0 ** 6.5  # 65 dB-Hz
+    Average = 10.0 ** 5  # 50 dB-Hz
+    Poor = 10.0 ** 4  # 40 dB-Hz
+
+    @staticmethod
+    def from_db_hz(db: float) -> float:
+        return 10.0 ** (db / 10.0)
+
+
+class CN0:
+    """Carrier-power-to-noise-density ratio, in Hz."""
+
+    Strong = 10.0 ** 7  # 70 dB-Hz
+    Average = 10.0 ** 5.5  # 55 dB-Hz
+    Poor = 10.0 ** 4.5  # 45 dB-Hz
+
+    @staticmethod
+    def from_db_hz(db: float) -> float:
+        return 10.0 ** (db / 10.0)
+
+
+class CarrierFreq:
+    """Typical carrier frequencies, Hz (link_specific.rs:122-131)."""
+
+    SBand = 2.2e9
+    XBand = 8.4e9
+    KaBand = 32e9
+
+
+class ChipRate:
+    """Typical ranging chip rates, chip/s (link_specific.rs:137-168)."""
+
+    Lowest = 1e3
+    Low = 1e5
+    StandardT4B = 1e6
+    High = 1e7
+    VeryHigh = 2.5e7
+
+
+_SPEED_OF_LIGHT_KM_S = 299_792.458
+_TAU = 2.0 * np.pi
+
+
+def _white_from_pr_n0(pr_n0: float, bandwidth_hz: float) -> WhiteNoise:
+    """sigma = c / (2 B sqrt(Pr/N0)), km (white.rs:80-86)."""
+    return WhiteNoise(_SPEED_OF_LIGHT_KM_S / (2.0 * bandwidth_hz * np.sqrt(pr_n0)))
+
+
+WhiteNoise.from_pr_n0 = staticmethod(_white_from_pr_n0)
+
+
+def _from_hardware_range_km(allan_deviation, integration_time_s, chip_rate=ChipRate.StandardT4B,
+                            s_n0=SN0.Average) -> "StochasticNoise":
+    """High-precision range noise: clock (Allan deviation) + thermal
+    (chip rate, S/N0) RSS (link_specific.rs:179-199). Excludes atmosphere
+    (~10 cm one-sigma extra)."""
+    sigma_thermal = _SPEED_OF_LIGHT_KM_S / (_TAU * chip_rate * np.sqrt(2.0 * s_n0))
+    sigma_clock = _SPEED_OF_LIGHT_KM_S * allan_deviation * integration_time_s / np.sqrt(3.0)
+    return StochasticNoise(
+        white_noise=WhiteNoise(float(np.hypot(sigma_clock, sigma_thermal)))
+    )
+
+
+def _from_hardware_doppler_km_s(allan_deviation, integration_time_s,
+                                carrier=CarrierFreq.XBand, c_n0=CN0.Average) -> "StochasticNoise":
+    """(link_specific.rs:201-225)."""
+    sigma_thermal = _SPEED_OF_LIGHT_KM_S / (
+        _TAU * carrier * np.sqrt(2.0 * c_n0 * integration_time_s)
+    )
+    sigma_clock = _SPEED_OF_LIGHT_KM_S * allan_deviation
+    return StochasticNoise(
+        white_noise=WhiteNoise(float(np.hypot(sigma_clock, sigma_thermal)))
+    )
+
+
+StochasticNoise.from_hardware_range_km = staticmethod(_from_hardware_range_km)
+StochasticNoise.from_hardware_doppler_km_s = staticmethod(_from_hardware_doppler_km_s)

@@ -575,3 +575,25 @@ class TestGroundPnt:
         assert init_err > 0.05
         assert err < 0.005, f"final error {err*1e3:.1f} m"
         assert np.sqrt(np.diag(covar)[:3]).max() < 0.01
+
+
+class TestLinkBudgetNoise:
+    def test_nasa_dsac_case(self):
+        """The reference's nasa_dsac test values (link_specific.rs:228-260):
+        a DSAC-grade clock keeps range noise under 0.11 m and doppler under
+        0.1 mm/s at X-band."""
+        from nyx_tpu.od.noise import CN0, CarrierFreq, ChipRate, SN0, StochasticNoise, WhiteNoise
+
+        for allan_dev in (1e-14, 3.8e-13):
+            rng_noise = StochasticNoise.from_hardware_range_km(
+                allan_dev, 60.0, ChipRate.StandardT4B, SN0.Average
+            )
+            assert abs(rng_noise.white_noise.sigma * 1e3) < 1.1e-1  # < 0.11 m
+            dop = StochasticNoise.from_hardware_doppler_km_s(
+                allan_dev, 60.0, CarrierFreq.XBand, CN0.Average
+            )
+            assert abs(dop.white_noise.sigma * 1e3) < 2e-4  # < 0.2 mm/s
+
+        # Pr/N0 white noise helper (white.rs:80)
+        w = WhiteNoise.from_pr_n0(SN0.Average, 1e6)
+        assert 0 < w.sigma < 1.0

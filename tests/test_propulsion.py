@@ -192,3 +192,37 @@ def test_kluever_closed_loop_inc_change():
     inst = Propagator.rk89(dyn, IntegratorOptions(max_step_s=60.0)).with_state(sc)
     final = inst.for_duration(3600.0)
     assert final.orbit.inc_deg < sc.orbit.inc_deg - 0.05
+
+
+def test_thrust_direction_replay():
+    """Replaying a recorded prograde burn reproduces the original finite
+    burn (guidance/replay.rs round-trip expectation)."""
+    from nyx_tpu.dynamics import ThrustDirectionReplay
+
+    orbit = Orbit.keplerian(8000.0, 0.0, 0.0, 0.0, 0.0, 0.0, EPOCH, EME2K)
+    thruster = Thruster(thrust_N=10.0, isp_s=300.0)
+    sc = Spacecraft.from_thruster(orbit, 500.0, 100.0, thruster,
+                                  mode=GuidanceMode.Coast)
+    burn_s = 600.0
+    # original burn: fixed VNC-prograde
+    mnvr = Maneuver.from_time_invariant(EPOCH, EPOCH + burn_s, 1.0,
+                                        [1.0, 0.0, 0.0], LocalFrame.VNC)
+    dyn = SpacecraftDynamics.from_guidance_law(OrbitalDynamics.two_body(EME2K), mnvr)
+    ref, ref_traj = Propagator.rk89(dyn, IntegratorOptions(max_step_s=30.0)) \
+        .with_state(sc).for_duration_with_traj(burn_s)
+
+    # record the inertial thrust directions along the FLOWN (powered)
+    # trajectory: the VNC-prograde burn thrusts along its own velocity
+    epochs, dirs, thr = [], [], []
+    for k in range(0, int(burn_s) + 1, 10):
+        epochs.append(EPOCH + float(k))
+        v = ref_traj.interpolate(float(k))[3:6]
+        dirs.append(v / np.linalg.norm(v))
+        thr.append(1.0)
+    replay = ThrustDirectionReplay.from_samples(epochs, dirs, thr)
+    dyn2 = SpacecraftDynamics.from_guidance_law(OrbitalDynamics.two_body(EME2K), replay)
+    got = Propagator.rk89(dyn2, IntegratorOptions(max_step_s=30.0)).with_state(sc) \
+        .for_duration(burn_s)
+    # coarse replay of a rotating direction: sub-km / mm-mass agreement
+    assert np.linalg.norm(got.orbit.r_km - ref.orbit.r_km) < 1.0
+    assert abs(got.prop_mass_kg - ref.prop_mass_kg) < 1e-4
