@@ -288,3 +288,28 @@ Trajectory.to_frame = _traj_to_frame
 Trajectory.groundtrack = _traj_groundtrack
 Trajectory.ric_diff = _traj_ric_diff
 Trajectory.ric_diff_to_parquet = _traj_ric_diff_to_parquet
+
+
+def _traj_from_bsp(cls, almanac, target: int, center: int, frame, template,
+                   start, end, step_s: float = 300.0):
+    """Build a Trajectory by sampling a loaded SPK/BSP through the almanac
+    (md/trajectory/sc_traj.rs from_bsp:90-134)."""
+    n = int((end - start).to_seconds() / step_s) + 1
+    ts = np.arange(n, dtype=np.float64) * step_s
+    ys = np.zeros((n, template.to_vector().shape[0]))
+    base = template.to_vector()
+    for i, t in enumerate(ts):
+        r, v = almanac.state(target, center, start + float(t))
+        row = base.copy()
+        row[0:3] = r
+        row[3:6] = v
+        ys[i] = row
+    from dataclasses import replace as _replace
+
+    tmpl = template.with_orbit(
+        _replace(template.orbit, frame=frame)
+    )
+    return cls(start, ts, ys, tmpl)
+
+
+Trajectory.from_bsp = classmethod(_traj_from_bsp)

@@ -203,6 +203,11 @@ class ODSolution:
             rows[f"sigma_{lbl}"] = []
         rows["ratio"] = []
         rows["rejected"] = []
+        # full covariance upper triangle for lossless import (export.rs
+        # covar columns cx_x..)
+        iu = np.triu_indices(STATE_DIM)
+        for a, b in zip(*iu):
+            rows[f"covar_{labels[a]}_{labels[b]}"] = []
         for est, res in zip(self.estimates, self.residuals):
             rows["epoch_tai_s"].append(est.epoch.to_tai_seconds())
             rows["predicted"].append(est.predicted)
@@ -216,11 +221,46 @@ class ODSolution:
             for i, lbl in enumerate(labels):
                 rows[lbl].append(float(vec[i]))
                 rows[f"sigma_{lbl}"].append(float(sig[i]))
+            for a, b in zip(*iu):
+                rows[f"covar_{labels[a]}_{labels[b]}"].append(float(est.covar[a, b]))
             rows["ratio"].append(res.ratio if res else np.nan)
             rows["rejected"].append(bool(res.rejected) if res else False)
         table = pa.table(rows).replace_schema_metadata({b"generator": b"nyx_tpu"})
         pq.write_table(table, str(path), compression="zstd")
         return str(path)
+
+    @classmethod
+    def from_parquet(cls, path, template) -> "ODSolution":
+        """Import estimates exported by to_parquet (solution/import.rs).
+        `template` is a Spacecraft providing the frame/constants."""
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(str(path))
+        labels = ["x", "y", "z", "vx", "vy", "vz", "cr", "cd", "prop_mass"]
+        n = table.num_rows
+        epochs = np.asarray(table["epoch_tai_s"], dtype=np.float64)
+        vecs = np.stack(
+            [np.asarray(table[lbl], dtype=np.float64) for lbl in labels], axis=-1
+        )
+        iu = np.triu_indices(STATE_DIM)
+        sol = cls()
+        for k in range(n):
+            cov = np.zeros((STATE_DIM, STATE_DIM))
+            for a, b in zip(*iu):
+                v = float(table[f"covar_{labels[a]}_{labels[b]}"][k].as_py())
+                cov[a, b] = cov[b, a] = v
+            epoch = Epoch.from_tai_seconds_j2000(float(epochs[k]))
+            nominal = template.set_vector(epoch, vecs[k])
+            est = KfEstimate(
+                nominal=nominal,
+                state_deviation=np.zeros(STATE_DIM),
+                covar=cov,
+                covar_bar=cov.copy(),
+                stm=np.eye(STATE_DIM),
+                predicted=bool(table["predicted"][k].as_py()),
+            )
+            sol.append(est, None)
+        return sol
 
     def __str__(self):
         return (

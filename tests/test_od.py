@@ -597,3 +597,40 @@ class TestLinkBudgetNoise:
         # Pr/N0 white noise helper (white.rs:80)
         w = WhiteNoise.from_pr_n0(SN0.Average, 1e6)
         assert 0 < w.sigma < 1.0
+
+
+class TestSolutionIO:
+    def test_od_solution_parquet_roundtrip(self, two_body_prop, truth_setup,
+                                           arc, stations, tmp_path):
+        from nyx_tpu.od import ODSolution
+
+        truth_sc, traj = truth_setup
+        rng = np.random.default_rng(42)
+        initial_estimate, _ = _dispersed_estimate(truth_sc, rng)
+        od = KalmanODProcess(two_body_prop, resid_rejection_sigmas=None)
+        sol = od.process_arc(initial_estimate, arc, stations)
+        path = tmp_path / "sol.parquet"
+        sol.to_parquet(path)
+        back = ODSolution.from_parquet(path, truth_sc)
+        assert len(back) == len(sol)
+        np.testing.assert_allclose(
+            back.final_estimate.state().to_vector(),
+            sol.final_estimate.state().to_vector(), rtol=0, atol=1e-9,
+        )
+        np.testing.assert_allclose(
+            back.final_estimate.covar, sol.final_estimate.covar,
+            rtol=0, atol=1e-15,
+        )
+
+    def test_plots_render(self, two_body_prop, truth_setup, tmp_path):
+        """The matplotlib helpers produce figures without erroring."""
+        from nyx_tpu import plots
+
+        _, traj = truth_setup
+        fig = plots.plot_orbital_elements(traj, ("sma", "ecc"), step=1800.0,
+                                          show=False)
+        fig.savefig(tmp_path / "elems.png")
+        fig2 = plots.plot_groundtrack(traj, step=1800.0, show=False)
+        fig2.savefig(tmp_path / "gt.png")
+        fig3 = plots.plot_traj(traj, step=1800.0, show=False)
+        fig3.savefig(tmp_path / "traj3d.png")
