@@ -91,6 +91,16 @@ def main():
 
     ok = results.n_ok
     rate = ok / wall
+
+    # secondary driver metric: OD filter steps/sec (scan Kalman filter,
+    # two-body range/Doppler arc). Guarded: a runtime fault here must not
+    # lose the MC result.
+    od_rate = None
+    try:
+        od_rate = _od_filter_steps_per_s(epoch)
+    except Exception as exc:  # noqa: BLE001
+        print(f"# od bench skipped: {exc}", file=sys.stderr)
+
     out = {
         "metric": "MC trajectories/sec/chip (10k LEO, RK89 adaptive, 21x21 JGM3 + drag + SRP, 1 day)",
         "value": round(rate, 2),
@@ -101,7 +111,64 @@ def main():
         "n_runs": results.n_runs,
         "mean_steps": float(np.mean(results.n_accepted)),
     }
+    if od_rate is not None:
+        out["od_filter_steps_per_s"] = round(od_rate, 1)
     print(json.dumps(out))
+
+
+def _od_filter_steps_per_s(epoch):
+    """Time the device-side scan Kalman filter over a synthetic two-body
+    range/Doppler arc (the 'OD filter steps/sec' metric of BASELINE.json)."""
+    from nyx_tpu.od import (
+        GroundStation,
+        KfEstimate,
+        MeasurementType,
+        SpacecraftUncertainty,
+        TrackingArcSim,
+        TrkConfig,
+    )
+    from nyx_tpu.od.noise import StochasticNoise, WhiteNoise
+    from nyx_tpu.od.scan_filter import ScanKalmanOD
+    from nyx_tpu.od.simulator import Scheduler
+
+    eme2k = Frames.EME2000
+    orbit = Orbit.keplerian(22_000.0, 0.01, 30.0, 80.0, 40.0, 0.0, epoch, eme2k)
+    truth = Spacecraft.from_orbit(orbit)
+    dyn = SpacecraftDynamics(OrbitalDynamics([], eme2k), ())
+    prop = Propagator.rk89(dyn, IntegratorOptions())
+    _, traj = prop.with_state(truth).for_duration_with_traj(86_400.0)
+
+    def white(gs):
+        gs.stochastic_noises = {
+            MeasurementType.RANGE_KM: StochasticNoise(WhiteNoise(2.0e-3)),
+            MeasurementType.DOPPLER_KM_S: StochasticNoise(WhiteNoise(3.0e-6)),
+        }
+        return gs
+
+    stations = [
+        white(GroundStation.dss65_madrid(10.0)),
+        white(GroundStation.dss34_canberra(10.0)),
+        white(GroundStation.dss13_goldstone(10.0)),
+    ]
+    cfg = TrkConfig(sampling_s=60.0, scheduler=Scheduler(min_samples=5))
+    sim = TrackingArcSim.with_seed(
+        stations, traj, {g.name: cfg for g in stations}, seed=0
+    )
+    arc = sim.generate_measurements()
+    unc = SpacecraftUncertainty(
+        nominal=truth, frame="ric", x_km=0.15, y_km=0.15, z_km=0.15,
+        vx_km_s=5e-6, vy_km_s=5e-6, vz_km_s=5e-6,
+    )
+    est0 = unc.to_estimate()
+    scan = ScanKalmanOD(
+        prop, stations,
+        types=(MeasurementType.RANGE_KM, MeasurementType.DOPPLER_KM_S),
+        variant="ckf",
+    )
+    scan.process_arc(est0, arc)  # compile
+    t0 = time.time()
+    scan.process_arc(est0, arc)
+    return len(arc) / (time.time() - t0)
 
 
 if __name__ == "__main__":
