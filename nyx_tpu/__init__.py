@@ -21,7 +21,14 @@ from .time import Epoch, Duration, Unit  # noqa: E402
 from .constants import GM  # noqa: E402
 from .cosmic.frames import Frame, Frames  # noqa: E402
 from .cosmic.orbit import Orbit  # noqa: E402
-from .cosmic.spacecraft import Spacecraft  # noqa: E402
+from .cosmic.spacecraft import GuidanceMode, Spacecraft, Thruster  # noqa: E402
+from .cosmic.bplane import BPlane, BPlaneTarget, try_achieve_b_plane  # noqa: E402
+from .cosmic.eclipse import EclipseState, ShadowModel  # noqa: E402
+from .propagators import IntegratorOptions, Propagator  # noqa: E402
+from .md.events import Event  # noqa: E402
+from .md.objective import Objective  # noqa: E402
+from .md.param import StateParameter  # noqa: E402
+from .md.trajectory import Trajectory  # noqa: E402
 
 __all__ = [
     "Epoch",
@@ -32,4 +39,17 @@ __all__ = [
     "Frames",
     "Orbit",
     "Spacecraft",
+    "Thruster",
+    "GuidanceMode",
+    "BPlane",
+    "BPlaneTarget",
+    "try_achieve_b_plane",
+    "EclipseState",
+    "ShadowModel",
+    "IntegratorOptions",
+    "Propagator",
+    "Event",
+    "Objective",
+    "StateParameter",
+    "Trajectory",
 ]
