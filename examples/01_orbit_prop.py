@@ -6,12 +6,18 @@ and Sun/Moon third bodies; finds apoapsis events; exports the trajectory to
 parquet and OEM; prints the osculating elements before/after.
 """
 
+import os
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
+
+# Long single-lane while-loops with ephemeris-bearing EOMs fault the
+# tunneled axon TPU runtime; default to CPU (NYX_EX01_TPU=1 to override).
+if not os.environ.get("NYX_EX01_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_enable_x64", True)
 
