@@ -241,8 +241,7 @@ class ScanKalmanOD:
             outputs = (y_bar + dev_new, p_new, prefit, postfit, ratio, rejected)
             return (t_rel, y_out, dev_out, p_new), outputs
 
-        @jax.jit
-        def run(t_rel, trk, obs, avail, y0, p0, ctx, sc_params):
+        def run_one(t_rel, trk, obs, avail, y0, p0, ctx, sc_params):
             carry0 = (jnp.float64(0.0), y0, jnp.zeros(STATE_DIM), p0)
             _, out = jax.lax.scan(
                 lambda c, x: step(c, x, ctx, sc_params),
@@ -251,7 +250,14 @@ class ScanKalmanOD:
             )
             return out
 
-        return run
+        run = jax.jit(run_one)
+        # the ensemble-of-filters axis (SURVEY.md §2.8): vmap over initial
+        # estimates for batched covariance/robustness analysis — one
+        # compiled program runs every filter in lock-step
+        run_batch = jax.jit(
+            jax.vmap(run_one, in_axes=(None, None, None, None, 0, 0, None, None))
+        )
+        return run, run_batch
 
     # ------------------------------------------------------------------
     def process_arc(self, initial_estimate, arc: TrackingDataArc) -> ScanODResult:
@@ -278,10 +284,10 @@ class ScanKalmanOD:
                 avail[:, j] = good
 
         arc_span = float(t_rel[-1]) if m else 0.0
-        key = (m,)
+        key = (m, epoch0.to_tai_seconds())
         if key not in self._compiled:
             self._compiled[key] = self._build(m, epoch0, arc_span)
-        run = self._compiled[key]
+        run, _ = self._compiled[key]
 
         dyn = self.prop.dynamics
         ctx = dyn.build_context(epoch0, arc_span, self.almanac)
@@ -307,3 +313,64 @@ class ScanKalmanOD:
             rejected=np.asarray(rejected),
             types=self.types,
         )
+
+
+    def process_arc_batch(self, initial_estimates, arc: TrackingDataArc):
+        """Run an ensemble of filters over the same arc in one vmapped
+        program (the reference's "MC of ODs" has no counterpart — rayon
+        would fan out whole processes; here the filter ensemble is just
+        another batch axis). Returns a list of ScanODResult."""
+        first = initial_estimates[0]
+        epoch0 = first.epoch
+        t0_tai = epoch0.to_tai_seconds()
+        t_rel = jnp.asarray(arc.epochs_tai_s - t0_tai)
+        m = len(arc)
+        trk_names = {d.name: i for i, d in enumerate(self.devices)}
+        trk = jnp.asarray(
+            [trk_names[arc.trackers[i]] for i in arc.tracker_idx],
+            dtype=jnp.int32,
+        )
+        obs = np.zeros((m, len(self.types)))
+        avail = np.zeros((m, len(self.types)), dtype=bool)
+        for j, t in enumerate(self.types):
+            if t in arc.types:
+                col = arc.types.index(t)
+                v = arc.values[:, col]
+                good = np.isfinite(v)
+                obs[good, j] = v[good]
+                avail[:, j] = good
+        arc_span = float(t_rel[-1]) if m else 0.0
+        key = (m, epoch0.to_tai_seconds())
+        if key not in self._compiled:
+            self._compiled[key] = self._build(m, epoch0, arc_span)
+        _, run_batch = self._compiled[key]
+
+        dyn = self.prop.dynamics
+        ctx = dyn.build_context(epoch0, arc_span, self.almanac)
+        nominal = first.nominal
+        sc_params = dict(
+            dry_mass_kg=nominal.dry_mass_kg,
+            srp_area_m2=nominal.srp_area_m2,
+            drag_area_m2=nominal.drag_area_m2,
+        )
+        y0s = jnp.asarray(np.stack([e.nominal.to_vector() for e in initial_estimates]))
+        p0s = jnp.asarray(np.stack([e.covar for e in initial_estimates]))
+        y_est, covar, prefit, postfit, ratio, rejected = run_batch(
+            t_rel, trk, jnp.asarray(obs), jnp.asarray(avail), y0s, p0s, ctx,
+            sc_params,
+        )
+        out = []
+        for k in range(len(initial_estimates)):
+            out.append(
+                ScanODResult(
+                    epochs_tai_s=np.asarray(arc.epochs_tai_s),
+                    y_est=np.asarray(y_est[k]),
+                    covar=np.asarray(covar[k]),
+                    prefit=np.asarray(prefit[k]),
+                    postfit=np.asarray(postfit[k]),
+                    ratio=np.asarray(ratio[k]),
+                    rejected=np.asarray(rejected[k]),
+                    types=self.types,
+                )
+            )
+        return out

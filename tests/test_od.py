@@ -634,3 +634,29 @@ class TestSolutionIO:
         fig2.savefig(tmp_path / "gt.png")
         fig3 = plots.plot_traj(traj, step=1800.0, show=False)
         fig3.savefig(tmp_path / "traj3d.png")
+
+    def test_scan_filter_ensemble(self, two_body_prop, truth_setup, arc, stations):
+        """vmapped ensemble of filters: each member matches its own
+        single-filter run (batched covariance analysis, SURVEY §2.8)."""
+        from nyx_tpu.od.scan_filter import ScanKalmanOD
+
+        truth_sc, traj = truth_setup
+        rng = np.random.default_rng(5)
+        ests = [_dispersed_estimate(truth_sc, rng)[0] for _ in range(4)]
+        scan = ScanKalmanOD(
+            two_body_prop, stations,
+            types=(MeasurementType.RANGE_KM, MeasurementType.DOPPLER_KM_S),
+            variant="ckf",
+        )
+        batch = scan.process_arc_batch(ests, arc)
+        assert len(batch) == 4
+        solo = scan.process_arc(ests[2], arc)
+        np.testing.assert_allclose(
+            batch[2].final_state(), solo.final_state(), rtol=0, atol=1e-12
+        )
+        # every member converges near the truth
+        truth_fin = traj.at(
+            truth_sc.epoch + float(arc.epochs_tai_s[-1] - truth_sc.epoch.to_tai_seconds())
+        ).to_vector()
+        for r in batch:
+            assert np.linalg.norm(r.final_state()[:3] - truth_fin[:3]) < 0.02
