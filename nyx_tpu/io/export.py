@@ -7,6 +7,7 @@ Counterpart of the reference's ExportCfg-driven parquet exports
 
 from __future__ import annotations
 
+import datetime as _dt
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence
 
@@ -85,7 +86,7 @@ def traj_to_oem(traj, path, cfg: Optional[ExportCfg] = None) -> str:
     frame = t.template.frame
     lines = [
         "CCSDS_OEM_VERS = 2.0",
-        f"CREATION_DATE = {Epoch.from_gregorian_utc(2026, 1, 1).isoformat('UTC')}",
+        f"CREATION_DATE = {_dt.datetime.now(_dt.timezone.utc).strftime('%Y-%m-%dT%H:%M:%S')}",
         "ORIGINATOR = nyx-tpu",
         "",
         "META_START",

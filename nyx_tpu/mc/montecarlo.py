@@ -48,9 +48,12 @@ class MonteCarlo:
         return states[skip:]
 
     def _compiled(self, prop, with_shm_capture, mesh):
+        # key on identity but retain the objects: a GC'd Propagator/mesh id
+        # could otherwise be reused and return a stale compiled EOM
         cache_key = (id(prop), with_shm_capture, id(mesh) if mesh is not None else None)
-        if cache_key in self._jit_cache:
-            return self._jit_cache[cache_key]
+        hit = self._jit_cache.get(cache_key)
+        if hit is not None and hit[0] is prop and hit[1] is mesh:
+            return hit[2]
         dyn = prop.dynamics
         eom = dyn.make_eom(False, thruster=self.random_state.template.thruster)
         finally_fn = dyn.make_finally()
@@ -74,8 +77,23 @@ class MonteCarlo:
             fn = jax.jit(run, in_shardings=(sh, None, None, None))
         else:
             fn = jax.jit(run)
-        self._jit_cache[cache_key] = fn
+        self._jit_cache[cache_key] = (prop, mesh, fn)
         return fn
+
+    def _context(self, prop, almanac, epoch0, duration_s):
+        """Ephemeris-window context, cached per (prop, arc, almanac) with the
+        keyed objects retained (id-reuse after GC must not alias)."""
+        ctx_key = (id(prop), epoch0.to_tai_seconds(), duration_s, id(almanac))
+        if (
+            getattr(self, "_ctx_key", None) == ctx_key
+            and self._ctx_refs[0] is prop
+            and self._ctx_refs[1] is almanac
+        ):
+            return self._ctx
+        ctx = prop.dynamics.build_context(epoch0, duration_s, almanac)
+        self._ctx_key, self._ctx = ctx_key, ctx
+        self._ctx_refs = (prop, almanac)
+        return ctx
 
     def run_until_epoch(
         self,
@@ -114,12 +132,7 @@ class MonteCarlo:
             template = self.random_state.template
             epoch0 = template.epoch
             duration_s = (end_epoch - epoch0).to_seconds()
-            ctx_key = (id(prop), epoch0.to_tai_seconds(), duration_s, id(almanac))
-            if getattr(self, "_ctx_key", None) == ctx_key:
-                ctx = self._ctx
-            else:
-                ctx = prop.dynamics.build_context(epoch0, duration_s, almanac)
-                self._ctx_key, self._ctx = ctx_key, ctx
+            ctx = self._context(prop, almanac, epoch0, duration_s)
             sc_params = dict(
                 dry_mass_kg=template.dry_mass_kg,
                 srp_area_m2=template.srp_area_m2,
@@ -159,15 +172,9 @@ class MonteCarlo:
             y0 = shard_ensemble(y0, mesh)
         else:
             n_pad = 0
-        dyn = prop.dynamics
         # the context (ephemeris window Chebyshev fit) is identical for every
         # chunk of the same arc — cache it across calls
-        ctx_key = (id(prop), epoch0.to_tai_seconds(), duration_s, id(almanac))
-        if getattr(self, "_ctx_key", None) == ctx_key:
-            ctx = self._ctx
-        else:
-            ctx = dyn.build_context(epoch0, duration_s, almanac)
-            self._ctx_key, self._ctx = ctx_key, ctx
+        ctx = self._context(prop, almanac, epoch0, duration_s)
         sc_params = dict(
             dry_mass_kg=template.dry_mass_kg,
             srp_area_m2=template.srp_area_m2,

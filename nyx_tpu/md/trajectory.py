@@ -207,14 +207,30 @@ def _traj_to_frame(self, frame, almanac=None):
         ys[:, 0:3] += delta
         ys[:, 3:6] += dvel
     if frame.orientation is not old.orientation:
-        # rotate via J2000: old -> J2000 -> new, batched on device
+        # rotate via J2000: old -> J2000 -> new, batched on device.
+        # Velocities need the transport term (dDCM/dt @ r): rotating frames
+        # carry omega x r (~0.5 km/s at LEO for IAU_EARTH). dDCM/dt comes
+        # from jax.jvp through the orientation model, same scheme as
+        # GroundStation.inertial_posvel.
+        import jax
+
         tt = jnp.asarray(t_tdb)
-        dcm_old = old.dcm_from_j2000(tt)  # J2000 -> old rows
-        dcm_new = frame.dcm_from_j2000(tt)
-        r = jnp.einsum("...ji,...j->...i", dcm_old, jnp.asarray(ys[:, 0:3]))
-        v = jnp.einsum("...ji,...j->...i", dcm_old, jnp.asarray(ys[:, 3:6]))
-        ys[:, 0:3] = np.asarray(jnp.einsum("...ij,...j->...i", dcm_new, r))
-        ys[:, 3:6] = np.asarray(jnp.einsum("...ij,...j->...i", dcm_new, v))
+        ones = jnp.ones_like(tt)
+        dcm_old, dot_old = jax.jvp(old.dcm_from_j2000, (tt,), (ones,))
+        dcm_new, dot_new = jax.jvp(frame.dcm_from_j2000, (tt,), (ones,))
+        r_old = jnp.asarray(ys[:, 0:3])
+        v_old = jnp.asarray(ys[:, 3:6])
+        # old frame -> J2000 (dcm rotates J2000 into the frame, so transpose)
+        r_j = jnp.einsum("...ji,...j->...i", dcm_old, r_old)
+        v_j = jnp.einsum("...ji,...j->...i", dcm_old, v_old) + jnp.einsum(
+            "...ji,...j->...i", dot_old, r_old
+        )
+        # J2000 -> new frame
+        ys[:, 0:3] = np.asarray(jnp.einsum("...ij,...j->...i", dcm_new, r_j))
+        ys[:, 3:6] = np.asarray(
+            jnp.einsum("...ij,...j->...i", dcm_new, v_j)
+            + jnp.einsum("...ij,...j->...i", dot_new, r_j)
+        )
     template = self.template.with_orbit(
         Orbit(ys[0, 0:3].copy(), ys[0, 3:6].copy(), self.epoch0 + float(self.ts[0]), frame)
     )

@@ -95,6 +95,9 @@ class KalmanFilter:
     def __post_init__(self):
         if isinstance(self.process_noise, ProcessNoise):
             self.process_noise = (self.process_noise,)
+        # epoch at which SNC was first exercised, anchoring exponential decay
+        # (snc.rs:50-51 init_epoch, set by the filter)
+        self._snc_init_tai_s = None
 
     # ------------------------------------------------------------------
     def _snc_q(self, epoch_tai_s, dt_s, nominal) -> np.ndarray:
@@ -108,7 +111,16 @@ class KalmanFilter:
             ):
                 active = snc
         if active is not None:
-            q = active.q_matrix(dt_s, nominal)
+            if self._snc_init_tai_s is None:
+                self._snc_init_tai_s = epoch_tai_s
+            anchor = (
+                active.start_epoch_tai_s
+                if active.start_epoch_tai_s is not None
+                else self._snc_init_tai_s
+            )
+            q = active.q_matrix(
+                dt_s, nominal, elapsed_s=max(0.0, epoch_tai_s - anchor)
+            )
         return q
 
     def time_update(self, nominal, stm, dt_s: float) -> KfEstimate:

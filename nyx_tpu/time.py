@@ -237,10 +237,6 @@ class Epoch:
 
     @classmethod
     def from_mjd_tai(cls, mjd: float) -> "Epoch":
-        # hifitime's JD_J2000 constant is sometimes passed straight to
-        # from_mjd_tai in the reference tests; accept both conventions.
-        if mjd > 1_000_000.0:  # actually a JD
-            return cls.from_jde_tai(mjd)
         return cls._make((mjd + MJD_OFFSET - JD_J2000) * SECONDS_PER_DAY)
 
     @classmethod

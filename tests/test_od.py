@@ -205,6 +205,29 @@ class TestEkf:
         ks_stat, ks_p = sol.ks_normality()
         assert np.isfinite(ks_stat)
 
+    def test_snc_exponential_decay(self):
+        """decay_tau_s attenuates Q with time elapsed since the SNC anchor
+        epoch (snc.rs:193-198); the filter must pass a growing elapsed_s."""
+        from nyx_tpu.od.kalman import KalmanFilter
+        from nyx_tpu.od.estimate import KfEstimate
+
+        snc = ProcessNoise.from_diag([1e-12] * 3, disable_time_s=1e9)
+        snc.decay_tau_s = np.array([100.0, 100.0, 100.0])
+        q0 = snc.q_matrix(10.0, elapsed_s=0.0)
+        q1 = snc.q_matrix(10.0, elapsed_s=100.0)
+        assert np.allclose(q1[3:6, 3:6], q0[3:6, 3:6] * np.exp(-1.0))
+
+        # through the filter: later time updates see smaller Q
+        sc = Spacecraft.from_orbit(
+            Orbit.keplerian(8000.0, 0.01, 30.0, 0.0, 0.0, 0.0, EPOCH,
+                            Frames.EME2000)
+        )
+        est = KfEstimate.from_diag(sc, [1e-2] * 3 + [1e-8] * 3 + [0.0] * 3)
+        kf = KalmanFilter(est, process_noise=(snc,))
+        q_first = kf._snc_q(EPOCH.to_tai_seconds(), 10.0, sc)
+        q_later = kf._snc_q(EPOCH.to_tai_seconds() + 500.0, 10.0, sc)
+        assert q_later[3, 3] < q_first[3, 3] * 0.05  # e^-5 decay
+
 
 class TestBlse:
     def test_blse_recovers_initial_state(self, two_body_prop, truth_setup):
@@ -506,6 +529,32 @@ class TestSchedulerAndEclipse:
         _, twin = twin_inst.for_duration_with_traj(86_400.0)
         ts, dr, dv = twin.ric_diff(traj, step=600.0)
         assert 0.01 < np.abs(dr).max() < 10.0  # grows along-track over a day
+
+    def test_to_frame_velocity_transport_term(self, truth_setup):
+        """Body-fixed velocities from to_frame must include the transport
+        term (dDCM/dt @ r): independently check v_bf = C (v_J - omega x r_J)
+        with omega the IAU-Earth spin about its pole (~0.5 km/s at LEO)."""
+        from nyx_tpu import Frames
+
+        _, traj = truth_setup
+        bf = traj.to_frame(Frames.IAU_EARTH)
+        t_tdb = traj.epoch0.to_tdb_seconds() + traj.ts
+        import jax.numpy as jnp
+
+        dcm = np.asarray(Frames.IAU_EARTH.dcm_from_j2000(jnp.asarray(t_tdb)))
+        omega = 360.985_623_5 * np.pi / 180.0 / 86_400.0  # rad/s, W rate
+        pole_j2000 = dcm[:, 2, :]  # body +z expressed in J2000
+        omega_j = omega * pole_j2000
+        v_expected = np.einsum(
+            "kij,kj->ki",
+            dcm,
+            traj.ys[:, 3:6] - np.cross(omega_j, traj.ys[:, 0:3]),
+        )
+        err = np.abs(bf.ys[:, 3:6] - v_expected).max()
+        assert err < 1e-5, f"transport term missing/wrong: {err} km/s"
+        # and the round trip still closes on velocity too
+        back = bf.to_frame(Frames.EME2000)
+        assert np.abs(back.ys[:, 3:6] - traj.ys[:, 3:6]).max() < 1e-9
 
     def test_groundtrack(self, truth_setup):
         _, traj = truth_setup
