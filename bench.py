@@ -60,8 +60,15 @@ def main():
         OrbitalDynamics.from_model(Harmonics.from_stor(stor, precision="mixed"), Frames.EME2000),
         (SolarPressure.default(), Drag.earth_exp()),
     )
-    # GMAT-default step bounds (options.rs:42-61); RK89 at 1e-9 tolerance
-    opts = IntegratorOptions.with_adaptive_step(0.1, 2700.0, 1e-9)
+    # GMAT-default step bounds (options.rs:42-61); RK89 at 1e-9 tolerance.
+    # stage_mode="unroll" removes the inner stage scan and its ~0.3 ms/
+    # iteration axon floor (2.5x compile time, cached across runs).
+    from dataclasses import replace
+
+    opts = replace(
+        IntegratorOptions.with_adaptive_step(0.1, 2700.0, 1e-9),
+        stage_mode="unroll",
+    )
     prop = Propagator.rk89(dynamics, opts)
 
     mvn = MvnSpacecraft(

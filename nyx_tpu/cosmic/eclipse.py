@@ -81,7 +81,7 @@ def illumination_factor(r_sc_to_sun, occulters):
     """k in [0..1]: 1 fully lit, 0 umbra. `occulters`: list of
     (r_sc_to_body [...,3], radius_km). Max occultation wins, as the
     reference's ShadowModel::compute (eclipse.rs:69-84)."""
-    occ = jnp.zeros(r_sc_to_sun.shape[:-1])
+    occ = jnp.zeros(r_sc_to_sun.shape[:-1], dtype=r_sc_to_sun.dtype)
     for r_occ, radius in occulters:
         occ = jnp.maximum(
             occ, occultation_percentage(r_sc_to_sun, r_occ, radius)

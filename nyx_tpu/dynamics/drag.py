@@ -105,7 +105,7 @@ class Drag:
         rmag = jnp.linalg.norm(r, axis=-1)
         alt_km = rmag - (self.frame.radius_km or 0.0)
         rho = self.density.density(alt_km)
-        omega = jnp.array([0.0, 0.0, self._EARTH_OMEGA])
+        omega = jnp.array([0.0, 0.0, self._EARTH_OMEGA], dtype=r.dtype)
         v_rel = v - jnp.cross(jnp.broadcast_to(omega, r.shape), r)
         vmag = jnp.linalg.norm(v_rel, axis=-1, keepdims=True)
         aom = sc["drag_area_m2"] / sc["mass_kg"]

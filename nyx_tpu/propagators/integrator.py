@@ -126,7 +126,8 @@ def propagate(
     capture_stride: int = 1,
     finally_fn: Optional[Callable] = None,
     eom_args: tuple = (),
-    stage_mode: str = "auto",
+    stage_mode: Optional[str] = None,
+    steps_per_iter: Optional[int] = None,
 ) -> PropResult:
     """Propagate a batch of states for `duration_s` (may be negative or per-lane).
 
@@ -149,6 +150,12 @@ def propagate(
         with those as traced inputs instead of baked closure constants.
       stage_mode: "auto" (loop over stages for >= 8-stage methods),
         "unroll", or "loop".
+      steps_per_iter: advance up to K attempted RK steps per `while_loop`
+        iteration (every step is masked on lane status, so composing the
+        step body K times is exact). The axon TPU runtime pays a fixed
+        ~0.3 ms per loop iteration regardless of body size; K > 1 amortizes
+        that floor at the cost of K x compile time. Lanes that finish
+        mid-body simply mask out the remaining sub-steps.
     """
     if eom_args:
         inner_eom, inner_fin = eom, finally_fn
@@ -169,6 +176,10 @@ def propagate(
     sgn = jnp.where(dur < 0, -1.0, 1.0)
 
     a, b, b_star, c = method.a_matrix, method.b, method.b_star, method.c
+    if stage_mode is None:
+        stage_mode = options.stage_mode
+    if steps_per_iter is None:
+        steps_per_iter = options.steps_per_iter
     if stage_mode == "auto":
         stage_mode = "loop" if method.stages >= 8 else "unroll"
     stage_fn = _rk_stages_looped if stage_mode == "loop" else _rk_stages
@@ -205,7 +216,7 @@ def propagate(
             jnp.any(carry.status == RUNNING), carry.it < options.max_iterations
         )
 
-    def body(carry: PropCarry) -> PropCarry:
+    def one_step(carry: PropCarry) -> PropCarry:
         running = carry.status == RUNNING
         # Clamp the final step to land exactly on the stop time
         # (instance.rs:180-186: one fixed step of exactly the remainder).
@@ -298,6 +309,11 @@ def propagate(
             traj_y=traj_y,
             traj_len=traj_len,
         )
+
+    def body(carry: PropCarry) -> PropCarry:
+        for _ in range(max(1, steps_per_iter)):
+            carry = one_step(carry)
+        return carry
 
     final = jax.lax.while_loop(cond, body, init)
     return PropResult(

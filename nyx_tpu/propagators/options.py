@@ -25,6 +25,13 @@ class IntegratorOptions:
     # Static cap on while-loop iterations (attempted steps) per propagate call;
     # generous default, bump for very long arcs with small max_step.
     max_iterations: int = 200_000
+    # TPU perf knobs (numerically irrelevant): stage_mode "auto"/"unroll"/
+    # "loop" picks how RK stages are emitted (unroll removes the inner lax
+    # scan and its ~0.3 ms/iteration axon floor at ~2.5x compile time);
+    # steps_per_iter > 1 advances several masked RK steps per while-loop
+    # iteration, amortizing that same floor further.
+    stage_mode: str = "auto"
+    steps_per_iter: int = 1
 
     @classmethod
     def with_adaptive_step(
