@@ -104,7 +104,7 @@ def main():
     # lose the MC result.
     od_rate = None
     try:
-        od_rate = _od_filter_steps_per_s(epoch)
+        od_rate = _od_filter_steps_per_s(epoch, stor)
     except Exception as exc:  # noqa: BLE001
         print(f"# od bench skipped: {exc}", file=sys.stderr)
 
@@ -123,9 +123,10 @@ def main():
     print(json.dumps(out))
 
 
-def _od_filter_steps_per_s(epoch):
-    """Time the device-side scan Kalman filter over a synthetic two-body
-    range/Doppler arc (the 'OD filter steps/sec' metric of BASELINE.json)."""
+def _od_filter_steps_per_s(epoch, stor):
+    """Time the device-side scan Kalman filter over a synthetic MEO
+    range/Doppler arc with 21x21 harmonics dynamics (the 'OD filter
+    steps/sec' metric of BASELINE.json, on a harmonics-bearing config)."""
     from nyx_tpu.od import (
         GroundStation,
         KfEstimate,
@@ -141,7 +142,12 @@ def _od_filter_steps_per_s(epoch):
     eme2k = Frames.EME2000
     orbit = Orbit.keplerian(22_000.0, 0.01, 30.0, 80.0, 40.0, 0.0, epoch, eme2k)
     truth = Spacecraft.from_orbit(orbit)
-    dyn = SpacecraftDynamics(OrbitalDynamics([], eme2k), ())
+    dyn = SpacecraftDynamics(
+        OrbitalDynamics.from_model(
+            Harmonics.from_stor(stor, precision="split"), eme2k
+        ),
+        (),
+    )
     prop = Propagator.rk89(dyn, IntegratorOptions())
     _, traj = prop.with_state(truth).for_duration_with_traj(86_400.0)
 

@@ -57,6 +57,33 @@ def _precompute(N: int, M: int):
     return b_nm, c_nm, vr01, vr11, diag
 
 
+def _j2j3_accel(mu, radius_km, j2, j3, r, pole):
+    """Closed-form J2+J3 zonal acceleration in the inertial frame (f64).
+
+    `pole` is the body's spin-axis unit vector expressed inertially (third
+    row of the J2000->body DCM); with u = r/|r| and s = pole.u (geocentric
+    sin-latitude), the Vallado vector forms are
+      a_J2 = -(3/2) J2 mu R^2/r^4 [(1-5 s^2) u + 2 s pole]
+      a_J3 = -(5/2) J3 mu R^3/r^5 [(3 s-7 s^3) u + 3(s^2-1/5) pole]
+    Only ~35 flops — lets the TPU split precision keep the two dominant
+    zonals (the terms whose f32 evaluation-point noise integrates to
+    meters/day) in f64 without any f64 trig, rotation or recursion.
+    """
+    rmag = jnp.linalg.norm(r, axis=-1, keepdims=True)
+    u = r / rmag
+    s = jnp.sum(pole * u, axis=-1, keepdims=True)
+    rho2 = (radius_km / rmag) ** 2
+    mu_r2 = mu / (rmag * rmag)
+    c2 = -1.5 * j2 * mu_r2 * rho2
+    a = c2 * ((1.0 - 5.0 * s * s) * u + (2.0 * s) * pole)
+    if j3 != 0.0:
+        c3 = -2.5 * j3 * mu_r2 * rho2 * (radius_km / rmag)
+        a = a + c3 * (
+            (3.0 * s - 7.0 * s**3) * u + 3.0 * (s * s - 0.2) * pole
+        )
+    return a
+
+
 @dataclass(frozen=True)
 class Harmonics:
     """A gravity-field acceleration model (jit-static wrapper).
@@ -87,6 +114,9 @@ class Harmonics:
     #: step collapses chasing that noise — use "f64" there. Validated for
     #: Earth LEO 21x21 at tolerance 1e-9 (sub-meter vs f64 over 1 day).
     precision: str = "f64"
+    #: unnormalized J2/J3 captured for precision="split" (zeroed in tables)
+    j2: float = 0.0
+    j3: float = 0.0
     MIXED_SPLIT_DEGREE = 3
 
     @classmethod
@@ -99,6 +129,17 @@ class Harmonics:
         S = np.zeros((N + 2, W))
         C[: N + 1, : M + 1] = stor.c_nm
         S[: N + 1, : M + 1] = stor.s_nm
+        # precision="split": the two dominant zonals go through the f64
+        # closed form (_j2j3_accel); zero them in the recursion tables so
+        # the f32 recursion carries only low-sensitivity terms.
+        j2 = j3 = 0.0
+        if precision == "split":
+            if N >= 2:
+                j2 = -np.sqrt(5.0) * C[2, 0]  # unnormalize C̄20
+                C[2, 0] = 0.0
+            if N >= 3:
+                j3 = -np.sqrt(7.0) * C[3, 0]
+                C[3, 0] = 0.0
 
         # Pack per-scan-step rows for n = 2..N+1 (accumulating degree q=n-1)
         ns = np.arange(2, N + 2)
@@ -128,6 +169,8 @@ class Harmonics:
             max_order=M,
             frame=stor.frame,
             precision=precision,
+            j2=float(j2),
+            j3=float(j3),
         )
 
     def __hash__(self):
@@ -142,10 +185,30 @@ class Harmonics:
 
     def accel(self, ctx, t_tdb, r, v):
         """Inertial-frame acceleration: rotate to the gravity frame, run the
-        Pines recursion, rotate back (gravity_field.rs:148-268)."""
+        Pines recursion, rotate back (gravity_field.rs:148-268).
+
+        The whole computation runs at the dtype of `r`: the orientation
+        angles/trig stay f64 (angle reduction at f32 would misplace the
+        frame by meters) but the resulting DCM entries are cast, so an f32
+        caller pays no emulated-f64 rotation or recursion work.
+        """
         from ..cosmic.rotations import apply_dcm, apply_dcm_t
 
-        dcm = self.frame.dcm_from_j2000(t_tdb)  # [B, 3, 3]
+        dcm = self.frame.dcm_from_j2000(t_tdb)  # [B, 3, 3] f64
+        if self.precision == "split" and r.dtype == jnp.float64:
+            # f64 closed-form J2+J3 at the exact state (their evaluation-
+            # point sensitivity is what integrates to meters/day in f32);
+            # the rest of the field — whose sensitivity is ~1e3x smaller —
+            # runs as a single f32 recursion on the zeroed tables.
+            pole = dcm[..., 2, :]
+            a_low = _j2j3_accel(
+                self.mu_km3_s2, self.radius_km, self.j2, self.j3, r, pole
+            )
+            dcm32 = dcm.astype(jnp.float32)
+            r_bf32 = apply_dcm(dcm32, r.astype(jnp.float32))
+            a32 = self.accel_body_fixed(r_bf32)
+            return a_low + apply_dcm_t(dcm32, a32).astype(jnp.float64)
+        dcm = dcm.astype(r.dtype)
         r_bf = apply_dcm(dcm, r)
         a_bf = self.accel_body_fixed(r_bf)
         return apply_dcm_t(dcm, a_bf)
@@ -166,12 +229,18 @@ class Harmonics:
         measures ~10x slower on TPU at B=1e4..1e5).
         """
         split = self.MIXED_SPLIT_DEGREE
-        if self.precision == "mixed" and self.max_degree > split:
+        if (
+            self.precision == "mixed"
+            and self.max_degree > split
+            and r_bf.dtype == jnp.float64
+        ):
             low = self._accel_any(r_bf, q_hi=split)
             high32 = self._accel_any(
                 r_bf.astype(jnp.float32), q_lo=split
             )
             return low + high32.astype(r_bf.dtype)
+        # an f32 caller already chose the speed/precision split upstream:
+        # one single-dtype recursion
         return self._accel_any(r_bf)
 
     def _accel_any(self, r_bf, q_lo: int = 0, q_hi: int = 0):

@@ -115,11 +115,21 @@ class OrbitalDynamics:
             out.extend(getattr(m, "required_bodies", lambda: ())())
         return out
 
-    def accel(self, ctx: EomContext, t_tdb, r, v):
-        """Total acceleration [B,3] including the central two-body term."""
+    def two_body_accel(self, ctx: EomContext, r):
+        """Central-body term only, in the dtype of `r`."""
         rmag_kd = jnp.linalg.norm(r, axis=-1, keepdims=True)
         rhat = r / rmag_kd
-        a = -ctx.frame.mu * rhat / (rmag_kd * rmag_kd)
+        return -ctx.frame.mu * rhat / (rmag_kd * rmag_kd)
+
+    def perturbation_accel(self, ctx: EomContext, t_tdb, r, v):
+        """Sum of the non-two-body models, in the dtype of `r`."""
+        a = jnp.zeros_like(r)
         for m in self.models:
             a = a + m.accel(ctx, t_tdb, r, v)
         return a
+
+    def accel(self, ctx: EomContext, t_tdb, r, v):
+        """Total acceleration [B,3] including the central two-body term."""
+        return self.two_body_accel(ctx, r) + self.perturbation_accel(
+            ctx, t_tdb, r, v
+        )

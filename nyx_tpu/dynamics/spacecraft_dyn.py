@@ -34,11 +34,21 @@ class SpacecraftDynamics:
         force_models: Sequence = (),
         guidance=None,
         decrement_mass: bool = True,
+        pert_precision: str = "f64",
     ):
         self.orbital_dyn = orbital_dyn
         self.force_models = tuple(force_models)
         self.guidance = guidance
         self.decrement_mass = decrement_mass
+        #: "f64": every acceleration at the state dtype (reference parity).
+        #: "f32": the TPU speed split — two-body and the state update stay
+        #: f64, the ENTIRE perturbation stack (harmonics incl. frame
+        #: rotation, third bodies, SRP, drag, tides) evaluates in f32.
+        #: Perturbations are <= ~1e-5 km/s^2, so their f32 absolute error
+        #: (~1e-12 km/s^2) random-walks to well under a meter over day-long
+        #: LEO arcs (validated in tests) while skipping all emulated-f64
+        #: work in the hot recursion, trig rotations and shadow geometry.
+        self.pert_precision = pert_precision
 
     # reference constructors: SpacecraftDynamics::new / from_models
     @classmethod
@@ -130,7 +140,18 @@ class SpacecraftDynamics:
                 drag_area_m2=p["drag_area_m2"],
                 mass_kg=mass,
             )
-            a = self.orbital_dyn.accel(ctx, t_tdb, r, v)
+            if (
+                self.pert_precision == "f32"
+                and r.dtype == jnp.float64
+                and self.orbital_dyn.models
+            ):
+                a = self.orbital_dyn.two_body_accel(ctx, r)
+                ap = self.orbital_dyn.perturbation_accel(
+                    ctx, t_tdb, r.astype(jnp.float32), v.astype(jnp.float32)
+                )
+                a = a + ap.astype(r.dtype)
+            else:
+                a = self.orbital_dyn.accel(ctx, t_tdb, r, v)
             if self.force_models:
                 # Force models (SRP/drag) are <= ~1e-9 km/s^2: evaluate them
                 # at f32 VPU rate and cast the sum back up. f32 rounding

@@ -47,10 +47,13 @@ class MonteCarlo:
         states = self.random_state.sample(key, skip + n)
         return states[skip:]
 
-    def _compiled(self, prop, with_shm_capture, mesh):
+    def _compiled(self, prop, mesh, n_capture=0, capture_stride=1):
         # key on identity but retain the objects: a GC'd Propagator/mesh id
         # could otherwise be reused and return a stale compiled EOM
-        cache_key = (id(prop), with_shm_capture, id(mesh) if mesh is not None else None)
+        cache_key = (
+            id(prop), n_capture, capture_stride,
+            id(mesh) if mesh is not None else None,
+        )
         hit = self._jit_cache.get(cache_key)
         if hit is not None and hit[0] is prop and hit[1] is mesh:
             return hit[2]
@@ -66,6 +69,8 @@ class MonteCarlo:
                 duration_s,
                 opts,
                 method,
+                n_capture=n_capture,
+                capture_stride=capture_stride,
                 finally_fn=finally_fn,
                 eom_args=(ctx, sc_params),
             )
@@ -104,6 +109,8 @@ class MonteCarlo:
         skip: int = 0,
         mesh=None,
         max_lanes_per_call: int = 0,
+        n_capture: int = 0,
+        capture_stride: int = 1,
         _y0=None,
     ) -> Results:
         """Propagate n dispersed samples to an epoch; returns Results.
@@ -114,6 +121,11 @@ class MonteCarlo:
         calls of at most that many lanes (per-chip working-set control for
         very large ensembles); results are identical to one big call since
         lanes are independent.
+        `n_capture` > 0 retains per-run trajectories: every
+        `capture_stride`-th accepted step lands in a [B, n_capture, N]
+        device buffer (the TPU analogue of the reference's per-run Traj,
+        mc/results.rs:48-242), enabling Results.every_value_of and
+        ensemble trajectory export.
         """
         if max_lanes_per_call and n > max_lanes_per_call:
             # generate ALL states once (a per-chunk `sample(skip+n)` call
@@ -138,7 +150,7 @@ class MonteCarlo:
                 srp_area_m2=template.srp_area_m2,
                 drag_area_m2=template.drag_area_m2,
             )
-            run = self._compiled(prop, False, mesh)
+            run = self._compiled(prop, mesh, n_capture, capture_stride)
             handles = []
             for k in range(n_chunks):
                 sl = slice(k * max_lanes_per_call, (k + 1) * max_lanes_per_call)
@@ -152,12 +164,8 @@ class MonteCarlo:
             for k, res in enumerate(handles):
                 take = min(max_lanes_per_call, n - k * max_lanes_per_call)
                 chunks.append(
-                    Results(
-                        epoch0=epoch0, end_epoch=end_epoch, template=template,
-                        y_final=np.asarray(res.y)[:take],
-                        status=np.asarray(res.status[:take]),
-                        n_accepted=np.asarray(res.n_accepted[:take]),
-                        n_rejected=np.asarray(res.n_rejected[:take]),
+                    self._results(
+                        epoch0, end_epoch, template, res, take, n_capture
                     )
                 )
             return Results.concatenate(chunks)
@@ -180,18 +188,58 @@ class MonteCarlo:
             srp_area_m2=template.srp_area_m2,
             drag_area_m2=template.drag_area_m2,
         )
-        run = self._compiled(prop, False, mesh)
+        run = self._compiled(prop, mesh, n_capture, capture_stride)
         res = run(y0, duration_s, ctx, sc_params)
+        return self._results(epoch0, end_epoch, template, res, n, n_capture)
+
+    @staticmethod
+    def _results(epoch0, end_epoch, template, res, take, n_capture):
         return Results(
             epoch0=epoch0,
             end_epoch=end_epoch,
             template=template,
-            y_final=np.asarray(res.y)[:n],
-            status=np.asarray(res.status[:n]),
-            n_accepted=np.asarray(res.n_accepted[:n]),
-            n_rejected=np.asarray(res.n_rejected[:n]),
+            y_final=np.asarray(res.y)[:take],
+            status=np.asarray(res.status)[:take],
+            n_accepted=np.asarray(res.n_accepted)[:take],
+            n_rejected=np.asarray(res.n_rejected)[:take],
+            traj_t=np.asarray(res.traj_t)[:take] if n_capture else None,
+            traj_y=np.asarray(res.traj_y)[:take] if n_capture else None,
+            traj_len=np.asarray(res.traj_len)[:take] if n_capture else None,
         )
 
     # reference alias
     def resume_run_until_epoch(self, prop, almanac, end_epoch, skip, n, mesh=None):
         return self.run_until_epoch(prop, almanac, end_epoch, n, skip=skip, mesh=mesh)
+
+    # ------------------------------------------------------------------
+    def run_until_nth_event(
+        self,
+        prop,
+        almanac,
+        max_duration,
+        event,
+        trigger: int,
+        n: int,
+        skip: int = 0,
+        mesh=None,
+        n_capture: int = 1024,
+        capture_stride: int = 1,
+    ) -> Results:
+        """Propagate n dispersed samples until the `trigger`-th occurrence
+        of `event` per lane (mc/montecarlo.rs:188-279 run_until_nth_event).
+
+        TPU design: every lane propagates the full `max_duration` with
+        trajectory capture, then the nth zero-crossing is located per lane
+        by a batched sign-change count + vectorized bisection on the cubic
+        Hermite segment — no per-lane host loops. Lanes that never reach
+        the nth crossing keep their final state with `event_found[b]=False`.
+        """
+        dur_s = _secs(max_duration)
+        template = self.random_state.template
+        end_epoch = template.epoch + dur_s
+        results = self.run_until_epoch(
+            prop, almanac, end_epoch, n, skip=skip, mesh=mesh,
+            n_capture=n_capture, capture_stride=capture_stride,
+        )
+        results.locate_nth_event(event, trigger)
+        return results

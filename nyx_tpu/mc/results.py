@@ -17,6 +17,30 @@ from ..md import param as param_mod
 from ..time import Epoch
 
 
+def _hermite_cubic(t0, t1, y0, y1, t):
+    """Two-point cubic Hermite on captured steps: y = [.., r(3), v(3), ..];
+    interpolates position with matching end velocities, velocity with the
+    cubic's derivative, everything else linearly. Shapes broadcast over
+    leading axes; t in [t0, t1]."""
+    h = np.maximum(t1 - t0, 1e-12)
+    s = np.clip((t - t0) / h, 0.0, 1.0)[..., None]
+    h00 = 2 * s**3 - 3 * s**2 + 1
+    h10 = s**3 - 2 * s**2 + s
+    h01 = -2 * s**3 + 3 * s**2
+    h11 = s**3 - s**2
+    d00 = (6 * s**2 - 6 * s) / h[..., None]
+    d10 = (3 * s**2 - 4 * s + 1)
+    d01 = (-6 * s**2 + 6 * s) / h[..., None]
+    d11 = (3 * s**2 - 2 * s)
+    r0, v0 = y0[..., 0:3], y0[..., 3:6]
+    r1, v1 = y1[..., 0:3], y1[..., 3:6]
+    hN = h[..., None]
+    out = y0 + (y1 - y0) * s  # linear for mass/Cr/Cd columns
+    out[..., 0:3] = h00 * r0 + h10 * hN * v0 + h01 * r1 + h11 * hN * v1
+    out[..., 3:6] = d00 * r0 + d10 * v0 + d01 * r1 + d11 * v1
+    return out
+
+
 @dataclass
 class Results:
     epoch0: Epoch
@@ -26,10 +50,22 @@ class Results:
     status: np.ndarray  # [B]
     n_accepted: np.ndarray
     n_rejected: np.ndarray
+    #: per-run capture buffers (None unless run with n_capture > 0)
+    traj_t: Optional[np.ndarray] = None  # [B, K] rel s (valid: traj_len)
+    traj_y: Optional[np.ndarray] = None  # [B, K, N]
+    traj_len: Optional[np.ndarray] = None  # [B]
+    #: set by locate_nth_event
+    event_t: Optional[np.ndarray] = None  # [B] rel s of the nth crossing
+    event_y: Optional[np.ndarray] = None  # [B, N] state at the crossing
+    event_found: Optional[np.ndarray] = None  # [B] bool
 
     @property
     def n_runs(self) -> int:
         return self.y_final.shape[0]
+
+    @property
+    def has_trajectories(self) -> bool:
+        return self.traj_t is not None
 
     @property
     def n_ok(self) -> int:
@@ -52,30 +88,181 @@ class Results:
     def final_state(self, index: int) -> Spacecraft:
         return self.template.set_vector(self.end_epoch, self.y_final[index])
 
+    # -- per-run trajectories (mc/results.rs Run.dispersed_state.traj) ----
+    def trajectory(self, index: int):
+        """The captured trajectory of one run as a Trajectory."""
+        if not self.has_trajectories:
+            raise ValueError("run with n_capture > 0 to retain trajectories")
+        from ..md.trajectory import Trajectory
+
+        k = int(self.traj_len[index])
+        # prepend the initial sample if the first captured step is not t=0
+        ts = self.traj_t[index, :k]
+        ys = self.traj_y[index, :k]
+        return Trajectory.from_capture(self.epoch0, ts, ys, self.template)
+
+    def _interp_all(self, t_rel: np.ndarray) -> np.ndarray:
+        """[B, G, N] ensemble states at shared grid epochs `t_rel` [G],
+        vectorized two-point cubic Hermite on the capture buffers."""
+        if not self.has_trajectories:
+            raise ValueError("run with n_capture > 0 to retain trajectories")
+        B, K, N = self.traj_y.shape
+        G = len(t_rel)
+        out = np.empty((B, G, N))
+        for b in range(B):  # searchsorted per lane; vector math per lane
+            k = int(self.traj_len[b])
+            ts = self.traj_t[b, :k]
+            ys = self.traj_y[b, :k]
+            idx = np.clip(np.searchsorted(ts, t_rel), 1, k - 1)
+            out[b] = _hermite_cubic(
+                ts[idx - 1], ts[idx], ys[idx - 1], ys[idx], t_rel
+            )
+        return out
+
+    def every_value_of(self, parameter: str, step, value_if_run_failed=None):
+        """(t_rel_s [G], values [B, G]) of a StateParameter sampled at a
+        fixed step across the whole ensemble (mc/results.rs every_value_of)."""
+        from ..propagators.instance import _secs
+
+        step_s = _secs(step)
+        dur = float((self.end_epoch - self.epoch0).to_seconds())
+        ts = np.arange(0.0, dur + 1e-9, step_s)
+        ys = self._interp_all(ts)
+        frame = self.template.frame
+        B, G, N = ys.shape
+        vals = np.asarray(
+            param_mod.value(
+                parameter,
+                jnp.asarray(ys.reshape(B * G, N)[:, :9]),
+                frame.mu,
+                frame.radius_km or 0.0,
+            )
+        ).reshape(B, G)
+        if value_if_run_failed is not None:
+            from ..propagators.integrator import DONE
+
+            vals[self.status != DONE] = value_if_run_failed
+        return ts, vals
+
+    def locate_nth_event(self, event, trigger: int) -> None:
+        """Per-lane nth zero-crossing of `event` over the capture buffers:
+        batched sign-change count + vectorized bisection on the bracketing
+        cubic-Hermite segment. Sets event_t/event_y/event_found."""
+        if not self.has_trajectories:
+            raise ValueError("run with n_capture > 0 to locate events")
+        frame = self.template.frame
+        mu, radius = frame.mu, frame.radius_km or 0.0
+        B, K, N = self.traj_y.shape
+        g = np.asarray(
+            event.g(jnp.asarray(self.traj_y.reshape(B * K, N)[:, :9]), mu, radius)
+        ).reshape(B, K)
+        valid = np.arange(K)[None, :] < self.traj_len[:, None]
+        sign_flip = (g[:, :-1] * g[:, 1:] < 0.0) & valid[:, 1:] & valid[:, :-1]
+        if event.parameter.lower() in param_mod.StateParameter.ANGLES_DEG:
+            # drop wrap-around flips (the event g is already wrapped to
+            # +-180, so a genuine crossing has a small |jump|)
+            sign_flip &= np.abs(g[:, 1:] - g[:, :-1]) < 180.0
+        count = np.cumsum(sign_flip, axis=1)
+        hit = sign_flip & (count == trigger)
+        found = hit.any(axis=1)
+        seg = np.where(found, hit.argmax(axis=1), 0)  # crossing in [seg, seg+1]
+        lanes = np.arange(B)
+        t_lo = self.traj_t[lanes, seg]
+        t_hi = self.traj_t[lanes, seg + 1]
+        y_lo = self.traj_y[lanes, seg]
+        y_hi = self.traj_y[lanes, seg + 1]
+
+        # vectorized bisection on the Hermite segment (all lanes at once)
+        a, b = t_lo.copy(), t_hi.copy()
+        g_lo = g[lanes, seg]
+        for _ in range(40):
+            mid = 0.5 * (a + b)
+            y_mid = _hermite_cubic(t_lo, t_hi, y_lo, y_hi, mid)
+            g_mid = np.asarray(event.g(jnp.asarray(y_mid[:, :9]), mu, radius))
+            left = g_lo * g_mid > 0.0
+            a = np.where(left, mid, a)
+            g_lo = np.where(left, g_mid, g_lo)
+            b = np.where(left, b, mid)
+        t_ev = 0.5 * (a + b)
+        y_ev = _hermite_cubic(t_lo, t_hi, y_lo, y_hi, t_ev)
+        self.event_t = np.where(found, t_ev, self.traj_t[lanes, np.maximum(self.traj_len - 1, 0)])
+        self.event_y = np.where(found[:, None], y_ev, self.y_final)
+        self.event_found = found
+
+    def event_state(self, index: int) -> Spacecraft:
+        if self.event_t is None:
+            raise ValueError("call locate_nth_event (or run_until_nth_event) first")
+        return self.template.set_vector(
+            self.epoch0 + float(self.event_t[index]), self.event_y[index][:9]
+        )
+
     def truncated(self, n: int) -> "Results":
         """First n runs (drops chunk padding)."""
+        sl = lambda a: None if a is None else a[:n]
         return Results(
             self.epoch0, self.end_epoch, self.template,
             self.y_final[:n], self.status[:n],
             self.n_accepted[:n], self.n_rejected[:n],
+            sl(self.traj_t), sl(self.traj_y), sl(self.traj_len),
+            sl(self.event_t), sl(self.event_y), sl(self.event_found),
         )
 
     @classmethod
     def concatenate(cls, chunks: list) -> "Results":
         first = chunks[0]
+
+        def cat(name):
+            if getattr(first, name) is None:
+                return None
+            return np.concatenate([getattr(c, name) for c in chunks])
+
         return cls(
             first.epoch0, first.end_epoch, first.template,
-            np.concatenate([c.y_final for c in chunks]),
-            np.concatenate([c.status for c in chunks]),
-            np.concatenate([c.n_accepted for c in chunks]),
-            np.concatenate([c.n_rejected for c in chunks]),
+            cat("y_final"), cat("status"), cat("n_accepted"), cat("n_rejected"),
+            cat("traj_t"), cat("traj_y"), cat("traj_len"),
+            cat("event_t"), cat("event_y"), cat("event_found"),
         )
 
-    def to_parquet(self, path, fields=("x", "y", "z", "vx", "vy", "vz", "sma", "ecc", "inc")) -> str:
+    def to_parquet(
+        self,
+        path,
+        fields=("x", "y", "z", "vx", "vy", "vz", "sma", "ecc", "inc"),
+        trajectories: bool = False,
+        step=None,
+    ) -> str:
+        """Final-state ensemble export, or (trajectories=True) the full
+        ensemble time history — one row per (run, epoch) — matching the
+        reference's whole-ensemble parquet export (mc/results.rs:48-242,
+        the JWST example's 5000-run artifact)."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         from ..io.export import WATERMARK
+
+        if trajectories:
+            from ..propagators.instance import _secs
+
+            if not self.has_trajectories:
+                raise ValueError("run with n_capture > 0 to export trajectories")
+            step_s = _secs(step) if step is not None else 60.0
+            ts, _ = self.every_value_of("x", step_s)  # grid only
+            ys = self._interp_all(ts)
+            B, G, N = ys.shape
+            frame = self.template.frame
+            cols = {
+                "run": np.repeat(np.arange(B), G),
+                "epoch_rel_s": np.tile(ts, B),
+            }
+            flat = ys.reshape(B * G, N)[:, :9]
+            for f in fields:
+                cols[f] = np.asarray(
+                    param_mod.value(
+                        f, jnp.asarray(flat), frame.mu, frame.radius_km or 0.0
+                    )
+                )
+            table = pa.table(cols).replace_schema_metadata(WATERMARK)
+            pq.write_table(table, path, compression="zstd")
+            return str(path)
 
         cols = {"run": np.arange(self.n_runs), "status": self.status}
         for f in fields:

@@ -171,8 +171,26 @@ class GroundStation:
         rr = jnp.dot(rho_sez, rhod_sez) / rng
         return az, el, rng, rr
 
+    def _light_time_backdate(self, t_tdb_s, rv6):
+        """Downlink light-time (LT aberration) correction: evaluate the
+        spacecraft where it was when the received signal left it, i.e. at
+        t - tau with tau = rho(t - tau)/c from two fixed-point iterations
+        (the reference delegates this to ANISE Aberration::LT,
+        trk_device.rs:79-100). The backdating is linear in velocity; the
+        tau^2*a/2 truncation is ~mm at LEO ranges. Differentiable and
+        vmappable, so filter partials include the correction."""
+        from ..constants import SPEED_OF_LIGHT_KM_S
+
+        r_st, _ = self.inertial_posvel(t_tdb_s)
+        r, v = rv6[0:3], rv6[3:6]
+        tau = jnp.linalg.norm(r - r_st) / SPEED_OF_LIGHT_KM_S
+        tau = jnp.linalg.norm(r - tau * v - r_st) / SPEED_OF_LIGHT_KM_S
+        return jnp.concatenate([r - tau * v, v])
+
     # ------------------------------------------------------------------
     def _one_way(self, t_tdb_s, rv6, types):
+        if self.light_time_correction:
+            rv6 = self._light_time_backdate(t_tdb_s, rv6)
         az, el, rng, rr = self.azimuth_elevation_range(t_tdb_s, rv6)
         table = {
             MeasurementType.RANGE_KM: rng,

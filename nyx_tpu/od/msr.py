@@ -28,11 +28,29 @@ class MeasurementType:
     X_KM = "x_km"
     Y_KM = "y_km"
     Z_KM = "z_km"
+    #: raw radiometric frequency observables (Hz / Hz/s). As in the
+    #: reference (types.rs:105-116), these cannot be simulated or filtered
+    #: directly — the TDM reader converts RECEIVE/TRANSMIT_FREQ pairs into
+    #: Doppler range-rate via the turnaround ratio (io_ccsds_tdm.rs:261-370).
+    RECEIVE_FREQ_HZ = "receive_freq"
+    TRANSMIT_FREQ_HZ = "transmit_freq"
+    TRANSMIT_FREQ_RATE_HZ_S = "transmit_freq_rate"
 
-    ALL = (RANGE_KM, DOPPLER_KM_S, AZIMUTH_DEG, ELEVATION_DEG, X_KM, Y_KM, Z_KM)
+    ALL = (RANGE_KM, DOPPLER_KM_S, AZIMUTH_DEG, ELEVATION_DEG, X_KM, Y_KM, Z_KM,
+           RECEIVE_FREQ_HZ, TRANSMIT_FREQ_HZ, TRANSMIT_FREQ_RATE_HZ_S)
 
     #: types measured in degrees (residual wrapping)
     ANGLES = (AZIMUTH_DEG, ELEVATION_DEG)
+
+    #: raw frequency observables (TDM-parse only)
+    FREQUENCIES = (RECEIVE_FREQ_HZ, TRANSMIT_FREQ_HZ, TRANSMIT_FREQ_RATE_HZ_S)
+
+    UNITS = {
+        RANGE_KM: "km", DOPPLER_KM_S: "km/s", AZIMUTH_DEG: "deg",
+        ELEVATION_DEG: "deg", X_KM: "km", Y_KM: "km", Z_KM: "km",
+        RECEIVE_FREQ_HZ: "Hz", TRANSMIT_FREQ_HZ: "Hz",
+        TRANSMIT_FREQ_RATE_HZ_S: "Hz/s",
+    }
 
 
 @dataclass

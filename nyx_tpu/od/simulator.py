@@ -199,9 +199,14 @@ class TrackingArcSim:
             self.build_schedule(almanac)
         rng = np.random.default_rng(self.seed)
         dev_map = {d.name: d for d in self.devices}
-        noise_states = {
-            d.name: NoiseState(d.stochastic_noises, rng) for d in self.devices
-        }
+
+        def _noises(d):
+            n = dict(d.stochastic_noises)
+            if getattr(d, "timestamp_noise_s", None) is not None:
+                n["__timestamp__"] = d.timestamp_noise_s
+            return n
+
+        noise_states = {d.name: NoiseState(_noises(d), rng) for d in self.devices}
         epoch0 = self.traj.epoch0
         t0_tdb = epoch0.to_tdb_seconds()
         measurements: List[Measurement] = []
@@ -237,6 +242,11 @@ class TrackingArcSim:
                     continue
                 epoch = epoch0 + float(ts[i])
                 t_tai = epoch.to_tai_seconds()
+                # timestamp noise shifts the tagged epoch, sampled before
+                # the per-type noises as in the reference (trk_device.rs:
+                # noises[0] is the timestamp noise)
+                if getattr(dev, "timestamp_noise_s", None) is not None:
+                    epoch = epoch + nstate.sample("__timestamp__", t_tai, rng)
                 data = {
                     mtype: float(vals[k, j])
                     + noise_scale * nstate.sample(mtype, t_tai, rng)

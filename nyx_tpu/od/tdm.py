@@ -25,9 +25,11 @@ TDM_NAMES = {
     MeasurementType.DOPPLER_KM_S: "DOPPLER_INTEGRATED",
     MeasurementType.AZIMUTH_DEG: "ANGLE_1",
     MeasurementType.ELEVATION_DEG: "ANGLE_2",
+    MeasurementType.RECEIVE_FREQ_HZ: "RECEIVE_FREQ",
+    MeasurementType.TRANSMIT_FREQ_HZ: "TRANSMIT_FREQ",
+    MeasurementType.TRANSMIT_FREQ_RATE_HZ_S: "TRANSMIT_FREQ_RATE",
 }
 TDM_TYPES = {v: k for k, v in TDM_NAMES.items()}
-_UNSUPPORTED = ("RECEIVE_FREQ", "TRANSMIT_FREQ", "TRANSMIT_FREQ_RATE")
 
 
 def write_tdm(arc: TrackingDataArc, path, spacecraft_name: str = "SPACECRAFT",
@@ -71,12 +73,27 @@ def write_tdm(arc: TrackingDataArc, path, spacecraft_name: str = "SPACECRAFT",
 
 
 def read_tdm(path, aliases: Optional[Dict[str, str]] = None) -> TrackingDataArc:
-    """Parse a KVN TDM into a TrackingDataArc (io_ccsds_tdm.rs:86-418)."""
+    """Parse a KVN TDM into a TrackingDataArc (io_ccsds_tdm.rs:86-418).
+
+    RECEIVE_FREQ/TRANSMIT_FREQ(+RATE) observables are converted to
+    integrated-Doppler range-rate using the TURNAROUND_NUMERATOR /
+    TURNAROUND_DENOMINATOR metadata (CCSDS TDM v2 section 3.5.2.8.2,
+    io_ccsds_tdm.rs:261-370): with M2 the turnaround ratio and f_T the
+    rate-extrapolated transmit frequency,
+    ``rho_dot = (f_T * M2 - f_R) * c / (2 * f_T * M2)``. Frequency data
+    without a turnaround ratio is dropped with a warning.
+    CORRECTION_<keyword> metadata values are added to each observable
+    (io_ccsds_tdm.rs:276-296).
+    """
+    import warnings
+
     measurements: List[Measurement] = []
     in_data = False
     tracker = ""
     time_system = "UTC"
     divider = 1.0
+    metadata: Dict[str, str] = {}
+    range_modulus = None
 
     with open(path) as f:
         for raw in f:
@@ -91,6 +108,9 @@ def read_tdm(path, aliases: Optional[Dict[str, str]] = None) -> TrackingDataArc:
                 continue
 
             if not in_data:
+                if "=" in line:
+                    k, v = (s.strip() for s in line.split("=", 1))
+                    metadata[k] = v
                 if line.startswith("PARTICIPANT_1"):
                     tracker = line.split("=", 1)[1].strip()
                     if aliases and tracker in aliases:
@@ -119,8 +139,6 @@ def read_tdm(path, aliases: Optional[Dict[str, str]] = None) -> TrackingDataArc:
             if "=" not in line:
                 continue
             keyword, rest = (s.strip() for s in line.split("=", 1))
-            if keyword in _UNSUPPORTED:
-                continue
             if keyword not in TDM_TYPES:
                 continue
             parts = rest.split()
@@ -146,7 +164,90 @@ def read_tdm(path, aliases: Optional[Dict[str, str]] = None) -> TrackingDataArc:
             else:
                 measurements.append(Measurement(tracker, epoch, {mtype: v}))
 
-    return TrackingDataArc.from_measurements(measurements)
+    # CORRECTION_<name> metadata: additive corrections per observable
+    for mtype, kw in TDM_NAMES.items():
+        corr = metadata.get(f"CORRECTION_{kw}")
+        if corr is not None:
+            try:
+                c = float(corr)
+            except ValueError:
+                warnings.warn(f"invalid correction value for CORRECTION_{kw}")
+                continue
+            for m in measurements:
+                if mtype in m.data:
+                    m.data[mtype] += c
+
+    # Frequency observables -> integrated Doppler via the turnaround ratio
+    has_freq = any(
+        t in m.data for m in measurements for t in MeasurementType.FREQUENCIES
+    )
+    if has_freq:
+        turnaround = None
+        num = metadata.get("TURNAROUND_NUMERATOR")
+        den = metadata.get("TURNAROUND_DENOMINATOR")
+        if num is not None and den is not None:
+            try:
+                turnaround = float(int(num)) / float(int(den))
+            except ValueError:
+                turnaround = None
+        if turnaround is None:
+            warnings.warn(
+                "TDM contains frequency data but no valid TURNAROUND_"
+                "NUMERATOR/DENOMINATOR metadata; dropping frequency data"
+            )
+            for m in measurements:
+                for t in MeasurementType.FREQUENCIES:
+                    m.data.pop(t, None)
+        else:
+            from ..constants import SPEED_OF_LIGHT_KM_S
+
+            last_f = None
+            last_epoch = None
+            last_rate = 0.0
+            for m in measurements:
+                rate = m.data.get(MeasurementType.TRANSMIT_FREQ_RATE_HZ_S)
+                if rate is not None:
+                    if last_f is not None and last_epoch is not None:
+                        dt = m.epoch.to_tai_seconds() - last_epoch.to_tai_seconds()
+                        last_f = last_f + last_rate * dt
+                    last_epoch = m.epoch
+                    last_rate = rate
+                f_t = m.data.get(MeasurementType.TRANSMIT_FREQ_HZ)
+                if f_t is not None:
+                    last_f = f_t
+                    last_epoch = m.epoch
+                f_r = m.data.get(MeasurementType.RECEIVE_FREQ_HZ)
+                if f_r is None:
+                    for t in MeasurementType.FREQUENCIES:
+                        m.data.pop(t, None)
+                    continue
+                if last_f is None:
+                    warnings.warn(
+                        f"receive frequency at {m.epoch} before any transmit "
+                        "frequency; ignoring"
+                    )
+                    for t in MeasurementType.FREQUENCIES:
+                        m.data.pop(t, None)
+                    continue
+                dt = m.epoch.to_tai_seconds() - last_epoch.to_tai_seconds()
+                f_t_now = last_f + last_rate * dt
+                # CCSDS TDM v2 3.5.2.8.2 two-way Doppler shift
+                shift_hz = f_t_now * turnaround - f_r
+                rho_dot = shift_hz * SPEED_OF_LIGHT_KM_S / (2.0 * f_t_now * turnaround)
+                for t in MeasurementType.FREQUENCIES:
+                    m.data.pop(t, None)
+                m.data[MeasurementType.DOPPLER_KM_S] = rho_dot
+        measurements = [m for m in measurements if m.data]
+
+    moduli = None
+    if metadata.get("RANGE_MODULUS"):
+        try:
+            rm = float(metadata["RANGE_MODULUS"])
+            if rm > 0.0:
+                moduli = {MeasurementType.RANGE_KM: rm}
+        except ValueError:
+            pass
+    return TrackingDataArc.from_measurements(measurements, moduli=moduli)
 
 
 def _parse_epoch(iso: str, scale: str) -> Epoch:

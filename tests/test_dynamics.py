@@ -259,3 +259,56 @@ def test_mixed_precision_harmonics_validated_leo():
         finals[prec] = inst.for_duration(86_400.0).orbit.r_km
     diff = np.linalg.norm(finals["f64"] - finals["mixed"])
     assert diff < 1e-3, f"mixed vs f64 diverged by {diff*1e3:.1f} m over 1 day"
+
+
+def test_split_precision_harmonics_validated_leo():
+    """precision='split' (closed-form f64 J2+J3, the rest of the field as
+    one f32 recursion on zeroed tables) stays sub-meter vs full f64 over a
+    1-day LEO arc with 21x21 gravity + drag + SRP at the benchmark
+    tolerance — the validity envelope of the TPU speed split."""
+    from nyx_tpu.dynamics import Drag, SolarPressure
+    from nyx_tpu.ephem.almanac import Almanac
+    from nyx_tpu.propagators import IntegratorOptions, Propagator
+
+    stor = GravityFieldData.from_cof(JGM3, 21, 21, True, Frames.IAU_EARTH)
+    epoch = Epoch.from_gregorian_utc(2021, 3, 4)
+    orbit = Orbit.keplerian(7136.6, 2e-4, 51.6, 30.0, 65.0, 80.0, epoch, Frames.EME2000)
+    sc = Spacecraft.new(orbit, 100.0, 0.0, 2.0, 2.0, 1.8, 2.2)
+    opts = IntegratorOptions.with_adaptive_step(0.1, 2700.0, 1e-9)
+    alm = Almanac()
+    finals = {}
+    for prec in ("f64", "split"):
+        dyn = SpacecraftDynamics(
+            OrbitalDynamics.from_model(
+                Harmonics.from_stor(stor, precision=prec), Frames.EME2000
+            ),
+            (SolarPressure.default(), Drag.earth_exp()),
+        )
+        inst = Propagator.rk89(dyn, opts).with_state(sc, alm)
+        finals[prec] = inst.for_duration(86_400.0).orbit.r_km
+    diff = np.linalg.norm(finals["f64"] - finals["split"])
+    assert diff < 1e-3, f"split vs f64 diverged by {diff*1e3:.1f} m over 1 day"
+
+
+def test_j2j3_closed_form_matches_recursion():
+    """The f64 closed-form J2+J3 (_j2j3_accel) matches a degree-3-zonal
+    recursion evaluation to machine precision (Vallado vector forms)."""
+    import jax.numpy as jnp
+
+    from nyx_tpu.dynamics.gravity import _j2j3_accel
+
+    stor = GravityFieldData.from_cof(JGM3, 3, 0, True, Frames.IAU_EARTH)
+    full = Harmonics.from_stor(stor, precision="f64")
+    split = Harmonics.from_stor(stor, precision="split")
+    rng = np.random.default_rng(4)
+    r_bf = jnp.asarray(rng.normal(size=(16, 3)) * 1500 + np.array([6000.0, 1000, 3000]))
+    a_full = np.asarray(full.accel_body_fixed(r_bf))
+    pole = jnp.asarray(np.tile([0.0, 0.0, 1.0], (16, 1)))
+    a_low = np.asarray(
+        _j2j3_accel(full.mu_km3_s2, full.radius_km, split.j2, split.j3, r_bf, pole)
+    )
+    a_rest = np.asarray(split.accel_body_fixed(r_bf))
+    # body frame: pole == z, so closed form + zeroed-table recursion == full
+    err = np.abs(a_full - (a_low + a_rest)).max()
+    scale = np.abs(a_full).max()
+    assert err < 1e-9 * scale + 1e-18, (err, scale)

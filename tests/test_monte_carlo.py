@@ -105,6 +105,94 @@ def test_sharded_matches_unsharded(setup):
     np.testing.assert_allclose(plain.y_final, sharded.y_final, rtol=0, atol=1e-9)
 
 
+def test_trajectory_retention_and_queries(setup, tmp_path):
+    """n_capture retains per-run trajectories; every_value_of and the
+    full-ensemble parquet export work (mc/results.rs:48-242)."""
+    sc, mvn, prop = setup
+    mc = MonteCarlo(mvn, seed=21)
+    res = mc.run_until_epoch(
+        prop, None, EPOCH + 10_800.0, 24, n_capture=256
+    )
+    assert res.has_trajectories
+    assert res.traj_len.min() > 3
+    # per-run Trajectory round-trip: the last captured state is the final
+    tr0 = res.trajectory(0)
+    np.testing.assert_allclose(tr0.ys[-1][:6], res.y_final[0][:6], atol=1e-9)
+    # sma is a two-body invariant: every_value_of must be flat per run
+    ts, smas = res.every_value_of("sma", 300.0)
+    assert smas.shape == (24, len(ts))
+    assert np.abs(smas - smas[:, :1]).max() < 5e-3  # interpolation-level
+    # full-ensemble export: one row per (run, epoch)
+    p = res.to_parquet(tmp_path / "ens.pq", trajectories=True, step=600.0)
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(p)
+    assert table.num_rows == 24 * len(np.arange(0.0, 10_800.0 + 1e-9, 600.0))
+    assert "sma" in table.column_names
+
+
+def test_run_until_nth_event_apoapsis(setup):
+    """Event-stopped MC: every lane stops at its 2nd apoapsis
+    (mc/montecarlo.rs run_until_nth_event)."""
+    from nyx_tpu.md.events import Event
+
+    sc, mvn, prop = setup
+    mc = MonteCarlo(mvn, seed=5)
+    # LEO period ~6030 s: two apoapses within 4 hours
+    res = mc.run_until_nth_event(
+        prop, None, 14_400.0, Event.apoapsis(), 2, 16, n_capture=512
+    )
+    assert res.event_found.all()
+    import jax.numpy as jnp
+
+    from nyx_tpu.md.param import value
+
+    tas = np.asarray(
+        value("ta", jnp.asarray(res.event_y[:, :9]), sc.frame.mu)
+    )
+    err = np.abs((tas - 180.0 + 180.0) % 360.0 - 180.0)
+    assert err.max() < 0.5, f"apoapsis TA error up to {err.max()} deg"
+    # 2nd apoapsis: between one and two periods in
+    period = 2 * np.pi * np.sqrt(7136.6**3 / sc.frame.mu)
+    assert np.all(res.event_t > period)
+    assert np.all(res.event_t < 2.2 * period)
+    # the event state is self-consistent with its epoch
+    st = res.event_state(3)
+    assert abs((st.epoch - EPOCH).to_seconds() - res.event_t[3]) < 1e-6
+
+
+def test_mc_helpers_dv_errors(setup):
+    """unit_vector_from_seed / dv pointing + execution errors
+    (mc/helpers.rs:25-80): pointing error preserves magnitude; statistics
+    match the requested 3-sigma scales."""
+    from nyx_tpu.mc.helpers import (
+        dv_execution_error,
+        dv_pointing_error,
+        unit_vector_from_seed,
+    )
+
+    rng = np.random.default_rng(42)
+    units = unit_vector_from_seed(rng, 2000)
+    np.testing.assert_allclose(np.linalg.norm(units, axis=-1), 1.0, atol=1e-12)
+    # uniform on the sphere: component means ~0
+    assert np.abs(units.mean(axis=0)).max() < 0.05
+
+    # dv aligned with the current pointing: cur_angle = 0, so the new angle
+    # is N(0, err/3) and the cos projection stays within eps of the
+    # magnitude (the reference semantics: dv_hat * cos(new_angle) * |dv|)
+    v = np.tile([0.0, 7.5, 0.0], (2000, 1))
+    dv = np.tile([0.0, 5e-3, 0.0], (2000, 1))
+    dv_perr = dv_pointing_error(v, dv, 0.1, rng)
+    mags = np.linalg.norm(dv_perr, axis=-1)
+    assert np.all(mags <= 5e-3 + 1e-18)  # cos never exceeds 1
+    np.testing.assert_allclose(mags, 5e-3, atol=1e-4)  # cos(~5 sigma) tail
+    dv_exec = dv_execution_error(v, dv, 0.1, 5e-4, rng)
+    emags = np.linalg.norm(dv_exec, axis=-1)
+    assert abs(np.std(emags) - 5e-4 / 3.0) < 5e-5
+    with pytest.raises(ValueError):
+        dv_pointing_error(v, dv, 1.5, rng)
+
+
 def test_resume_run_until_epoch_skips(setup):
     sc, mvn, prop = setup
     mc = MonteCarlo(mvn, seed=13)

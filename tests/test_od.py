@@ -401,6 +401,141 @@ class TestTwoWay:
                 assert abs(b0.data[k] - v) < 1e-9, (k, v, b0.data[k])
 
 
+class TestLightTimeAndTimestamp:
+    """Light-time correction and timestamp noise (trk_device.rs:36-230)."""
+
+    def test_light_time_magnitude_and_consistency(self, two_body_prop,
+                                                  truth_setup):
+        """LT correction changes range by ~rho_dot*rho/c; a filter whose
+        devices share the LT setting recovers the truth either way."""
+        import jax.numpy as jnp
+        from dataclasses import replace as _replace
+
+        truth_sc, traj = truth_setup
+        gs = _white_only(GroundStation.dss65_madrid(10.0))
+        t_tdb = jnp.float64(truth_sc.epoch.to_tdb_seconds()) + 7200.0
+        rv6 = jnp.asarray(traj.interpolate(7200.0)[:6])
+        types = (MeasurementType.RANGE_KM, MeasurementType.DOPPLER_KM_S)
+        plain = np.asarray(gs._one_way(t_tdb, rv6, types))
+        gs_lt = _replace(gs, light_time_correction=True)
+        gs_lt.stochastic_noises = gs.stochastic_noises
+        corrected = np.asarray(gs_lt._one_way(t_tdb, rv6, types))
+        rho = plain[0]
+        c_km_s = 299_792.458
+        # backdating moves only the spacecraft: drho = -tau * (v_sc . rho_hat)
+        r_st, _ = gs.inertial_posvel(t_tdb)
+        u = np.asarray(rv6[:3] - r_st)
+        u = u / np.linalg.norm(u)
+        expected_drho = -(rho / c_km_s) * float(np.dot(np.asarray(rv6[3:6]), u))
+        assert abs((corrected[0] - plain[0]) - expected_drho) < 0.02 * abs(
+            expected_drho
+        ) + 1e-6, (corrected[0] - plain[0], expected_drho)
+
+        # end-to-end: simulate WITH LT, filter WITH LT -> truth recovered
+        stations = [gs_lt, _replace(
+            _white_only(GroundStation.dss34_canberra(10.0)),
+            light_time_correction=True,
+        )]
+        stations[1].stochastic_noises = _white_only(
+            GroundStation.dss34_canberra(10.0)
+        ).stochastic_noises
+        cfg = TrkConfig(sampling_s=60.0, scheduler=Scheduler(min_samples=5))
+        sim = TrackingArcSim.with_seed(
+            stations, traj, {g.name: cfg for g in stations}, seed=3
+        )
+        arc_lt = sim.generate_measurements()
+        assert len(arc_lt) > 100
+        rng = np.random.default_rng(5)
+        initial_estimate, init_err_km = _dispersed_estimate(truth_sc, rng)
+        od = KalmanODProcess(
+            two_body_prop, variant=KalmanVariant.ReferenceUpdate,
+            resid_rejection_sigmas=None,
+        )
+        sol = od.process_arc(initial_estimate, arc_lt, stations)
+        final_err = _pos_err_km(sol.final_estimate, traj)
+        assert final_err < 0.02, f"final error {final_err*1e3:.1f} m"
+        # and the LT-corrected residuals are unbiased (an uncorrected filter
+        # would see a ~rho*rho_dot/c systematic range bias of meters)
+        assert sol.postfit_rms(MeasurementType.RANGE_KM) < 0.01
+
+    def test_timestamp_noise_shifts_epochs(self, truth_setup):
+        from dataclasses import replace as _replace
+        from nyx_tpu.od.noise import StochasticNoise, WhiteNoise
+
+        _, traj = truth_setup
+        base = _white_only(GroundStation.dss65_madrid(10.0))
+        noisy = _replace(base, timestamp_noise_s=StochasticNoise(WhiteNoise(0.5)))
+        noisy.stochastic_noises = base.stochastic_noises
+        cfg = TrkConfig(sampling_s=60.0, scheduler=Scheduler(min_samples=5))
+        arc0 = TrackingArcSim.with_seed(
+            [base], traj, {base.name: cfg}, seed=9
+        ).generate_measurements()
+        arc1 = TrackingArcSim.with_seed(
+            [noisy], traj, {noisy.name: cfg}, seed=9
+        ).generate_measurements()
+        assert len(arc0) == len(arc1)
+        dt = arc1.epochs_tai_s - arc0.epochs_tai_s
+        assert np.abs(dt).max() > 0.05  # epochs actually shifted
+        assert np.abs(dt).max() < 5.0  # by the configured half-second scale
+        assert 0.2 < np.std(dt) < 1.0
+
+
+class TestFrequencyTdm:
+    """RECEIVE/TRANSMIT_FREQ to Doppler conversion on TDM read
+    (io_ccsds_tdm.rs:261-370, CCSDS TDM v2 3.5.2.8.2)."""
+
+    def _write(self, path, turnaround=True):
+        lines = [
+            "CCSDS_TDM_VERS = 2.0",
+            "META_START",
+            "\tTIME_SYSTEM = UTC",
+            "\tPARTICIPANT_1 = DSS-65",
+            "\tPARTICIPANT_2 = SC",
+            "\tMODE = SEQUENTIAL",
+            "\tPATH = 1,2,1",
+        ]
+        if turnaround:
+            lines += [
+                "\tTURNAROUND_NUMERATOR = 880",
+                "\tTURNAROUND_DENOMINATOR = 749",
+            ]
+        lines += [
+            "META_STOP",
+            "DATA_START",
+            "\tTRANSMIT_FREQ = 2020-01-01T00:00:00 7.2e9",
+            "\tRECEIVE_FREQ = 2020-01-01T00:00:00 8459717471.0",
+            "\tRECEIVE_FREQ = 2020-01-01T00:01:00 8459717400.0",
+            "DATA_STOP",
+        ]
+        path.write_text("\n".join(lines) + "\n")
+
+    def test_freq_to_doppler(self, tmp_path):
+        p = tmp_path / "freq.tdm"
+        self._write(p)
+        arc = TrackingDataArc.from_tdm(p)
+        assert arc.types == (MeasurementType.DOPPLER_KM_S,)
+        assert len(arc) == 2
+        ratio = 880.0 / 749.0
+        f_t = 7.2e9
+        c = 299_792.458
+        for i, f_r in enumerate((8459717471.0, 8459717400.0)):
+            expected = (f_t * ratio - f_r) * c / (2.0 * f_t * ratio)
+            assert abs(arc.values[i, 0] - expected) < 1e-12, (
+                arc.values[i, 0], expected,
+            )
+
+    def test_freq_dropped_without_turnaround(self, tmp_path):
+        import warnings
+
+        p = tmp_path / "nofreq.tdm"
+        self._write(p, turnaround=False)
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            arc = TrackingDataArc.from_tdm(p)
+        assert len(arc) == 0  # all-frequency data dropped entirely
+        assert any("TURNAROUND" in str(w.message) for w in caught)
+
+
 class TestPremiumDevices:
     """Interlink crosslink tracking and GNSS position devices
     (od/interlink/, od/position/ — premium parity)."""
