@@ -118,24 +118,49 @@ class Almanac:
     def _records(self, spk_id: int, target: int):
         spk = self.spks[spk_id]
         seg = spk.segment_for(target)
-        return seg, spk.chebyshev_records(seg)
+        rec = spk.chebyshev_records(seg)
+        # Chebyshev derivative coefficients for exact velocities
+        dcoeffs = np.polynomial.chebyshev.chebder(rec.coeffs, 1, axis=-1)
+        return seg, rec, dcoeffs
 
     def _position_chain(self, body: int, t: np.ndarray) -> np.ndarray:
         """Vectorized position of `body` rel SSB from loaded SPKs, km."""
+        return self._state_chain(body, t, with_velocity=False)[0]
+
+    def _state_chain(self, body: int, t: np.ndarray, with_velocity: bool):
+        """Vectorized (pos, vel) of `body` rel SSB from loaded SPKs, km and
+        km/s. Velocities come from the exact Chebyshev derivative."""
         pos = np.zeros(t.shape + (3,))
+        vel = np.zeros(t.shape + (3,)) if with_velocity else None
         while body != 0:
             spk = self._spk_with(body)
             if spk is None:
-                raise KeyError(f"no SPK segment for {body}")
-            seg, rec = self._records(self.spks.index(spk), body)
+                # finish the chain analytically (heliocentric; the Sun-vs-
+                # SSB convention cancels in the target-center difference
+                # as long as both chains end the same way)
+                pos = pos + analytic.heliocentric(body, t)
+                if with_velocity:
+                    h = 2.0
+                    vel = vel + (
+                        analytic.heliocentric(body, t + h)
+                        - analytic.heliocentric(body, t - h)
+                    ) / (2.0 * h)
+                break
+            seg, rec, dcoeffs = self._records(self.spks.index(spk), body)
             i = np.clip(
                 ((t - rec.init) // rec.intlen).astype(int), 0, rec.n_records - 1
             )
             tau = 2.0 * (t - rec.init - i * rec.intlen) / rec.intlen - 1.0
             V = np.polynomial.chebyshev.chebvander(tau, rec.degree)
             pos = pos + np.einsum("...kd,...d->...k", rec.coeffs[i, 0:3, :], V)
+            if with_velocity:
+                vel = vel + np.einsum(
+                    "...kd,...d->...k",
+                    dcoeffs[i, 0:3, :],
+                    V[..., : rec.degree],
+                ) * (2.0 / rec.intlen)
             body = seg.center
-        return pos
+        return pos, vel
 
     def position(self, target: int, center: int, t_tdb_s) -> np.ndarray:
         """Position of target rel center at TDB seconds (array ok), EME2000 km."""
@@ -152,13 +177,22 @@ class Almanac:
         return out.reshape(np.shape(t_tdb_s) + (3,))
 
     def state(self, target: int, center: int, epoch: Epoch):
-        """(r, v) of target rel center in EME2000 at an Epoch (host)."""
-        t = epoch.to_tdb_seconds()
-        r = self.position(target, center, t)
-        h = 16.0
-        v = (self.position(target, center, t + h) - self.position(target, center, t - h)) / (
-            2 * h
-        )
+        """(r, v) of target rel center in EME2000 at an Epoch (host).
+        Velocities come from the Chebyshev derivative when an SPK resolves
+        the chain (exact), finite differences on the analytic fallback."""
+        t = np.atleast_1d(epoch.to_tdb_seconds())
+        try:
+            rt, vt = self._state_chain(target, t, with_velocity=True)
+            rc, vc = self._state_chain(center, t, with_velocity=True)
+            return (rt - rc)[0], (vt - vc)[0]
+        except KeyError:
+            pass
+        r = self.position(target, center, t)[0]
+        h = 2.0
+        v = (
+            self.position(target, center, t + h)
+            - self.position(target, center, t - h)
+        )[0] / (2 * h)
         return r, v
 
     # ---------------- device-table construction ----------------------

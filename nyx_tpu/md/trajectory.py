@@ -329,3 +329,38 @@ def _traj_from_bsp(cls, almanac, target: int, center: int, frame, template,
 
 
 Trajectory.from_bsp = classmethod(_traj_from_bsp)
+
+
+def _traj_to_ephemeris(self, path, target: int = -10_000, degree: int = 11,
+                       intlen_s: Optional[float] = None):
+    """Export as a SPICE BSP (SPK type-3 Chebyshev segment), matching the
+    reference's to_ephemeris -> ANISE BSP (sc_traj.rs:158)."""
+    from ..io.spk import traj_to_bsp
+
+    return traj_to_bsp(self, path, target, degree, intlen_s)
+
+
+def _traj_from_parquet(cls, path, template) -> "Trajectory":
+    """Import a trajectory written by to_parquet (needs the cartesian
+    x..vz fields; sc_traj.rs:212 parity). `template` supplies frame and
+    spacecraft constants."""
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(path)
+    cols = table.column_names
+    needed = ("epoch_tai_s", "x", "y", "z", "vx", "vy", "vz")
+    missing = [c for c in needed if c not in cols]
+    if missing:
+        raise ValueError(f"parquet trajectory missing columns: {missing}")
+    tai = np.asarray(table["epoch_tai_s"])
+    epoch0 = Epoch.from_tai_seconds_j2000(float(tai[0]))
+    ts = tai - tai[0]
+    base = template.to_vector()
+    ys = np.tile(base, (len(ts), 1))
+    for j, c in enumerate(("x", "y", "z", "vx", "vy", "vz")):
+        ys[:, j] = np.asarray(table[c])
+    return cls.from_capture(epoch0, ts, ys, template)
+
+
+Trajectory.to_ephemeris = _traj_to_ephemeris
+Trajectory.from_parquet = classmethod(_traj_from_parquet)

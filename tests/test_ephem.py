@@ -149,3 +149,52 @@ def test_daf_parser_synthetic():
     # evaluation at tau=0 equals c0 - c2 (T0 - T2 at 0)
     pos = spk._eval_segment(seg, 50.0)
     np.testing.assert_allclose(pos, coeffs[0, :, 0] - coeffs[0, :, 2], atol=1e-14)
+
+
+def test_traj_to_bsp_roundtrip(tmp_path):
+    """Trajectory -> BSP (SPK type 3) -> Almanac.state round-trips at
+    interpolation tolerance (sc_traj.rs:158 to_ephemeris parity)."""
+    from nyx_tpu import Frames, Orbit, Spacecraft
+    from nyx_tpu.dynamics import OrbitalDynamics, SpacecraftDynamics
+    from nyx_tpu.propagators import IntegratorOptions, Propagator
+
+    epoch = Epoch.from_gregorian_utc(2021, 6, 1)
+    orbit = Orbit.keplerian(8000.0, 0.05, 40.0, 10.0, 20.0, 30.0, epoch, Frames.EME2000)
+    sc = Spacecraft.from_orbit(orbit)
+    dyn = SpacecraftDynamics.new(OrbitalDynamics.two_body(Frames.EME2000))
+    prop = Propagator.rk89(dyn, IntegratorOptions())
+    _, traj = prop.with_state(sc).for_duration_with_traj(21_600.0)
+
+    p = tmp_path / "traj.bsp"
+    traj.to_ephemeris(p, target=-10_000)
+
+    alm = Almanac(spk_paths=[p])
+    for t_rel in (0.0, 3333.3, 10_000.0, 21_599.0):
+        ep = traj.epoch0 + t_rel
+        r, v = alm.state(-10_000, NAIF.EARTH, ep)
+        want = traj.interpolate(t_rel)
+        np.testing.assert_allclose(r, want[:3], atol=2e-5)  # < 2 cm
+        np.testing.assert_allclose(v, want[3:6], atol=1e-7)
+
+
+def test_traj_parquet_roundtrip(tmp_path):
+    """to_parquet -> Trajectory.from_parquet round-trips states
+    (sc_traj.rs:212 parity)."""
+    from nyx_tpu import Frames, Orbit, Spacecraft
+    from nyx_tpu.dynamics import OrbitalDynamics, SpacecraftDynamics
+    from nyx_tpu.md.trajectory import Trajectory
+    from nyx_tpu.propagators import IntegratorOptions, Propagator
+
+    epoch = Epoch.from_gregorian_utc(2021, 6, 1)
+    orbit = Orbit.keplerian(8000.0, 0.05, 40.0, 10.0, 20.0, 30.0, epoch, Frames.EME2000)
+    sc = Spacecraft.from_orbit(orbit)
+    dyn = SpacecraftDynamics.new(OrbitalDynamics.two_body(Frames.EME2000))
+    prop = Propagator.rk89(dyn, IntegratorOptions())
+    _, traj = prop.with_state(sc).for_duration_with_traj(7200.0)
+
+    p = tmp_path / "traj.pq"
+    traj.to_parquet(p)
+    back = Trajectory.from_parquet(p, sc)
+    assert len(back) == len(traj)
+    np.testing.assert_allclose(back.ys[:, :6], traj.ys[:, :6], atol=1e-9)
+    assert abs((back.start_epoch - traj.start_epoch).to_seconds()) < 1e-6
