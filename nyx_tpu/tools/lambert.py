@@ -20,11 +20,19 @@ TAU = 2.0 * np.pi
 
 
 class TransferKind:
-    """Direction of motion selection (tools/lambert/mod.rs:41-82)."""
+    """Direction of motion selection (tools/lambert/mod.rs:41-82).
+
+    `n_revs(M)` requests an M-revolution transfer — the reference declares
+    TransferKind::NRevs but returns MultiRevNotSupported; here the Izzo
+    solver actually handles it (left/right branch selectable)."""
 
     Auto = "auto"
     ShortWay = "short"
     LongWay = "long"
+
+    @staticmethod
+    def n_revs(m: int) -> tuple:
+        return ("nrevs", int(m))
 
 
 @dataclass
@@ -120,9 +128,12 @@ def _tof_curve(x, lam, n_rev=0.0):
     return jnp.where(battin_small, t_b, t)
 
 
-def lambert_izzo_rv(r1, r2, tof_s, mu, long_way=False, iters: int = 20):
-    """Zero-rev Lambert via Izzo's Householder iterations — a pure JAX
-    function of (r1 [3], r2 [3], tof, mu); vmap for grids.
+def lambert_izzo_rv(r1, r2, tof_s, mu, long_way=False, iters: int = 20,
+                    n_rev: int = 0, branch: str = "right"):
+    """Lambert via Izzo's Householder iterations — a pure JAX function of
+    (r1 [3], r2 [3], tof, mu); vmap for grids. `n_rev > 0` solves the
+    multi-revolution problem (two solutions: `branch` 'left' = larger
+    semi-major axis, 'right' = smaller; Izzo 2015 eq. 31 initial guesses).
 
     Returns (v1 [3], v2 [3]) km/s.
     """
@@ -148,23 +159,32 @@ def lambert_izzo_rv(r1, r2, tof_s, mu, long_way=False, iters: int = 20):
 
     t = jnp.sqrt(2.0 * mu / s**3) * tof_s
 
-    # initial guess (Izzo eq. 30)
-    t0 = jnp.arccos(jnp.clip(lam, -1.0, 1.0)) + lam * jnp.sqrt(1.0 - lam2)
-    t1 = 2.0 / 3.0 * (1.0 - lam**3)
-    x0 = jnp.where(
-        t >= t0,
-        (t0 / t) ** (2.0 / 3.0) - 1.0,
-        jnp.where(
-            t < t1,
-            5.0 / 2.0 * t1 * (t1 - t) / (t * (1.0 - lam**5)) + 1.0,
-            (t0 / t) ** (jnp.log2(t1 / t0)) - 1.0,
-        ),
-    )
+    if n_rev == 0:
+        # initial guess (Izzo eq. 30)
+        t0 = jnp.arccos(jnp.clip(lam, -1.0, 1.0)) + lam * jnp.sqrt(1.0 - lam2)
+        t1 = 2.0 / 3.0 * (1.0 - lam**3)
+        x0 = jnp.where(
+            t >= t0,
+            (t0 / t) ** (2.0 / 3.0) - 1.0,
+            jnp.where(
+                t < t1,
+                5.0 / 2.0 * t1 * (t1 - t) / (t * (1.0 - lam**5)) + 1.0,
+                (t0 / t) ** (jnp.log2(t1 / t0)) - 1.0,
+            ),
+        )
+    else:
+        # multi-rev initial guesses (Izzo 2015 eq. 31)
+        m_pi = n_rev * jnp.pi
+        if branch == "left":
+            term = ((m_pi + jnp.pi) / (8.0 * t)) ** (2.0 / 3.0)
+        else:
+            term = ((8.0 * t) / m_pi) ** (2.0 / 3.0)
+        x0 = (term - 1.0) / (term + 1.0)
 
     # Householder 3rd-order iterations (Izzo algorithm 2)
     x = x0
     for _ in range(iters):
-        tx = _tof_curve(x, lam)
+        tx = _tof_curve(x, lam, n_rev=float(n_rev))
         y = jnp.sqrt(1.0 - lam2 * (1.0 - x**2))
         umx2 = 1.0 - x**2
         dt = (3.0 * tx * x - 2.0 + 2.0 * lam**3 * x / y) / umx2
@@ -207,8 +227,16 @@ def _resolve_long_way(input: LambertInput, kind: str) -> bool:
     return dnu > np.pi
 
 
-def izzo(input: LambertInput, kind: str = TransferKind.Auto) -> LambertSolution:
-    """Solve with Izzo's method (tools/lambert/izzo.rs:44)."""
+def izzo(input: LambertInput, kind=TransferKind.Auto,
+         branch: str = "right") -> LambertSolution:
+    """Solve with Izzo's method (tools/lambert/izzo.rs:44). `kind` may be
+    TransferKind.n_revs(M) for multi-revolution transfers (which the
+    reference declares but does not solve); `branch` picks the left
+    (larger-sma) or right (smaller-sma) multi-rev solution."""
+    n_rev = 0
+    if isinstance(kind, tuple) and kind and kind[0] == "nrevs":
+        n_rev = int(kind[1])
+        kind = TransferKind.Auto
     long_way = _resolve_long_way(input, kind)
     v1, v2 = lambert_izzo_rv(
         input.initial_state.r_km,
@@ -216,8 +244,31 @@ def izzo(input: LambertInput, kind: str = TransferKind.Auto) -> LambertSolution:
         input.tof_s,
         input.mu_km3_s2,
         long_way=long_way,
+        n_rev=n_rev,
+        branch=branch,
     )
     v1, v2 = np.asarray(v1), np.asarray(v2)
+    if not (np.all(np.isfinite(v1)) and np.all(np.isfinite(v2))):
+        raise ValueError(
+            f"Lambert did not converge (tof may be below the {n_rev}-rev "
+            "minimum)"
+        )
+    if n_rev > 0:
+        # reject converged-to-garbage roots: the transfer must actually
+        # take tof (residual check through the universal TOF curve)
+        from ..cosmic.orbit import Orbit as _O
+
+        sol = LambertSolution(v1, v2, 0.0, input)
+        sma = sol.transfer_orbit().sma_km
+        if sma <= 0.0:
+            raise ValueError("multi-rev Lambert has no elliptic solution")
+        period = TAU * np.sqrt(sma**3 / input.mu_km3_s2)
+        # the transfer is n_rev full revolutions plus a partial arc
+        if not (n_rev * period < input.tof_s < (n_rev + 1) * period * 1.001):
+            raise ValueError(
+                f"no {n_rev}-rev solution for tof {input.tof_s:.1f} s "
+                f"(period {period:.1f} s)"
+            )
     # turn angle between the radius vectors
     r1, r2 = input.initial_state.r_km, input.final_state.r_km
     cosphi = float(
@@ -226,11 +277,71 @@ def izzo(input: LambertInput, kind: str = TransferKind.Auto) -> LambertSolution:
     phi = float(np.arccos(np.clip(cosphi, -1.0, 1.0)))
     if long_way:
         phi = TAU - phi
+    return LambertSolution(v1, v2, phi + n_rev * TAU, input)
+
+
+def gooding(input: LambertInput, kind=TransferKind.Auto) -> LambertSolution:
+    """Solve with the universal-variable bisection the reference ships as
+    Gooding's method (tools/lambert/godding.rs:44): bisect on phi (the
+    squared eccentric-anomaly difference) with Stumpff-function c2/c3
+    updates until the universal-variable time of flight matches, then
+    recover velocities through the f/g functions. Zero-rev only, exactly
+    as the reference (multi-rev raises; use izzo with
+    TransferKind.n_revs)."""
+    if isinstance(kind, tuple) and kind and kind[0] == "nrevs":
+        raise ValueError(
+            "gooding does not support multi-rev transfers; use "
+            "izzo(kind=TransferKind.n_revs(M))"
+        )
+    r1 = np.asarray(input.initial_state.r_km, dtype=np.float64)
+    r2 = np.asarray(input.final_state.r_km, dtype=np.float64)
+    tof_s = input.tof_s
+    mu = input.mu_km3_s2
+    r1n, r2n = np.linalg.norm(r1), np.linalg.norm(r2)
+    cos_dnu = float(np.dot(r1, r2)) / (r1n * r2n)
+    dm = -1.0 if _resolve_long_way(input, kind) else 1.0
+    a_coef = dm * np.sqrt(r1n * r2n * (1.0 + cos_dnu))
+    if abs(a_coef) < 1e-12:
+        raise ValueError("Lambert targets are too close (180 deg transfer)")
+
+    phi_hi, phi_lo, phi = 4.0 * np.pi**2, -4.0 * np.pi**2, 0.0
+    c2, c3 = 0.5, 1.0 / 6.0
+    cur_tof, y = 0.0, 0.0
+    for _ in range(1000):
+        y = r1n + r2n + a_coef * (phi * c3 - 1.0) / np.sqrt(c2)
+        if a_coef > 0.0 and y < 0.0:
+            for _ in range(500):
+                phi += 0.1
+                y = r1n + r2n + a_coef * (phi * c3 - 1.0) / np.sqrt(c2)
+                if y >= 0.0:
+                    break
+            if y < 0.0:
+                raise ValueError("could not find a reasonable phi")
+        chi = np.sqrt(y / c2)
+        cur_tof = (chi**3 * c3 + a_coef * np.sqrt(y)) / np.sqrt(mu)
+        if abs(cur_tof - tof_s) < 1e-6:
+            break
+        if cur_tof < tof_s:
+            phi_lo = phi
+        else:
+            phi_hi = phi
+        phi = 0.5 * (phi_hi + phi_lo)
+        if phi > 1e-12:
+            sp = np.sqrt(phi)
+            c2 = (1.0 - np.cos(sp)) / phi
+            c3 = (sp - np.sin(sp)) / sp**3
+        elif phi < -1e-12:
+            sp = np.sqrt(-phi)
+            c2 = (1.0 - np.cosh(sp)) / phi
+            c3 = (np.sinh(sp) - sp) / sp**3
+        else:
+            c2, c3 = 0.5, 1.0 / 6.0
+    else:
+        raise ValueError("Lambert (gooding) exceeded the iteration limit")
+
+    f = 1.0 - y / r1n
+    g_dot = 1.0 - y / r2n
+    g = a_coef * np.sqrt(y / mu)
+    v1 = (r2 - f * r1) / g
+    v2 = (g_dot * r2 - r1) / g
     return LambertSolution(v1, v2, phi, input)
-
-
-def gooding(input: LambertInput, kind: str = TransferKind.Auto) -> LambertSolution:
-    """Gooding-method entry point (tools/lambert/godding.rs:44). The
-    universal Izzo iteration solves the identical zero-rev problem to the
-    same tolerance, so it backs both entry points here."""
-    return izzo(input, kind)

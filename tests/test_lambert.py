@@ -38,7 +38,7 @@ def test_lambert_auto_picks_shortway_here():
     auto = izzo(_input(), TransferKind.Auto)
     short = izzo(_input(), TransferKind.ShortWay)
     assert np.allclose(auto.v_init_km_s, short.v_init_km_s)
-    assert gooding(_input()).c3_km2_s2() == auto.c3_km2_s2()
+    assert abs(gooding(_input()).c3_km2_s2() - auto.c3_km2_s2()) < 1e-8
 
 
 def test_lambert_transfer_orbit_consistency():
@@ -49,6 +49,50 @@ def test_lambert_transfer_orbit_consistency():
     arrived = xfer.at_epoch(T0 + 76.0 * 60.0)
     assert np.linalg.norm(arrived.r_km - R2) < 1e-5
     assert np.linalg.norm(arrived.v_km_s - sol.v_final_km_s) < 1e-8
+
+
+def test_gooding_is_a_distinct_solver_matching_vallado():
+    """The universal-variable bisection (godding.rs:44) independently
+    reproduces Vallado's short- and long-way velocities."""
+    sol = gooding(_input(), TransferKind.ShortWay)
+    assert np.linalg.norm(sol.v_init_km_s - [2.058913, 2.915965, 0.0]) < 1e-6
+    assert np.linalg.norm(sol.v_final_km_s - [-3.451565, 0.910315, 0.0]) < 1e-6
+    sol_l = gooding(_input(), TransferKind.LongWay)
+    assert np.linalg.norm(sol_l.v_init_km_s - [-3.811158, -2.003854, 0.0]) < 1e-6
+
+
+def test_multi_rev_lambert_both_branches():
+    """TransferKind.n_revs(1): both multi-rev branches converge and the
+    transfer orbits genuinely complete one extra revolution (analytic
+    two-body propagation lands on the arrival position). The reference
+    declares NRevs but errors with MultiRevNotSupported — this exceeds it."""
+    import pytest
+
+    tof_min = 600.0  # 10 h: comfortably above the 1-rev minimum here
+    inp = _input(tof_min)
+    sols = {b: izzo(inp, TransferKind.n_revs(1), branch=b)
+            for b in ("left", "right")}
+    # two genuinely different solutions
+    assert (
+        np.linalg.norm(
+            sols["left"].v_init_km_s - sols["right"].v_init_km_s
+        )
+        > 0.1
+    )
+    for b, sol in sols.items():
+        xfer = sol.transfer_orbit()
+        period = 2 * np.pi * np.sqrt(xfer.sma_km**3 / FRAME.mu)
+        assert period < tof_min * 60.0 < 2 * period, (b, period)
+        arrived = xfer.at_epoch(T0 + tof_min * 60.0)
+        assert np.linalg.norm(arrived.r_km - R2) < 1e-4, b
+        assert np.linalg.norm(arrived.v_km_s - sol.v_final_km_s) < 1e-7, b
+
+    # below the 1-rev minimum TOF there is no solution
+    with pytest.raises(ValueError):
+        izzo(_input(76.0), TransferKind.n_revs(1))
+    # gooding stays zero-rev like the reference
+    with pytest.raises(ValueError):
+        gooding(inp, TransferKind.n_revs(1))
 
 
 def test_lambert_vmapped_porkchop_scan():
