@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .orbit import Orbit
+from ..errors import StateError, TargetingError
 
 __all__ = ["bplane_from_rv", "BPlane", "BPlaneTarget", "try_achieve_b_plane"]
 
@@ -75,7 +76,7 @@ class BPlane:
     @classmethod
     def from_orbit(cls, orbit: Orbit) -> "BPlane":
         if orbit.ecc <= 1.0:
-            raise ValueError(
+            raise StateError(
                 f"B-plane requires a hyperbolic orbit, ecc = {orbit.ecc:.6f}"
             )
         mu = orbit.frame.mu
@@ -155,7 +156,7 @@ def try_achieve_b_plane(orbit: Orbit, target: BPlaneTarget,
         dv = np.linalg.pinv(jac) @ err
         v = v + dv
         total_dv = total_dv + dv
-    raise RuntimeError(
+    raise TargetingError(
         f"B-plane targeting did not converge in {max_iter} iterations; "
         f"residual {err}"
     )

@@ -18,6 +18,7 @@ from typing import Optional
 
 from ..constants import GM_BY_NAIF, NAIF, RADIUS_BY_NAIF, EARTH_FLATTENING
 from . import rotations
+from ..errors import ConfigError
 
 J2000_ORIENT = 1
 ITRF93_ORIENT = 3000
@@ -52,7 +53,7 @@ class Frame:
     @property
     def mu(self) -> float:
         if self.mu_km3_s2 is None:
-            raise ValueError(f"frame {self} has no GM defined")
+            raise ConfigError(f"frame {self} has no GM defined")
         return self.mu_km3_s2
 
     def dcm_from_j2000(self, t_tdb_s):
@@ -73,10 +74,10 @@ class Frame:
         if o == iau_orient(NAIF.SUN):
             return rotations.iau_sun_dcm(t_tdb_s)
         if o == ITRF93_ORIENT:
-            raise ValueError(
+            raise ConfigError(
                 "ITRF93 requires a loaded binary PCK; use Almanac.dcm_from_j2000"
             )
-        raise ValueError(f"no orientation model for frame orientation {o}")
+        raise ConfigError(f"no orientation model for frame orientation {o}")
 
     def __str__(self):
         names = {

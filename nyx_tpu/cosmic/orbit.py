@@ -53,28 +53,32 @@ def keplerian_from_cartesian(r, v, mu):
     circ = ecc < 1e-11
     equa = nmag < 1e-11
 
-    raan = jnp.arccos(jnp.clip(n[..., 0] / jnp.where(equa, 1.0, nmag), -1, 1))
-    raan = jnp.where(n[..., 1] < 0, 2 * jnp.pi - raan, raan)
+    # Angles via atan2 rather than quadrant-corrected arccos: identical
+    # values, but smooth AD everywhere on the non-singular set — the
+    # arccos form has an infinite derivative exactly at ta/aop/raan = 0 or
+    # pi, which is where circular-ish test orbits start, and
+    # KfEstimate.keplerian_covar differentiates through this map.
+    # (atan2(k*sin, k*cos) == atan2(sin, cos) for any k > 0, so the common
+    # positive factors are left uncancelled.)
+    h_unit = h / hmag[..., None]
+    raan = jnp.arctan2(n[..., 1], n[..., 0]) % (2 * jnp.pi)
     raan = jnp.where(equa, 0.0, raan)
 
     ne = jnp.sum(n * e_vec, axis=-1)
-    aop = jnp.arccos(
-        jnp.clip(ne / jnp.where(equa | circ, 1.0, nmag * ecc), -1, 1)
-    )
-    aop = jnp.where(e_vec[..., 2] < 0, 2 * jnp.pi - aop, aop)
+    sin_aop = jnp.sum(jnp.cross(n, e_vec) * h_unit, axis=-1)
+    aop = jnp.arctan2(sin_aop, ne) % (2 * jnp.pi)
     # equatorial non-circular: use longitude of periapsis
     aop_eq = jnp.arctan2(e_vec[..., 1], e_vec[..., 0]) % (2 * jnp.pi)
     aop = jnp.where(equa, aop_eq, aop)
     aop = jnp.where(circ, 0.0, aop)
 
     re = jnp.sum(r * e_vec, axis=-1)
-    ta = jnp.arccos(jnp.clip(re / jnp.where(circ, 1.0, rmag * ecc), -1, 1))
-    ta = jnp.where(rdotv < 0, 2 * jnp.pi - ta, ta)
+    sin_ta = jnp.sum(jnp.cross(e_vec, r) * h_unit, axis=-1)
+    ta = jnp.arctan2(sin_ta, re) % (2 * jnp.pi)
     # circular: argument of latitude relative to node (or true longitude)
-    ta_circ = jnp.arccos(
-        jnp.clip(jnp.sum(n * r, axis=-1) / jnp.where(equa, 1.0, nmag * rmag), -1, 1)
-    )
-    ta_circ = jnp.where(r[..., 2] < 0, 2 * jnp.pi - ta_circ, ta_circ)
+    ta_circ = jnp.arctan2(
+        jnp.sum(jnp.cross(n, r) * h_unit, axis=-1), jnp.sum(n * r, axis=-1)
+    ) % (2 * jnp.pi)
     ta_circ_eq = jnp.arctan2(r[..., 1], r[..., 0]) % (2 * jnp.pi)
     ta = jnp.where(circ, jnp.where(equa, ta_circ_eq, ta_circ), ta)
     return {"sma": sma, "ecc": ecc, "inc": inc, "raan": raan, "aop": aop, "ta": ta}

@@ -160,6 +160,43 @@ class Spacecraft:
             prop_mass_kg=float(vec[IDX_PROP_MASS]),
         )
 
+    def value_of(self, param: str) -> float:
+        """Evaluate any StateParameter on this spacecraft, including the
+        spacecraft-level ones the flat state vector cannot express
+        (spacecraft.rs `State::value`:520-560): epoch, masses, thruster
+        isp/thrust magnitude, guidance mode. Orbital/state parameters
+        delegate to `md.param.value`."""
+        from ..errors import StateError
+        from ..md import param as param_mod
+
+        p = param.lower()
+        if p == "epoch_tai_s":
+            return self.epoch.to_tai_seconds()
+        if p == "guidance_mode":
+            return float(self.mode)
+        if p == "dry_mass":
+            return self.dry_mass_kg
+        if p == "total_mass":
+            return self.total_mass_kg
+        if p in ("isp_s", "thrust_n", "thrust_x", "thrust_y", "thrust_z"):
+            if self.thruster is None:
+                raise StateError(f"{param} requires a thruster (none set)")
+            if p == "isp_s":
+                return self.thruster.isp_s
+            if p == "thrust_n":
+                return self.thruster.thrust_N
+            # thrust direction needs an active guidance law; the reference
+            # returns Unavailable without one (spacecraft.rs:531-543)
+            raise StateError(
+                f"{param} requires an active guidance law evaluation; "
+                "query the guidance law directly"
+            )
+        mu = self.orbit.frame.mu_km3_s2
+        radius = getattr(self.orbit.frame, "radius_km", 0.0) or 0.0
+        return float(
+            param_mod.value(p, self.to_vector(), mu, radius)
+        )
+
     def __str__(self):
         return (
             f"Spacecraft(total {self.total_mass_kg:.3f} kg, "

@@ -19,6 +19,7 @@ from typing import Optional
 import jax.numpy as jnp
 
 from ..cosmic.frames import Frame, Frames
+from ..errors import ConfigError
 
 
 @dataclass(frozen=True)
@@ -72,7 +73,7 @@ class AtmDensity:
             )
             high = 10.0 ** (-7e-5 * alt_km - 14.464)
             return jnp.where(alt_km > self.max_alt_m / 1e3, high, 10.0**logdensity)
-        raise ValueError(self.kind)
+        raise ConfigError(self.kind)
 
 
 @dataclass(frozen=True)

@@ -27,6 +27,7 @@ from ..constants import NAIF, RADIUS_BY_NAIF
 from ..md.objective import Objective
 from ..md.param import StateParameter
 from ..time import Epoch
+from ..errors import GuidanceConfigError
 
 HALF_PI = np.pi / 2.0
 
@@ -139,12 +140,12 @@ class Ruggiero(GuidanceLaw):
     def from_thresholds(cls, objectives, eta_thresholds, initial) -> "Ruggiero":
         objectives = tuple(objectives)
         if not 1 <= len(objectives) <= 5:
-            raise ValueError(
+            raise GuidanceConfigError(
                 f"must provide between 1 and 5 objectives, got {len(objectives)}"
             )
         for obj in objectives:
             if obj.parameter not in _RUGGIERO_PARAMS:
-                raise ValueError(
+                raise GuidanceConfigError(
                     f"objective {obj.parameter} not supported in Ruggiero"
                 )
         init_values = tuple(
@@ -390,7 +391,7 @@ class Maneuver(GuidanceLaw):
         self._start_tdb = self.start.to_tdb_seconds()
         self._end_tdb = self.end.to_tdb_seconds()
         if self.vector is None and self.azimuth_poly is None:
-            raise ValueError("Maneuver needs a vector or angle polynomials")
+            raise GuidanceConfigError("Maneuver needs a vector or angle polynomials")
 
     # -- constructors ---------------------------------------------------
     @classmethod
@@ -470,7 +471,7 @@ class ManeuverSequence(GuidanceLaw):
         )
         frames = {m.frame for m in self.maneuvers}
         if len(frames) != 1:
-            raise ValueError("all maneuvers in a sequence must share a frame")
+            raise GuidanceConfigError("all maneuvers in a sequence must share a frame")
 
     def direction_and_throttle(self, ctx, t_tdb, y9, mode):
         u = jnp.zeros_like(y9[..., 0:3])
@@ -554,7 +555,7 @@ class Kluever(GuidanceLaw):
             elif p == StateParameter.RAAN:
                 num_b = num_b + w * jnp.sign(jnp.sin(u_rad))
             else:
-                raise ValueError(f"Kluever does not support objective {p}")
+                raise GuidanceConfigError(f"Kluever does not support objective {p}")
 
         alpha = jnp.arctan2(num_a, den_a)
         beta = jnp.arctan2(num_b, jnp.sqrt(num_a**2 + den_a**2))

@@ -23,6 +23,7 @@ from .orbital import OrbitalDynamics, PointMasses
 from .solid_tides import SolidTides
 from .spacecraft_dyn import SpacecraftDynamics
 from .srp import SolarPressure
+from ..errors import ConfigError
 
 
 @dataclass
@@ -52,11 +53,11 @@ class DiscreteEvent:
     def apply(self, state: Spacecraft, almanac=None) -> Spacecraft:
         if self.kind == "frame_swap":
             if self.new_frame is None:
-                raise ValueError("frame_swap needs new_frame")
+                raise ConfigError("frame_swap needs new_frame")
             if self.new_frame.center == state.frame.center:
                 return state.with_orbit(replace(state.orbit, frame=self.new_frame))
             if almanac is None:
-                raise ValueError("frame_swap across centers needs an almanac")
+                raise ConfigError("frame_swap across centers needs an almanac")
             return state.with_orbit(
                 almanac.translate_to(state.orbit, self.new_frame)
             )
@@ -161,16 +162,16 @@ class SpacecraftSequence:
     def validate(self):
         items = self._sorted()
         if not items or not items[-1][1].terminate:
-            raise ValueError("final phase must be a Terminate")
+            raise ConfigError("final phase must be a Terminate")
         for epoch, phase in items:
             if phase.terminate:
                 continue
             if phase.propagator not in self.propagators:
-                raise ValueError(f"{epoch}: no propagator named `{phase.propagator}`")
+                raise ConfigError(f"{epoch}: no propagator named `{phase.propagator}`")
             if phase.guidance is not None:
                 thruster = phase.guidance.get("thruster_model")
                 if thruster not in self.thruster_sets:
-                    raise ValueError(f"{epoch}: no thruster set named {thruster}")
+                    raise ConfigError(f"{epoch}: no thruster set named {thruster}")
 
     def setup(self, almanac=None):
         self.validate()

@@ -226,24 +226,43 @@ class Almanac:
 _DEFAULT = None
 
 
+def _is_real_kernel(p: Path) -> bool:
+    """True when `p` looks like an actual DAF kernel rather than a git-LFS
+    pointer stub (133-byte text files are common in cloned repos)."""
+    try:
+        if p.stat().st_size < 2048:
+            return False
+        with open(p, "rb") as f:
+            head = f.read(8)
+        return head.startswith(b"DAF/")
+    except OSError:
+        return False
+
+
 def default_almanac() -> Almanac:
-    """Process-wide Almanac. Loads real kernels from NYX_TPU_DATA if present
-    (de440s.bsp, *.bpc), else the analytic fallback."""
+    """Process-wide Almanac.
+
+    Scans, in order: ``$NYX_TPU_DATA``, the package-adjacent ``data/``
+    directory, and ``~/.nyx_tpu/data`` for ``*.bsp``/``*.bpc`` kernels,
+    skipping git-LFS pointer stubs. When a real SPK is found the DAF
+    Chebyshev path supersedes the analytic series for every body the
+    kernel covers (Almanac.position falls back per-body otherwise)."""
     global _DEFAULT
     if _DEFAULT is None:
         import os
 
         spks, bpcs = [], []
+        roots = []
         data_dir = os.environ.get("NYX_TPU_DATA")
         if data_dir:
-            d = Path(data_dir)
-            for p in sorted(d.glob("*.bsp")):
-                try:
-                    spks.append(p)
-                except Exception:
-                    pass
-            for p in sorted(d.glob("*.bpc")):
-                bpcs.append(p)
+            roots.append(Path(data_dir))
+        roots.append(Path(__file__).resolve().parents[2] / "data")
+        roots.append(Path.home() / ".nyx_tpu" / "data")
+        for d in roots:
+            if not d.is_dir():
+                continue
+            spks.extend(p for p in sorted(d.glob("*.bsp")) if _is_real_kernel(p))
+            bpcs.extend(p for p in sorted(d.glob("*.bpc")) if _is_real_kernel(p))
         try:
             _DEFAULT = Almanac(spks, bpcs)
         except Exception:

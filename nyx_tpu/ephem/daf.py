@@ -15,6 +15,7 @@ from pathlib import Path
 from typing import List
 
 import numpy as np
+from ..errors import InputOutputError
 
 RECLEN = 1024
 
@@ -53,17 +54,17 @@ class DAF:
         self.path = Path(path)
         raw = self.path.read_bytes()
         if len(raw) < RECLEN:
-            raise ValueError(f"{path}: not a DAF file (too small)")
+            raise InputOutputError(f"{path}: not a DAF file (too small)")
         self.idword = raw[0:8].decode("ascii", "replace").strip()
         if not self.idword.startswith("DAF/"):
-            raise ValueError(f"{path}: bad DAF id word {self.idword!r}")
+            raise InputOutputError(f"{path}: bad DAF id word {self.idword!r}")
         locfmt = raw[88:96].decode("ascii", "replace")
         if "LTL" in locfmt:
             self._end = "<"
         elif "BIG" in locfmt:
             self._end = ">"
         else:
-            raise ValueError(f"{path}: unknown binary format {locfmt!r}")
+            raise InputOutputError(f"{path}: unknown binary format {locfmt!r}")
         i4 = np.dtype(self._end + "i4")
         self.nd = int(np.frombuffer(raw[8:12], i4)[0])
         self.ni = int(np.frombuffer(raw[12:16], i4)[0])
@@ -117,7 +118,7 @@ class SPK(DAF):
     def __init__(self, path):
         super().__init__(path)
         if "SPK" not in self.idword and "NIO" not in self.idword:
-            raise ValueError(f"{path}: not an SPK ({self.idword})")
+            raise InputOutputError(f"{path}: not an SPK ({self.idword})")
         self.segments: List[Segment] = []
         for dc, ic in self.summaries:
             self.segments.append(

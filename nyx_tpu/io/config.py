@@ -19,6 +19,7 @@ from ..cosmic.frames import Frame, Frames
 from ..cosmic.orbit import Orbit
 from ..cosmic.spacecraft import Spacecraft, Thruster
 from ..time import Epoch
+from ..errors import ConfigError
 
 _DUR_UNITS = {
     "s": 1.0, "sec": 1.0, "second": 1.0, "seconds": 1.0,
@@ -58,7 +59,7 @@ def _frame_from_cfg(cfg) -> Frame:
         by_center = {NAIF.EARTH: Frames.IAU_EARTH, NAIF.MOON: Frames.IAU_MOON}
     if eph in by_center:
         return by_center[eph]
-    raise ValueError(f"unsupported frame config {cfg}")
+    raise ConfigError(f"unsupported frame config {cfg}")
 
 
 # ---------------------------------------------------------------------------

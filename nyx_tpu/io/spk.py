@@ -14,6 +14,7 @@ from __future__ import annotations
 from pathlib import Path
 
 import numpy as np
+from ..errors import ConfigError
 
 RECLEN = 1024
 _WORDS_PER_REC = RECLEN // 8
@@ -120,7 +121,7 @@ def traj_to_bsp(
     written relative to the trajectory frame's center in J2000."""
     frame = traj.template.frame
     if not frame.is_inertial:
-        raise ValueError("export requires an inertial (J2000) trajectory; "
+        raise ConfigError("export requires an inertial (J2000) trajectory; "
                          "use to_frame first")
     epoch0_tdb = traj.epoch0.to_tdb_seconds()
     t0 = epoch0_tdb + float(traj.ts[0])

@@ -8,6 +8,7 @@ Generator (the seeded-PCG role of the reference's Rng).
 from __future__ import annotations
 
 import numpy as np
+from ..errors import MonteCarloError
 
 
 def unit_vector_from_seed(rng: np.random.Generator, n: int = None):
@@ -31,14 +32,14 @@ def dv_pointing_error(cur_pointing, dv, error_prct3s: float,
     1-sigma of error_prct3s/3, scale the delta-v direction by its cosine.
     Batched over leading axes."""
     if not (0.0 <= error_prct3s < 1.0):
-        raise ValueError(
+        raise MonteCarloError(
             f"pointing error percentage must be in [0, 1), got {error_prct3s}"
         )
     cur_pointing = np.asarray(cur_pointing, dtype=np.float64)
     dv = np.asarray(dv, dtype=np.float64)
     dv_mag = np.linalg.norm(dv, axis=-1, keepdims=True)
     if np.any(dv_mag < np.finfo(np.float64).eps):
-        raise ValueError("delta-v vector is nil, cannot apply a pointing error")
+        raise MonteCarloError("delta-v vector is nil, cannot apply a pointing error")
     dv_hat = dv / dv_mag
     cur_mag = np.linalg.norm(cur_pointing, axis=-1, keepdims=True)
     cur_angle = np.arccos(

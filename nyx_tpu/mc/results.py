@@ -15,6 +15,7 @@ import numpy as np
 from ..cosmic.spacecraft import Spacecraft
 from ..md import param as param_mod
 from ..time import Epoch
+from ..errors import MonteCarloError
 
 
 def _hermite_cubic(t0, t1, y0, y1, t):
@@ -92,7 +93,7 @@ class Results:
     def trajectory(self, index: int):
         """The captured trajectory of one run as a Trajectory."""
         if not self.has_trajectories:
-            raise ValueError("run with n_capture > 0 to retain trajectories")
+            raise MonteCarloError("run with n_capture > 0 to retain trajectories")
         from ..md.trajectory import Trajectory
 
         k = int(self.traj_len[index])
@@ -105,7 +106,7 @@ class Results:
         """[B, G, N] ensemble states at shared grid epochs `t_rel` [G],
         vectorized two-point cubic Hermite on the capture buffers."""
         if not self.has_trajectories:
-            raise ValueError("run with n_capture > 0 to retain trajectories")
+            raise MonteCarloError("run with n_capture > 0 to retain trajectories")
         B, K, N = self.traj_y.shape
         G = len(t_rel)
         out = np.empty((B, G, N))
@@ -149,7 +150,7 @@ class Results:
         batched sign-change count + vectorized bisection on the bracketing
         cubic-Hermite segment. Sets event_t/event_y/event_found."""
         if not self.has_trajectories:
-            raise ValueError("run with n_capture > 0 to locate events")
+            raise MonteCarloError("run with n_capture > 0 to locate events")
         frame = self.template.frame
         mu, radius = frame.mu, frame.radius_km or 0.0
         B, K, N = self.traj_y.shape
@@ -191,7 +192,7 @@ class Results:
 
     def event_state(self, index: int) -> Spacecraft:
         if self.event_t is None:
-            raise ValueError("call locate_nth_event (or run_until_nth_event) first")
+            raise MonteCarloError("call locate_nth_event (or run_until_nth_event) first")
         return self.template.set_vector(
             self.epoch0 + float(self.event_t[index]), self.event_y[index][:9]
         )
@@ -243,7 +244,7 @@ class Results:
             from ..propagators.instance import _secs
 
             if not self.has_trajectories:
-                raise ValueError("run with n_capture > 0 to export trajectories")
+                raise MonteCarloError("run with n_capture > 0 to export trajectories")
             step_s = _secs(step) if step is not None else 60.0
             ts, _ = self.every_value_of("x", step_s)  # grid only
             ys = self._interp_all(ts)

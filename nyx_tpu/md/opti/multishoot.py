@@ -20,6 +20,7 @@ from ...time import Epoch
 from ..objective import Objective
 from ..param import StateParameter
 from .targeter import Targeter, TargeterSolution
+from ...errors import TargetingError
 
 
 class CostFunction:
@@ -66,7 +67,7 @@ def equidistant_nodes(x0: Spacecraft, xf_orbit, n_nodes: int,
     """Straight-line position nodes at equally spaced epochs between the
     initial state and the destination (equidistant_heuristic.rs:28-88)."""
     if n_nodes < 2:
-        raise ValueError("need at least 2 nodes")
+        raise TargetingError("need at least 2 nodes")
     r0 = x0.orbit.r_km
     rf = xf_orbit.r_km
     t0 = x0.epoch
@@ -141,7 +142,7 @@ class MultipleShooting:
             tgt = self._segment_targeter(node.objectives())
             sol = tgt.try_achieve_dual(state, state.epoch, node.epoch)
             if not sol.converged:
-                raise RuntimeError(
+                raise TargetingError(
                     f"segment targeter to node at {node.epoch} failed: {sol}"
                 )
             sols.append(sol)
@@ -209,6 +210,6 @@ class MultipleShooting:
             for k, val in enumerate(-delta_r):
                 self.nodes[k // 3].update_component(k % 3, val)
 
-        raise RuntimeError(
+        raise TargetingError(
             f"multiple shooting did not converge in {self.max_iterations} iterations"
         )

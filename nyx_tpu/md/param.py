@@ -12,6 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..cosmic import orbit as om
+from ..errors import StateError
 
 _R2D = 180.0 / jnp.pi
 
@@ -52,6 +53,19 @@ class StateParameter:
     BDOT_R = "bdot_r"  # hyperbolic B-plane B.R (km)
     BDOT_T = "bdot_t"  # hyperbolic B-plane B.T (km)
     B_LTOF = "b_ltof"  # linearized time of flight (s)
+    # spacecraft-level parameters (param.rs Epoch/GuidanceMode/Isp/Thrust*,
+    # DryMass/TotalMass): evaluated by Spacecraft.value_of, not by `value`
+    # below, because they read the spacecraft config rather than the
+    # 9-dim state vector
+    EPOCH = "epoch_tai_s"
+    GUIDANCE_MODE = "guidance_mode"
+    ISP = "isp_s"
+    THRUST = "thrust_n"
+    THRUST_X = "thrust_x"
+    THRUST_Y = "thrust_y"
+    THRUST_Z = "thrust_z"
+    DRY_MASS = "dry_mass"
+    TOTAL_MASS = "total_mass"
 
     # default event-finding precision per parameter (value units), mirroring
     # md/param.rs default_event_precision
@@ -147,7 +161,7 @@ def value(param: str, y, mu: float, radius_km: float = 0.0):
 
         b_r, b_t, ltof, _ = bplane_from_rv(r, v, mu)
         return {"bdot_r": b_r, "bdot_t": b_t, "b_ltof": ltof}[p]
-    raise KeyError(f"unknown StateParameter {param!r}")
+    raise StateError(f"unknown StateParameter {param!r}")
 
 
 def default_precision(param: str) -> float:

@@ -18,6 +18,7 @@ import numpy as np
 from ..cosmic.spacecraft import Spacecraft
 from ..time import Duration, Epoch
 from . import param as param_mod
+from ..errors import TrajError
 
 INTERPOLATION_SAMPLES = 13
 
@@ -107,7 +108,7 @@ class Trajectory:
         """Interpolated flat state at relative seconds (Hermite pos/vel,
         linear mass, exactly the reference's Spacecraft Interpolatable impl)."""
         if not (self.ts[0] - 1e-9 <= t_rel <= self.ts[-1] + 1e-9):
-            raise ValueError(
+            raise TrajError(
                 f"epoch {t_rel} s outside trajectory [{self.ts[0]}, {self.ts[-1]}]"
             )
         lo, hi = self._window(t_rel)
@@ -197,7 +198,7 @@ def _traj_to_frame(self, frame, almanac=None):
     t_tdb = self.epoch0.to_tdb_seconds() + self.ts
     if frame.center != old.center:
         if almanac is None:
-            raise ValueError("changing central bodies requires an almanac")
+            raise TrajError("changing central bodies requires an almanac")
         delta = almanac.position(old.center, frame.center, t_tdb)
         h = 16.0
         dvel = (
@@ -351,7 +352,7 @@ def _traj_from_parquet(cls, path, template) -> "Trajectory":
     needed = ("epoch_tai_s", "x", "y", "z", "vx", "vy", "vz")
     missing = [c for c in needed if c not in cols]
     if missing:
-        raise ValueError(f"parquet trajectory missing columns: {missing}")
+        raise TrajError(f"parquet trajectory missing columns: {missing}")
     tai = np.asarray(table["epoch_tai_s"])
     epoch0 = Epoch.from_tai_seconds_j2000(float(tai[0]))
     ts = tai - tai[0]

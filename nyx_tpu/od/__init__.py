@@ -2,7 +2,7 @@
 
 from .blse import BatchLeastSquares, BLSSolution, BLSSolver
 from .estimate import KfEstimate, Residual, SpacecraftUncertainty
-from .ground_station import GroundStation
+from .ground_station import GroundStation, TerrainMask
 from .interlink import DeviceTrajectory, InterlinkTxSpacecraft
 from .position import PositionDevice
 from .groundpnt import GroundAsset, GroundPntProcess, GroundPntSim
@@ -17,6 +17,7 @@ from . import tdm as _tdm  # attaches TrackingDataArc.to_tdm/from_tdm
 __all__ = [
     "BatchLeastSquares", "BLSSolution", "BLSSolver",
     "KfEstimate", "Residual", "SpacecraftUncertainty", "GroundStation",
+    "TerrainMask",
     "InterlinkTxSpacecraft", "DeviceTrajectory", "PositionDevice",
     "GroundAsset", "GroundPntProcess", "GroundPntSim",
     "KalmanFilter", "KalmanVariant", "ProcessNoise", "Measurement",

@@ -63,6 +63,35 @@ class KfEstimate:
         sig = np.sqrt(np.diag(self.covar))
         return bool(np.all(np.abs(err[:6]) <= num_sigmas * sig[:6]))
 
+    def keplerian_covar(self) -> np.ndarray:
+        """6x6 covariance of (SMA km, ECC, INC deg, RAAN deg, AOP deg,
+        TA deg), i.e. the Cartesian covariance rotated through the AD
+        Jacobian of the osculating-element map (kfestimate.rs:190-225;
+        `jax.jacfwd` replaces the reference's hyperdual OrbitDual)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..cosmic.orbit import keplerian_from_cartesian
+
+        mu = self.nominal.orbit.frame.mu_km3_s2
+
+        def elems(rv6):
+            k = keplerian_from_cartesian(rv6[0:3], rv6[3:6], mu)
+            return jnp.stack(
+                [
+                    k["sma"],
+                    k["ecc"],
+                    jnp.rad2deg(k["inc"]),
+                    jnp.rad2deg(k["raan"]),
+                    jnp.rad2deg(k["aop"]),
+                    jnp.rad2deg(k["ta"]),
+                ]
+            )
+
+        rv6 = jnp.asarray(self.nominal.to_vector()[:6])
+        jac = np.asarray(jax.jacfwd(elems)(rv6))
+        return jac @ self.covar[0:6, 0:6] @ jac.T
+
     def covar_in_frame(self, local_frame: str) -> np.ndarray:
         """6x6 position/velocity covariance rotated into RIC or VNC."""
         r = self.nominal.orbit.r_km

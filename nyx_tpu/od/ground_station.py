@@ -54,6 +54,38 @@ def sez_dcm(lat_deg, lon_deg):
 
 
 @dataclass
+class TerrainMask:
+    """Azimuth-dependent minimum-elevation mask (parity with the ANISE
+    `TerrainMask` carried by the reference's GroundStation,
+    od/ground_station/mod.rs:125-126 and builtin.rs:41): breakpoints
+    `(azimuth_deg, min_elevation_deg)`; between breakpoints the mask holds
+    the value of the region's start azimuth (step function, wrapping at
+    360 deg). `from_flat_terrain` builds the constant mask the reference
+    attaches to every builtin DSN site."""
+
+    azimuths_deg: np.ndarray
+    elevations_deg: np.ndarray
+
+    def __post_init__(self):
+        az = np.mod(np.asarray(self.azimuths_deg, dtype=np.float64), 360.0)
+        el = np.asarray(self.elevations_deg, dtype=np.float64)
+        order = np.argsort(az)
+        self.azimuths_deg, self.elevations_deg = az[order], el[order]
+
+    @classmethod
+    def from_flat_terrain(cls, elevation_deg: float) -> "TerrainMask":
+        return cls(np.array([0.0]), np.array([float(elevation_deg)]))
+
+    def min_elevation_at(self, az_deg):
+        """Minimum visible elevation (deg) at the given azimuth(s)."""
+        az = np.mod(np.asarray(az_deg, dtype=np.float64), 360.0)
+        idx = np.searchsorted(self.azimuths_deg, az, side="right") - 1
+        # azimuths below the first breakpoint wrap to the last region
+        idx = np.where(idx < 0, len(self.azimuths_deg) - 1, idx)
+        return self.elevations_deg[idx]
+
+
+@dataclass
 class GroundStation:
     """A tracking ground station (od/ground_station/mod.rs:52-63)."""
 
@@ -71,6 +103,10 @@ class GroundStation:
     light_time_correction: bool = False
     timestamp_noise_s: Optional[StochasticNoise] = None
     stochastic_noises: Dict[str, StochasticNoise] = field(default_factory=dict)
+    #: optional azimuth-dependent elevation mask on top of
+    #: `elevation_mask_deg` (mod.rs terrain_mask / terrain_mask_ignored)
+    terrain_mask: Optional[TerrainMask] = None
+    terrain_mask_ignored: bool = False
 
     # -- DSN builtins (builtin.rs), IAU_EARTH geodetic coordinates -------
     @classmethod
@@ -244,6 +280,27 @@ class GroundStation:
             jnp.asarray(ts_tdb_s), jnp.asarray(ys6)
         )
         return np.asarray(vals), np.asarray(el)
+
+    def batch_azel(self, ts_tdb_s, ys6):
+        """Vectorized (azimuth_deg, elevation_deg) over a sample grid."""
+        if not hasattr(self, "_azel_jit"):
+
+            def one(t, rv6):
+                az, el, _, _ = self.azimuth_elevation_range(t, rv6)
+                return az, el
+
+            self._azel_jit = jax.jit(jax.vmap(one))
+        az, el = self._azel_jit(jnp.asarray(ts_tdb_s), jnp.asarray(ys6))
+        return np.asarray(az), np.asarray(el)
+
+    def visible(self, az_deg, el_deg):
+        """Host-side visibility gate: flat elevation mask plus the
+        optional azimuth-dependent terrain mask (mod.rs:125-126)."""
+        el = np.asarray(el_deg)
+        vis = el >= self.elevation_mask_deg
+        if self.terrain_mask is not None and not self.terrain_mask_ignored:
+            vis = vis & (el >= self.terrain_mask.min_elevation_at(az_deg))
+        return vis
 
     def measurement_covar(self, types: Optional[Sequence[str]] = None) -> np.ndarray:
         types = tuple(types or self.measurement_types)

@@ -137,6 +137,12 @@ class TrackingArcSim:
                 continue
             el = self._elevations(dev, ts, ys)
             visible = el >= dev.elevation_mask_deg
+            tm = getattr(dev, "terrain_mask", None)
+            if tm is not None and not getattr(dev, "terrain_mask_ignored", False):
+                az, el2 = dev.batch_azel(
+                    self.traj.epoch0.to_tdb_seconds() + ts, ys[:, :6]
+                )
+                visible = visible & (el2 >= tm.min_elevation_at(az))
             sched = cfg.scheduler or Scheduler()
             # intermittent cadence: on/off duty cycle from the arc start
             # (scheduler.rs Cadence::Intermittent)
@@ -237,8 +243,13 @@ class TrackingArcSim:
                 skip_before = float(self.traj.ts[0]) + t_int
             types = dev.measurement_types
             nstate = noise_states[strand.device]
+            tm = getattr(dev, "terrain_mask", None)
+            min_el = np.full(len(els), dev.elevation_mask_deg)
+            if tm is not None and not getattr(dev, "terrain_mask_ignored", False):
+                azs, _ = dev.batch_azel(t0_tdb + ts[sl], ys[sl, :6])
+                min_el = np.maximum(min_el, tm.min_elevation_at(azs))
             for k, i in enumerate(range(strand.start_idx, strand.end_idx + 1)):
-                if els[k] < dev.elevation_mask_deg or ts[i] < skip_before:
+                if els[k] < min_el[k] or ts[i] < skip_before:
                     continue
                 epoch = epoch0 + float(ts[i])
                 t_tai = epoch.to_tai_seconds()

@@ -4,9 +4,10 @@ Counterpart of the reference's `io_ccsds_tdm.rs:86-418` (reader) and
 `:464-600` (writer): one META/DATA segment per tracker, PARTICIPANT_1 =
 tracker, two-way PATH (1,2,1) halves RANGE/DOPPLER values on read and
 doubles them on write, RANGE_UNITS must be km. Frequency observables
-(RECEIVE_FREQ et al.) are not simulated here, matching the reference's
-"only supported in CCSDS TDM parsing" stance — they are skipped with a
-warning on read.
+(RECEIVE_FREQ / TRANSMIT_FREQ / TRANSMIT_FREQ_RATE) follow the
+reference's "only supported in CCSDS TDM parsing" stance: the reader
+converts them to integrated-Doppler range-rate via the turnaround ratio
+(io_ccsds_tdm.rs:261-370); they are never simulated.
 """
 
 from __future__ import annotations
@@ -18,6 +19,7 @@ import numpy as np
 
 from ..time import Epoch
 from .msr import Measurement, MeasurementType, TrackingDataArc
+from ..errors import InputOutputError
 
 #: CCSDS TDM keyword <-> MeasurementType (types.rs ccsds_tdm_name)
 TDM_NAMES = {
@@ -118,7 +120,7 @@ def read_tdm(path, aliases: Optional[Dict[str, str]] = None) -> TrackingDataArc:
                 elif line.startswith("TIME_SYSTEM"):
                     time_system = line.split("=", 1)[1].strip().upper()
                     if time_system not in ("UTC", "TAI", "TDB", "TT"):
-                        raise ValueError(
+                        raise InputOutputError(
                             f"TDM time scale {time_system} not supported"
                         )
                 elif line.startswith("PATH"):
@@ -128,11 +130,11 @@ def read_tdm(path, aliases: Optional[Dict[str, str]] = None) -> TrackingDataArc:
                     elif n_path == 3:
                         divider = 2.0  # two-way: stored value is round-trip
                     else:
-                        raise ValueError(f"{n_path} TDM paths unsupported")
+                        raise InputOutputError(f"{n_path} TDM paths unsupported")
                 elif line.startswith("RANGE_UNITS"):
                     units = line.split("=", 1)[1].strip().lower()
                     if units != "km":
-                        raise ValueError(f"RANGE_UNITS {units} not supported (km only)")
+                        raise InputOutputError(f"RANGE_UNITS {units} not supported (km only)")
                 continue
 
             # data line: KEYWORD = EPOCH VALUE

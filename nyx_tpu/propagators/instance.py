@@ -21,6 +21,7 @@ from ..cosmic.spacecraft import Spacecraft
 from ..time import Duration, Epoch
 from . import integrator
 from .integrator import DONE, FAILED_NAN
+from ..errors import EventError, PropagationError, TrajError
 
 
 def _secs(x) -> float:
@@ -111,7 +112,7 @@ class PropInstance:
                 "propagation diverged to NaN; try another method or smaller steps"
             )
         if status != DONE:
-            raise RuntimeError(
+            raise PropagationError(
                 f"propagation did not finish (status={status}); "
                 f"increase IntegratorOptions.max_iterations"
             )
@@ -141,7 +142,7 @@ class PropInstance:
         res = self._run(d, n_capture=n_capture)
         n = int(res.traj_len[0])
         if n >= n_capture:
-            raise RuntimeError(
+            raise TrajError(
                 f"trajectory capture buffer saturated ({n_capture} accepted "
                 "steps): increase n_capture or the integrator tolerance — an "
                 "overflowed buffer would interpolate garbage"
@@ -173,7 +174,7 @@ class PropInstance:
         _, traj = self.for_duration_with_traj(max_duration, n_capture)
         details = find_events(traj, event, max_events=trigger + 1)
         if len(details) <= trigger:
-            raise RuntimeError(
+            raise EventError(
                 f"event {event} not found {trigger + 1} time(s) within "
                 f"{_secs(max_duration)} s (found {len(details)})"
             )

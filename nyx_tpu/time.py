@@ -19,6 +19,7 @@ import re
 from dataclasses import dataclass
 
 import jax.numpy as jnp
+from .errors import ConfigError
 
 SECONDS_PER_DAY = 86_400.0
 TT_MINUS_TAI = 32.184
@@ -262,7 +263,7 @@ class Epoch:
             return cls.from_tdb_seconds_j2000(sec)
         if scale == "GPS":
             return cls.from_gps_seconds_j2000(sec)
-        raise ValueError(f"unknown time scale {scale}")
+        raise ConfigError(f"unknown time scale {scale}")
 
     @classmethod
     def from_gregorian_utc(cls, y, mo, d, h=0, mi=0, s=0.0) -> "Epoch":
@@ -281,7 +282,7 @@ class Epoch:
     def from_str(cls, s: str) -> "Epoch":
         m = cls._ISO_RE.match(s.strip())
         if not m:
-            raise ValueError(f"cannot parse epoch {s!r}")
+            raise ConfigError(f"cannot parse epoch {s!r}")
         y, mo, d, h, mi = (int(m.group(i)) for i in range(1, 6))
         sec = float(m.group(6))
         scale = m.group(7) or "UTC"
@@ -339,7 +340,7 @@ class Epoch:
         elif scale == "GPS":
             sec = self.to_gps_seconds()
         else:
-            raise ValueError(f"unknown time scale {scale}")
+            raise ConfigError(f"unknown time scale {scale}")
         unix_s = sec + _J2000_MINUS_UNIX_S
         days = math.floor(unix_s / SECONDS_PER_DAY)
         sod = unix_s - days * SECONDS_PER_DAY

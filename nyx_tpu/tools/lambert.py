@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..cosmic.orbit import Orbit
+from ..errors import LambertError
 
 TAU = 2.0 * np.pi
 
@@ -46,7 +47,7 @@ class LambertInput:
     @classmethod
     def from_planetary_states(cls, initial_state, final_state) -> "LambertInput":
         if initial_state.frame.center != final_state.frame.center:
-            raise ValueError("Lambert requires both states in the same frame")
+            raise LambertError("Lambert requires both states in the same frame")
         return cls(initial_state, final_state)
 
     @property
@@ -249,7 +250,7 @@ def izzo(input: LambertInput, kind=TransferKind.Auto,
     )
     v1, v2 = np.asarray(v1), np.asarray(v2)
     if not (np.all(np.isfinite(v1)) and np.all(np.isfinite(v2))):
-        raise ValueError(
+        raise LambertError(
             f"Lambert did not converge (tof may be below the {n_rev}-rev "
             "minimum)"
         )
@@ -261,11 +262,11 @@ def izzo(input: LambertInput, kind=TransferKind.Auto,
         sol = LambertSolution(v1, v2, 0.0, input)
         sma = sol.transfer_orbit().sma_km
         if sma <= 0.0:
-            raise ValueError("multi-rev Lambert has no elliptic solution")
+            raise LambertError("multi-rev Lambert has no elliptic solution")
         period = TAU * np.sqrt(sma**3 / input.mu_km3_s2)
         # the transfer is n_rev full revolutions plus a partial arc
         if not (n_rev * period < input.tof_s < (n_rev + 1) * period * 1.001):
-            raise ValueError(
+            raise LambertError(
                 f"no {n_rev}-rev solution for tof {input.tof_s:.1f} s "
                 f"(period {period:.1f} s)"
             )
@@ -289,7 +290,7 @@ def gooding(input: LambertInput, kind=TransferKind.Auto) -> LambertSolution:
     as the reference (multi-rev raises; use izzo with
     TransferKind.n_revs)."""
     if isinstance(kind, tuple) and kind and kind[0] == "nrevs":
-        raise ValueError(
+        raise LambertError(
             "gooding does not support multi-rev transfers; use "
             "izzo(kind=TransferKind.n_revs(M))"
         )
@@ -302,7 +303,7 @@ def gooding(input: LambertInput, kind=TransferKind.Auto) -> LambertSolution:
     dm = -1.0 if _resolve_long_way(input, kind) else 1.0
     a_coef = dm * np.sqrt(r1n * r2n * (1.0 + cos_dnu))
     if abs(a_coef) < 1e-12:
-        raise ValueError("Lambert targets are too close (180 deg transfer)")
+        raise LambertError("Lambert targets are too close (180 deg transfer)")
 
     phi_hi, phi_lo, phi = 4.0 * np.pi**2, -4.0 * np.pi**2, 0.0
     c2, c3 = 0.5, 1.0 / 6.0
@@ -316,7 +317,7 @@ def gooding(input: LambertInput, kind=TransferKind.Auto) -> LambertSolution:
                 if y >= 0.0:
                     break
             if y < 0.0:
-                raise ValueError("could not find a reasonable phi")
+                raise LambertError("could not find a reasonable phi")
         chi = np.sqrt(y / c2)
         cur_tof = (chi**3 * c3 + a_coef * np.sqrt(y)) / np.sqrt(mu)
         if abs(cur_tof - tof_s) < 1e-6:
@@ -337,7 +338,7 @@ def gooding(input: LambertInput, kind=TransferKind.Auto) -> LambertSolution:
         else:
             c2, c3 = 0.5, 1.0 / 6.0
     else:
-        raise ValueError("Lambert (gooding) exceeded the iteration limit")
+        raise LambertError("Lambert (gooding) exceeded the iteration limit")
 
     f = 1.0 - y / r1n
     g_dot = 1.0 - y / r2n

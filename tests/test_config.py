@@ -135,3 +135,49 @@ class TestPolyfit:
         val, dval = hermite_eval(xs, np.sin(xs), np.cos(xs), 0.41)
         assert abs(float(val) - np.sin(0.41)) < 1e-10
         assert abs(float(dval) - np.cos(0.41)) < 1e-7
+
+
+class TestDer:
+    """ASN.1 DER state encoding (cosmic/spacecraft.rs:700-786 Encode/
+    Decode parity; X.690 canonical base-2 REALs)."""
+
+    def test_real_canonical_roundtrip(self):
+        import math
+
+        from nyx_tpu.io.der import DerReader, encode_real
+
+        for x in [0.0, -0.0, 1.0, -1.0, 1 / 3, math.pi, 6.02e23, -1.6e-19,
+                  2.0**-1030, float("inf"), float("-inf"), 7136.635]:
+            y = DerReader(encode_real(x)).read_real()
+            assert y == x and math.copysign(1, y) == math.copysign(1, x)
+        assert math.isnan(DerReader(encode_real(float("nan"))).read_real())
+
+    def test_spacecraft_roundtrip_bit_exact(self):
+        from nyx_tpu import Epoch, Frames, Orbit, Spacecraft
+        from nyx_tpu.cosmic.spacecraft import Thruster
+        from nyx_tpu.io.der import spacecraft_from_der, spacecraft_to_der
+
+        e = Epoch.from_gregorian_utc(2021, 3, 4, 12, 1, 2.5)
+        o = Orbit.keplerian(7136.6, 2e-4, 51.6, 30.0, 65.0, 80.0, e,
+                            Frames.EME2000)
+        sc = Spacecraft.from_thruster(
+            o, 100.0, 50.0, Thruster(thrust_N=0.5, isp_s=3000.0)
+        )
+        back = spacecraft_from_der(spacecraft_to_der(sc))
+        np.testing.assert_array_equal(back.orbit.r_km, sc.orbit.r_km)
+        np.testing.assert_array_equal(back.orbit.v_km_s, sc.orbit.v_km_s)
+        assert back.epoch.to_tai_seconds() == sc.epoch.to_tai_seconds()
+        assert (back.cr, back.cd, back.prop_mass_kg) == (sc.cr, sc.cd, 50.0)
+        assert back.thruster.isp_s == 3000.0
+        assert back.mode == sc.mode
+        # encoding is deterministic (DER canonical requirement)
+        assert spacecraft_to_der(sc) == spacecraft_to_der(back)
+
+    def test_measurement_type_enum_parity(self):
+        """Discriminants match types.rs:36-57 repr values."""
+        from nyx_tpu.io.der import MEASUREMENT_TYPE_ENUM
+
+        assert MEASUREMENT_TYPE_ENUM["range_km"] == 0
+        assert MEASUREMENT_TYPE_ENUM["doppler_km_s"] == 1
+        assert MEASUREMENT_TYPE_ENUM["transmit_freq_rate"] == 9
+        assert MEASUREMENT_TYPE_ENUM["z"] == 8

@@ -312,3 +312,51 @@ def test_j2j3_closed_form_matches_recursion():
     err = np.abs(a_full - (a_low + a_rest)).max()
     scale = np.abs(a_full).max()
     assert err < 1e-9 * scale + 1e-18, (err, scale)
+
+
+def test_shadr_loader(tmp_path):
+    """SHADR .tab loader on a format-true generated file (GRAIL header
+    style: comma-separated, Fortran D exponents, m^3/s^2 mu in some
+    products; io/gravity.rs:137-180 parity). The loaded field must evaluate
+    identically to one built directly from the same coefficients."""
+    import gzip
+
+    from nyx_tpu.io.gravity import GravityFieldData
+    from nyx_tpu.dynamics import Harmonics
+
+    shadr = (
+        "   0.17380000000000D+04,  0.49028001000000D+04,"
+        "  0.00000000000000D+00,     3,     3,     1,"
+        "  0.00000000000000D+00,  0.00000000000000D+00\n"
+        "    2,    0, -0.90880000000000D-04,  0.00000000000000D+00,"
+        "  0.1D-09,  0.1D-09\n"
+        "    2,    1,  0.12340000000000D-07,  0.45600000000000D-08,"
+        "  0.1D-09,  0.1D-09\n"
+        "    2,    2,  0.34700000000000D-04, -0.18900000000000D-05,"
+        "  0.1D-09,  0.1D-09\n"
+        "    3,    0, -0.32100000000000D-05,  0.00000000000000D+00,"
+        "  0.1D-09,  0.1D-09\n"
+        "    3,    1,  0.26300000000000D-04,  0.54200000000000D-05,"
+        "  0.1D-09,  0.1D-09\n"
+    )
+    p = tmp_path / "gggrx_0003.tab.gz"
+    with gzip.open(p, "wt") as f:
+        f.write(shadr)
+
+    stor = GravityFieldData.from_shadr(p, 3, 3, gunzipped=True,
+                                       frame=Frames.IAU_MOON)
+    assert stor.radius_km == pytest.approx(1738.0)
+    assert stor.mu_km3_s2 == pytest.approx(4902.8001)
+    assert stor.c_nm[2, 0] == pytest.approx(-9.088e-5)
+    assert stor.s_nm[2, 2] == pytest.approx(-1.89e-6)
+    assert stor.c_nm[3, 1] == pytest.approx(2.63e-5)
+
+    direct = GravityFieldData(
+        c_nm=stor.c_nm.copy(), s_nm=stor.s_nm.copy(),
+        mu_km3_s2=stor.mu_km3_s2, radius_km=stor.radius_km,
+        frame=Frames.IAU_MOON,
+    )
+    r_bf = jnp.asarray([[1837.4, 500.0, -300.0], [2000.0, -100.0, 900.0]])
+    a1 = Harmonics.from_stor(stor).accel_body_fixed(r_bf)
+    a2 = Harmonics.from_stor(direct).accel_body_fixed(r_bf)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-14)
