@@ -27,10 +27,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..cosmic.orbit import ric_dcm, vnc_dcm
+from ..xmath import gauss_solve
 from ..propagators import integrator
 from ..time import Epoch
 from .ground_station import geodetic_to_body_fixed, sez_dcm
 from .msr import MeasurementType, TrackingDataArc
+from ..errors import ConfigError
 
 STATE_DIM = 9
 
@@ -116,24 +118,41 @@ class ScanKalmanOD:
         process_noise=None,
         resid_rejection_sigmas: Optional[float] = None,
         almanac=None,
-        prop_mode: str = "fixed",
+        prop_mode: str = "batch",
         substeps: int = 1,
         max_gap_s: Optional[float] = None,
+        filter_mode: str = "auto",
     ):
         """`prop_mode`:
 
-        - "fixed" (default): each scan row advances the reference with
+        - "batch" (default, CKF only): the TPU-native three-stage design.
+          The CKF linearizes about the nominal trajectory, which does not
+          depend on the measurements — so (1) the reference is propagated
+          ONCE (adaptive RK, single lane, dense capture) and interpolated
+          at every row time with a quintic Hermite (endpoint accelerations
+          from one batched EOM call; sub-mm at the clamped <= max_gap_s
+          node spacing); (2) the per-row STMs Φ(t_{i-1}→t_i) are advanced
+          as ONE [M, 90] batched fixed-step RK call (every gap in
+          parallel); (3) the measurement models + H matrices are batched
+          with vmapped `jax.linearize`. Only the 9×9 filter algebra stays
+          sequential — as a `lax.scan`, or, with `filter_mode="parallel"`,
+          as a `lax.associative_scan` (the parallel Kalman filter of
+          Särkkä & García-Fernández 2021, exact for the linearized CKF),
+          which runs the whole arc in O(log M) sequential depth.
+        - "fixed": each scan row advances the reference with
           `substeps` fixed RK steps spanning exactly the inter-measurement
           gap; gaps longer than `max_gap_s` (default min(max_step, 300 s))
           are bridged by inserting masked time-update-only rows on the
           host, mirroring the reference's <=max_step chunking
           (od/process/mod.rs:215-241). No lax loop remains inside the scan
-          body — on the axon TPU this is ~10x the adaptive path's filter
-          throughput, and sub-steps never exceed the adaptive path's own
-          accepted step for these gap sizes, so accuracy is unchanged
-          (asserted against the host filter in tests).
+          body. Required for the EKF variant (which relinearizes about the
+          updated estimate and is therefore inherently sequential).
         - "adaptive": the round-1 behavior, a nested adaptive-RK
           while_loop per measurement.
+
+        `filter_mode` (batch mode only): "scan" (sequential 9×9 scan,
+        supports sigma rejection), "parallel" (associative scan, rejection
+        unsupported), or "auto" (parallel when rejection is off).
         """
         self.prop = prop
         self.devices = list(devices)
@@ -142,7 +161,12 @@ class ScanKalmanOD:
         self.process_noise = process_noise
         self.resid_rejection_sigmas = resid_rejection_sigmas
         self.almanac = almanac
+        if prop_mode == "batch" and variant != "ckf":
+            # EKF relinearizes about the updated estimate each row; the
+            # batched pipeline assumes a measurement-independent reference.
+            prop_mode = "fixed"
         self.prop_mode = prop_mode
+        self.filter_mode = filter_mode
         self.substeps = int(substeps)
         self.max_gap_s = float(
             max_gap_s
@@ -151,7 +175,7 @@ class ScanKalmanOD:
         )
         frames = {d.frame for d in devices}
         if len(frames) != 1:
-            raise ValueError("all scan-filter stations must share a frame")
+            raise ConfigError("all scan-filter stations must share a frame")
         self.station_frame = devices[0].frame
         # station parameter tables, gathered by tracker index on device
         self._lat = jnp.asarray([d.latitude_deg for d in devices])
@@ -334,6 +358,299 @@ class ScanKalmanOD:
         return run, run_batch
 
     # ------------------------------------------------------------------
+    def _build_batch(self, m: int, k_cap: int):
+        """Compile the three-stage batched CKF (see __init__ docstring).
+
+        `m` is the row count (measurements + filler), `k_cap` the capture
+        buffer size for the single-lane reference propagation."""
+        from dataclasses import replace as _dc_replace
+
+        dyn = self.prop.dynamics
+        eom9 = dyn.make_eom(with_stm=False)
+        eom90 = dyn.make_eom(with_stm=True)
+        finally_fn = dyn.make_finally()
+        opts, method = self.prop.opts, self.prop.method
+        # clamp reference nodes to the filler spacing so the quintic
+        # Hermite interpolation stays far below measurement noise
+        ref_opts = _dc_replace(
+            opts,
+            max_step_s=min(opts.max_step_s, self.max_gap_s),
+            # stage-looped RK: with heavyweight EOMs (high-degree gravity)
+            # the 16x-unrolled RK89 body is prohibitively slow to compile
+            # on the axon remote compiler
+            stage_mode="loop",
+        )
+        types = self.types
+        frame = self.station_frame
+        lat, lon, hgt, rvar = self._lat, self._lon, self._hgt, self._rvar
+        lt_flags = self._lt
+        rej_sigmas = self.resid_rejection_sigmas
+        substeps = max(1, self.substeps)
+        a_tab = method.a_matrix
+        b_tab, bs_tab, c_tab = method.b, method.b_star, method.c
+        use_parallel = self.filter_mode == "parallel" or (
+            self.filter_mode == "auto" and rej_sigmas is None
+        )
+
+        def interp_quintic(ts_n, ys_n, acc_n, n_valid, tq):
+            """Quintic Hermite (pos/vel/acc endpoints) at query times
+            tq [M]; ts_n [K] node times (garbage past n_valid), ys_n [K, 9],
+            acc_n [K, 3]. Linear interp for columns 6:."""
+            big = 1e30
+            ts_s = jnp.where(jnp.arange(ts_n.shape[0]) < n_valid, ts_n, big)
+            i = jnp.clip(
+                jnp.searchsorted(ts_s, tq, side="right") - 1,
+                0,
+                n_valid - 2,
+            )
+            t0, t1 = ts_n[i], ts_n[i + 1]
+            h = jnp.maximum(t1 - t0, 1e-30)
+            s = jnp.clip((tq - t0) / h, 0.0, 1.0)[:, None]
+            r0, v0, a0 = ys_n[i, 0:3], ys_n[i, 3:6], acc_n[i]
+            r1, v1, a1 = ys_n[i + 1, 0:3], ys_n[i + 1, 3:6], acc_n[i + 1]
+            hh = h[:, None]
+            s2, s3 = s * s, s * s * s
+            s4, s5 = s2 * s2, s2 * s3
+            h00 = 1 - 10 * s3 + 15 * s4 - 6 * s5
+            h10 = s - 6 * s3 + 8 * s4 - 3 * s5
+            h20 = 0.5 * (s2 - 3 * s3 + 3 * s4 - s5)
+            h01 = 10 * s3 - 15 * s4 + 6 * s5
+            h11 = -4 * s3 + 7 * s4 - 3 * s5
+            h21 = 0.5 * (s3 - 2 * s4 + s5)
+            r = (
+                h00 * r0 + h10 * hh * v0 + h20 * hh * hh * a0
+                + h01 * r1 + h11 * hh * v1 + h21 * hh * hh * a1
+            )
+            d00 = -30 * s2 + 60 * s3 - 30 * s4
+            d10 = 1 - 18 * s2 + 32 * s3 - 15 * s4
+            d20 = 0.5 * (2 * s - 9 * s2 + 12 * s3 - 5 * s4)
+            d01 = 30 * s2 - 60 * s3 + 30 * s4
+            d11 = -12 * s2 + 28 * s3 - 15 * s4
+            d21 = 0.5 * (3 * s2 - 8 * s3 + 5 * s4)
+            v = (
+                d00 * r0 / hh + d10 * v0 + d20 * hh * a0
+                + d01 * r1 / hh + d11 * v1 + d21 * hh * a1
+            )
+            rest0, rest1 = ys_n[i, 6:], ys_n[i + 1, 6:]
+            rest = rest0 + s * (rest1 - rest0)
+            return jnp.concatenate([r, v, rest], axis=-1)  # [M, 9]
+
+        def filter_scan(phi, q_all, h_all, z_all, r_all, avail, p0):
+            """Sequential 9×9 CKF over precomputed rows (sigma rejection
+            supported)."""
+
+            def step(carry, x):
+                dev, p_mat = carry
+                phi_i, q_i, h_i, z_i, r_i, av_i = x
+                p_bar = phi_i @ p_mat @ phi_i.T + q_i
+                dev_bar = phi_i @ dev
+                prefit = jnp.where(av_i, z_i - h_i @ dev_bar, 0.0)
+                s_mat = h_i @ p_bar @ h_i.T + jnp.diag(r_i)
+                l_chol = jnp.linalg.cholesky(s_mat)
+                white = jax.scipy.linalg.solve_triangular(
+                    l_chol, prefit, lower=True
+                )
+                m_eff = jnp.maximum(jnp.sum(av_i), 1)
+                ratio = jnp.linalg.norm(white) / jnp.sqrt(
+                    m_eff.astype(jnp.float64)
+                )
+                rejected = (
+                    (ratio > rej_sigmas)
+                    if rej_sigmas is not None
+                    else jnp.bool_(False)
+                )
+                k_t = jax.scipy.linalg.cho_solve((l_chol, True), h_i @ p_bar.T)
+                k_gain = jnp.where(rejected, 0.0, k_t.T)
+                dev_new = dev_bar + k_gain @ prefit
+                postfit = jnp.where(av_i, z_i - h_i @ dev_new, 0.0)
+                ikh = jnp.eye(STATE_DIM) - k_gain @ h_i
+                p_new = ikh @ p_bar @ ikh.T + k_gain @ jnp.diag(r_i) @ k_gain.T
+                p_new = 0.5 * (p_new + p_new.T)
+                return (dev_new, p_new), (
+                    dev_new, p_new, prefit, postfit, ratio, rejected
+                )
+
+            carry0 = (jnp.zeros(STATE_DIM), p0)
+            _, out = jax.lax.scan(
+                step, carry0, (phi, q_all, h_all, z_all, r_all, avail)
+            )
+            return out
+
+        def filter_parallel(phi, q_all, h_all, z_all, r_all, avail, p0):
+            """Associative-scan CKF (Särkkä & García-Fernández 2021, eqs.
+            10-12): each row becomes a 5-tuple (A, b, C, η, J); composition
+            is associative, so `lax.associative_scan` yields every filtered
+            (deviation, covariance) in O(log M) sequential steps. Exact for
+            the linearized CKF (initial deviation mean is zero)."""
+            eye = jnp.eye(STATE_DIM)
+
+            def make_element(phi_i, q_i, h_i, z_i, r_i):
+                s_i = h_i @ q_i @ h_i.T + jnp.diag(r_i)
+                l_chol = jnp.linalg.cholesky(s_i)
+                k_i = jax.scipy.linalg.cho_solve((l_chol, True), h_i @ q_i.T).T
+                ikh = eye - k_i @ h_i
+                a_i = ikh @ phi_i
+                b_i = k_i @ z_i
+                c_i = ikh @ q_i
+                c_i = 0.5 * (c_i + c_i.T)
+                hs = jax.scipy.linalg.cho_solve((l_chol, True), h_i @ phi_i)
+                eta_i = hs.T @ z_i
+                j_i = hs.T @ (h_i @ phi_i)
+                return a_i, b_i, c_i, eta_i, 0.5 * (j_i + j_i.T)
+
+            elems = jax.vmap(make_element)(phi, q_all, h_all, z_all, r_all)
+            # fold the prior into element 0: Q_1 -> Φ P0 Φᵀ + Q_1, A_1 -> 0
+            phi0, q0, h0, z0, r0 = (
+                phi[0], q_all[0], h_all[0], z_all[0], r_all[0]
+            )
+            pbar0 = phi0 @ p0 @ phi0.T + q0
+            a0, b0, c0, eta0, j0 = make_element(
+                jnp.eye(STATE_DIM), pbar0, h0, z0, r0
+            )
+            elems = tuple(
+                e.at[0].set(v)
+                for e, v in zip(
+                    elems,
+                    (jnp.zeros_like(a0), b0, c0, jnp.zeros(STATE_DIM),
+                     jnp.zeros((STATE_DIM, STATE_DIM))),
+                )
+            )
+
+            def compose(left, right):
+                a1, b1, c1, e1, j1 = left
+                a2, b2, c2, e2, j2 = right
+                # both solves share the coefficient matrix I + J2 C1, since
+                # (I + C1 J2)^T = I + J2 C1 for symmetric C1, J2; one
+                # batched elimination serves t_mat and u_mat (no f64 LU on
+                # TPU — see xmath.gauss_solve)
+                sol = gauss_solve(
+                    jnp.eye(STATE_DIM) + j2 @ c1,
+                    jnp.concatenate(
+                        [
+                            a2.swapaxes(-1, -2),
+                            e2[..., None] - j2 @ b1[..., None],
+                            j2 @ a1,
+                        ],
+                        -1,
+                    ),
+                )
+                t_mat = sol[..., :STATE_DIM].swapaxes(-1, -2)
+                ue = sol[..., STATE_DIM]
+                uja = sol[..., STATE_DIM + 1 :]
+                a_new = t_mat @ a1
+                b_new = (
+                    t_mat @ (b1[..., None] + c1 @ e2[..., None])
+                )[..., 0] + b2
+                c_new = t_mat @ c1 @ a2.swapaxes(-1, -2) + c2
+                c_new = 0.5 * (c_new + c_new.swapaxes(-1, -2))
+                e_new = (a1.swapaxes(-1, -2) @ ue[..., None])[..., 0] + e1
+                j_new = a1.swapaxes(-1, -2) @ uja + j1
+                j_new = 0.5 * (j_new + j_new.swapaxes(-1, -2))
+                return a_new, b_new, c_new, e_new, j_new
+
+            a_s, b_s, c_s, _, _ = jax.lax.associative_scan(compose, elems)
+            dev_all = b_s  # [M, 9]
+            p_all = c_s  # [M, 9, 9]
+            dev_prev = jnp.concatenate(
+                [jnp.zeros((1, STATE_DIM)), dev_all[:-1]]
+            )
+            p_prev = jnp.concatenate([p0[None], p_all[:-1]])
+            dev_bar = (phi @ dev_prev[..., None])[..., 0]
+            prefit = jnp.where(avail, z_all - (h_all @ dev_bar[..., None])[..., 0], 0.0)
+            postfit = jnp.where(avail, z_all - (h_all @ dev_all[..., None])[..., 0], 0.0)
+            p_bar = phi @ p_prev @ phi.swapaxes(-1, -2) + q_all
+            s_all = h_all @ p_bar @ h_all.swapaxes(-1, -2) + jax.vmap(jnp.diag)(r_all)
+            white = gauss_solve(s_all, prefit[..., None])[..., 0]
+            m_eff = jnp.maximum(jnp.sum(avail, axis=-1), 1)
+            ratio = jnp.sqrt(
+                jnp.maximum(jnp.einsum("mt,mt->m", prefit, white), 0.0)
+                / m_eff.astype(jnp.float64)
+            )
+            rejected = jnp.zeros(ratio.shape, dtype=bool)
+            return dev_all, p_all, prefit, postfit, ratio, rejected
+
+        def run_one(t_rel, trk, obs, avail, y0, p0, ctx, sc_params,
+                    epoch0_tdb):
+            # ---- stage 1: single-lane reference with dense capture ----
+            arc_span = t_rel[-1]
+            res = integrator.propagate(
+                eom9,
+                y0[None, :],
+                arc_span,
+                ref_opts,
+                method,
+                n_capture=k_cap,
+                capture_stride=1,
+                finally_fn=finally_fn,
+                eom_args=(ctx, sc_params),
+            )
+            n_valid = res.traj_len[0] + 1
+            ts_n = jnp.concatenate([jnp.zeros((1,)), res.traj_t[0]])
+            ys_n = jnp.concatenate([y0[None, :], res.traj_y[0]])
+            acc_n = eom9(ts_n, ys_n, ctx, sc_params)[:, 3:6]
+            t_prev = jnp.concatenate([jnp.zeros((1,)), t_rel[:-1]])
+            y_prev = interp_quintic(ts_n, ys_n, acc_n, n_valid, t_prev)
+
+            # ---- stage 2: all gap STMs in one batched fixed-step RK ----
+            dt = t_rel - t_prev
+            eye_flat = jnp.broadcast_to(
+                jnp.eye(STATE_DIM).ravel(), (m, STATE_DIM * STATE_DIM)
+            )
+            y90 = jnp.concatenate([y_prev, eye_flat], axis=1)
+            h_sub = dt / substeps
+            eom2 = lambda t, yy: eom90(t, yy, ctx, sc_params)
+            fin2 = lambda t, yy: finally_fn(t, yy, ctx, sc_params)
+            for s_i in range(substeps):
+                t_s = t_prev + s_i * h_sub
+                # stage-looped: the 90-dim STM EOM (9 jvp passes through
+                # the full dynamics) unrolled 16x is a pathologically large
+                # graph for the axon remote compiler (>20 min); one scan
+                # instantiation compiles ~16x faster at negligible runtime
+                # cost (the EOM dominates the stage buffer traffic)
+                y90, _ = integrator._rk_stages_looped(
+                    eom2, a_tab, b_tab, bs_tab, c_tab, t_s, y90, h_sub
+                )
+                y90 = fin2(t_s + h_sub, y90)
+            y_bar = y90[:, 0:STATE_DIM]
+            phi = y90[:, STATE_DIM:].reshape(m, STATE_DIM, STATE_DIM)
+
+            # ---- stage 3: batched measurement models + partials ----
+            t_tdb = epoch0_tdb + t_rel
+
+            def one_obs(t_i, y_i, trk_i):
+                def h_of_y(y9):
+                    return _station_obs(
+                        t_i, y9[0:6], lat[trk_i], lon[trk_i], hgt[trk_i],
+                        frame, types, lt=lt_flags[trk_i],
+                    )
+
+                computed, h_jvp = jax.linearize(h_of_y, y_i)
+                h_mat = jax.vmap(h_jvp)(jnp.eye(STATE_DIM)).T
+                return computed, h_mat
+
+            computed, h_all = jax.vmap(one_obs)(t_tdb, y_bar, trk)
+            z_all = jnp.where(avail, obs - computed, 0.0)
+            r_all = jnp.where(avail, rvar[trk], 1e30)
+            q_all = jax.vmap(self._snc_q)(dt, y_prev)
+
+            # ---- stage 4: the filter (only 9×9 algebra left) ----
+            ffn = filter_parallel if use_parallel else filter_scan
+            dev_all, p_all, prefit, postfit, ratio, rejected = ffn(
+                phi, q_all, h_all, z_all, r_all, avail, p0
+            )
+            y_est = y_bar + dev_all
+            return y_est, p_all, prefit, postfit, ratio, rejected
+
+        run = jax.jit(run_one)
+        run_batch = jax.jit(
+            jax.vmap(
+                run_one,
+                in_axes=(None, None, None, None, 0, 0, None, None, None),
+            )
+        )
+        return run, run_batch
+
+    # ------------------------------------------------------------------
     def _prepare(self, arc: TrackingDataArc, epoch0: Epoch):
         """Host-side arc layout: per-row (t_rel, trk, obs, avail) arrays
         with masked filler rows inserted so no row spans more than
@@ -356,7 +673,7 @@ class ScanKalmanOD:
                 obs[good, j] = v[good]
                 avail[:, j] = good
 
-        if self.prop_mode != "fixed":
+        if self.prop_mode == "adaptive":
             return t_rel, trk, obs, avail, np.ones(m, dtype=bool)
 
         rows_t, rows_trk, rows_obs, rows_avail, real = [], [], [], [], []
@@ -391,9 +708,17 @@ class ScanKalmanOD:
         epoch0 = initial_estimate.epoch
         t_rel, trk, obs, avail, real = self._prepare(arc, epoch0)
         m_rows = len(t_rel)
-        if m_rows not in self._compiled:
-            self._compiled[m_rows] = self._build(m_rows)
         arc_span = float(t_rel[-1]) if m_rows else 0.0
+        if self.prop_mode == "batch":
+            node_hint = min(self.max_gap_s, self.prop.opts.max_step_s) / 8.0
+            k_cap = int(arc_span / max(node_hint, 1.0)) + 32
+            key = (m_rows, k_cap)
+            if key not in self._compiled:
+                self._compiled[key] = self._build_batch(m_rows, k_cap)
+        else:
+            key = m_rows
+            if key not in self._compiled:
+                self._compiled[key] = self._build(m_rows)
         ctx = self.prop.dynamics.build_context(epoch0, arc_span, self.almanac)
         nominal = initial_estimate.nominal
         sc_params = dict(
@@ -406,7 +731,7 @@ class ScanKalmanOD:
             jnp.asarray(avail),
         )
         epoch0_tdb = jnp.float64(epoch0.to_tdb_seconds())
-        return self._compiled[m_rows], args, ctx, sc_params, epoch0_tdb, real
+        return self._compiled[key], args, ctx, sc_params, epoch0_tdb, real
 
     def process_arc(self, initial_estimate, arc: TrackingDataArc) -> ScanODResult:
         """Run the compiled scan filter over the arc. `initial_estimate`

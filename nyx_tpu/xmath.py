@@ -88,3 +88,49 @@ def norm(x, axis=-1):
 
 def unit(x, axis=-1):
     return x / jnp.linalg.norm(x, axis=axis, keepdims=True)
+
+
+def gauss_solve(m, rhs):
+    """Batched dense linear solve by unrolled Gaussian elimination with
+    partial pivoting: `m` [..., n, n], `rhs` [..., n, k] -> [..., n, k].
+
+    The TPU backend has no f64 LU decomposition (XLA's LuDecomposition
+    expander is F32/C64-only), so `jnp.linalg.solve` cannot run in double
+    precision on device; for the small fixed-size systems of the filter
+    algebra (n <= ~12) an unrolled elimination is both supported and fast
+    (every step is a wide batched vector op)."""
+    import jax.numpy as jnp
+
+    n = m.shape[-1]
+    a = jnp.concatenate([m, rhs], axis=-1)  # [..., n, n+k]
+    eye = jnp.eye(n, dtype=m.dtype)
+    for col in range(n):
+        # partial pivot: strongest remaining row for this column
+        colv = jnp.abs(a[..., :, col])
+        mask = jnp.arange(n) >= col
+        piv = jnp.argmax(jnp.where(mask, colv, -1.0), axis=-1)  # [...]
+        # row-swap as a permutation matmul (gather-free, batch-friendly)
+        e_p = (piv[..., None, None] == jnp.arange(n)).astype(m.dtype)
+        e_c = eye[col][(None,) * (a.ndim - 2) + (None, slice(None))]
+        perm = (
+            jnp.broadcast_to(eye, a.shape[:-2] + (n, n))
+            - e_c * jnp.swapaxes(e_c, -1, -2)
+            - e_p * jnp.swapaxes(e_p, -1, -2)
+            + e_p * jnp.swapaxes(e_c, -1, -2)
+            + e_c * jnp.swapaxes(e_p, -1, -2)
+        )
+        a = perm @ a
+        pivval = a[..., col : col + 1, col : col + 1]
+        factors = a[..., col + 1 :, col : col + 1] / pivval
+        a = a.at[..., col + 1 :, :].add(-factors * a[..., col : col + 1, :])
+    # back substitution (unrolled)
+    k = rhs.shape[-1]
+    x = jnp.zeros(a.shape[:-2] + (n, k), dtype=m.dtype)
+    for col in range(n - 1, -1, -1):
+        acc = a[..., col, n:]
+        if col < n - 1:
+            acc = acc - jnp.einsum(
+                "...j,...jk->...k", a[..., col, col + 1 : n], x[..., col + 1 :, :]
+            )
+        x = x.at[..., col, :].set(acc / a[..., col, col : col + 1])
+    return x
