@@ -171,8 +171,14 @@ def _od_filter_steps_per_s(epoch, stor):
         ),
         (),
     )
+    def _stage(msg):
+        print(f"# od: {msg} t={time.time() - _T0:.0f}s", file=sys.stderr,
+              flush=True)
+
+    _T0 = time.time()
     prop = Propagator.rk89(dyn, IntegratorOptions())
     _, traj = prop.with_state(truth).for_duration_with_traj(86_400.0)
+    _stage("truth traj done")
 
     def white(gs):
         gs.stochastic_noises = {
@@ -191,6 +197,7 @@ def _od_filter_steps_per_s(epoch, stor):
         stations, traj, {g.name: cfg for g in stations}, seed=0
     )
     arc = sim.generate_measurements()
+    _stage(f"{len(arc)} measurements simulated")
     unc = SpacecraftUncertainty(
         nominal=truth, frame="ric", x_km=0.15, y_km=0.15, z_km=0.15,
         vx_km_s=5e-6, vy_km_s=5e-6, vz_km_s=5e-6,
@@ -202,6 +209,7 @@ def _od_filter_steps_per_s(epoch, stor):
         variant="ckf",
     )
     scan.process_arc(est0, arc)  # compile
+    _stage("filter compiled")
     t0 = time.time()
     scan.process_arc(est0, arc)
     return len(arc) / (time.time() - t0)

@@ -4,8 +4,14 @@
 An LRO-like low lunar orbit with a 50x50 gravity field (synthetic Kaula-rule
 coefficients, since GRAIL data cannot be downloaded in this environment —
 the OD is self-consistent: truth and filter share the field). Simulates DSN
-range/Doppler tracking, runs a CKF with SNC, smooths, and prints the
-statistics (reference main.rs:193-346 flow).
+range/Doppler tracking, runs the batched CKF scan filter (prop_mode="batch":
+one reference propagation + batched STMs + 9x9 scan) with SNC, and prints
+the statistics (reference main.rs:193-346 flow).
+
+Runs on the TPU by default — degree 50 > Harmonics.UNROLL_MAX_DEGREE takes
+the lax.scan gravity recursion, whose compact program compiles fine on the
+axon remote compiler. Set NYX_EX04_CPU=1 to force the CPU platform instead,
+and NYX_EX04_DEGREE to change the field size.
 """
 
 import sys
@@ -14,16 +20,18 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import os
+import time
 
 import numpy as np
 import jax
 
-# High-degree gravity inside the adaptive while-loop faults the tunneled
-# axon TPU runtime (known infra issue; 21x21 works, 50x50 does not). The
-# example defaults to the CPU platform; set NYX_EX04_TPU=1 to try the TPU.
-if not os.environ.get("NYX_EX04_TPU"):
+if os.environ.get("NYX_EX04_CPU"):
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    str(Path(__file__).resolve().parent.parent / ".jax_cache"),
+)
 
 from nyx_tpu import Epoch, Frames, Orbit, Spacecraft
 from nyx_tpu.dynamics import Harmonics, OrbitalDynamics, SpacecraftDynamics
@@ -31,8 +39,6 @@ from nyx_tpu.ephem.almanac import Almanac
 from nyx_tpu.io.gravity import GravityFieldData
 from nyx_tpu.od import (
     GroundStation,
-    KalmanODProcess,
-    KalmanVariant,
     MeasurementType,
     ProcessNoise,
     SpacecraftUncertainty,
@@ -40,6 +46,7 @@ from nyx_tpu.od import (
     TrkConfig,
 )
 from nyx_tpu.od.noise import StochasticNoise, WhiteNoise
+from nyx_tpu.od.scan_filter import ScanKalmanOD
 from nyx_tpu.od.simulator import Scheduler
 from nyx_tpu.propagators import IntegratorOptions, Propagator
 
@@ -47,7 +54,7 @@ from nyx_tpu.propagators import IntegratorOptions, Propagator
 def kaula_moon_field(n_max=None, seed=7):
     """Synthetic lunar field: |C_nm|,|S_nm| ~ 3.5e-4/n^2 (Kaula's rule for
     the Moon), J2 fixed at the real value."""
-    n_max = n_max or 30
+    n_max = n_max or 50
     rng = np.random.default_rng(seed)
     c = np.zeros((n_max + 1, n_max + 1))
     s = np.zeros((n_max + 1, n_max + 1))
@@ -68,7 +75,7 @@ def kaula_moon_field(n_max=None, seed=7):
 def main():
     almanac = Almanac()
     epoch = Epoch.from_gregorian_utc(2024, 1, 1, 0, 0, 0)
-    # LRO-like 50x100 km polar lunar orbit
+    # LRO-like 50x110 km polar lunar orbit
     moon_j2000 = Frames.MOON_J2000
     orbit = Orbit.keplerian_apsis_radii(
         1737.4 + 110.0, 1737.4 + 50.0, 89.7, 120.0, 30.0, 0.0, epoch,
@@ -76,17 +83,20 @@ def main():
     )
     truth_sc = Spacecraft.from_orbit(orbit)
 
-    degree = int(os.environ.get("NYX_EX04_DEGREE", 30))
+    degree = int(os.environ.get("NYX_EX04_DEGREE", 50))
     field = kaula_moon_field(degree)
     dyn = SpacecraftDynamics.new(
         OrbitalDynamics.from_model(Harmonics.from_stor(field), moon_j2000)
     )
     prop = Propagator.rk89(dyn, IntegratorOptions(max_step_s=60.0))
 
-    print(f"propagating truth (2 h, {degree}x{degree} lunar gravity)...")
+    print(f"propagating truth (2 h, {degree}x{degree} lunar gravity, "
+          f"platform={jax.default_backend()})...", flush=True)
+    t0 = time.time()
     _, truth_traj = prop.with_state(truth_sc, almanac).for_duration_with_traj(
         2 * 3600.0
     )
+    print(f"  done in {time.time() - t0:.0f}s", flush=True)
 
     def lunar_station(name, lat, lon):
         gs = GroundStation(
@@ -112,7 +122,7 @@ def main():
         stations, truth_traj, {g.name: cfg for g in stations}, seed=4
     )
     arc = sim.generate_measurements(almanac)
-    print(f"simulated {len(arc)} measurements")
+    print(f"simulated {len(arc)} measurements", flush=True)
 
     rng = np.random.default_rng(42)
     unc = SpacecraftUncertainty(
@@ -123,25 +133,39 @@ def main():
     est0 = unc.to_estimate()
     draw = rng.multivariate_normal(np.zeros(9), est0.covar)
     est0.nominal = truth_sc.set_vector(epoch, truth_sc.to_vector() + draw)
-    print(f"initial error: {np.linalg.norm(draw[:3])*1e3:.1f} m")
+    print(f"initial error: {np.linalg.norm(draw[:3])*1e3:.1f} m", flush=True)
 
-    od = KalmanODProcess(
+    # batched CKF scan filter: one adaptive reference propagation with
+    # dense capture, every inter-measurement STM as a single [M, 90]
+    # batched RK call, vmapped measurement linearization, 9x9 scan
+    od = ScanKalmanOD(
         prop,
+        stations,
+        types=(MeasurementType.RANGE_KM, MeasurementType.DOPPLER_KM_S),
+        variant="ckf",
         process_noise=(ProcessNoise.from_diag([1e-18] * 3, 3600.0),),
-        variant=KalmanVariant.DeviationTracking,
-        resid_rejection_sigmas=None,
         almanac=almanac,
     )
-    sol = od.process_arc(est0, arc, stations)
-    fin = sol.final_estimate
-    truth_fin = truth_traj.at(fin.epoch).to_vector()
-    err = np.linalg.norm(fin.state().to_vector()[:3] - truth_fin[:3])
-    print(str(sol))
+    t0 = time.time()
+    sol = od.process_arc(est0, arc)
+    print(f"filter compiled+run in {time.time() - t0:.0f}s", flush=True)
+    t0 = time.time()
+    sol = od.process_arc(est0, arc)
+    rate = len(arc) / (time.time() - t0)
+
+    truth_fin = truth_traj.at(
+        Epoch.from_tai_seconds(sol.epochs_tai_s[-1])
+    ).to_vector()
+    err = np.linalg.norm(sol.final_state()[:3] - truth_fin[:3])
+    sig = np.sqrt(np.diag(sol.final_covar())[:3]).max()
+    ridx = sol.types.index(MeasurementType.RANGE_KM)
+    rng_rms = float(np.sqrt(np.mean(sol.postfit[:, ridx] ** 2)))
+    print(f"filter rate (warm): {rate:.0f} steps/s")
     print(f"final position error: {err*1e3:.2f} m")
-    print(f"range postfit RMS: {sol.postfit_rms(MeasurementType.RANGE_KM)*1e3:.2f} m")
-    print(f"{100 - sol.percent_within_sigmas(3.0):.2f}% of residual ratios beyond 3-sigma")
-    smoothed = sol.smooth()
-    print(f"smoothed final sigma: {np.sqrt(np.diag(smoothed.estimates[0].covar)[:3]).max()*1e3:.2f} m")
+    print(f"final position sigma (max axis): {sig*1e3:.2f} m")
+    print(f"range postfit RMS: {rng_rms*1e3:.2f} m")
+    beyond = float(np.mean(sol.ratio > 3.0)) * 100.0
+    print(f"{beyond:.2f}% of residual ratios beyond 3-sigma")
 
 
 if __name__ == "__main__":

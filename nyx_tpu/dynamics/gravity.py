@@ -160,8 +160,15 @@ class Harmonics:
         # kept as numpy: the unrolled path embeds per-degree rows as literal
         # constants; the scan path converts to device arrays on trace.
         tables = (xs, diag, N, M)
+        # content digest of the (post-split) coefficient tables: two
+        # Harmonics built from identical field data hash/compare equal, so
+        # jit caches keyed on the dynamics tree are shared instead of
+        # recompiling per load (identity-keying was round-1 behavior)
+        import hashlib
+
+        digest = hashlib.sha1(C.tobytes() + S.tobytes()).hexdigest()
         return cls(
-            c_nm=(id(stor),),
+            c_nm=(digest,),
             _tables=tables,
             mu_km3_s2=float(stor.mu_km3_s2),
             radius_km=float(stor.radius_km),
@@ -174,11 +181,20 @@ class Harmonics:
         )
 
     def __hash__(self):
-        return hash((self.mu_km3_s2, self.radius_km, self.max_degree,
-                     self.max_order, self.precision))
+        return hash((self.c_nm, self.mu_km3_s2, self.radius_km,
+                     self.max_degree, self.max_order, self.precision))
 
     def __eq__(self, other):
-        return self is other
+        return self is other or (
+            isinstance(other, Harmonics)
+            and self.c_nm == other.c_nm  # content digest
+            and self.mu_km3_s2 == other.mu_km3_s2
+            and self.radius_km == other.radius_km
+            and self.max_degree == other.max_degree
+            and self.max_order == other.max_order
+            and self.precision == other.precision
+            and self.frame == other.frame
+        )
 
     def required_bodies(self):
         return ()

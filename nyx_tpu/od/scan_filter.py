@@ -168,6 +168,13 @@ class ScanKalmanOD:
         self.prop_mode = prop_mode
         self.filter_mode = filter_mode
         self.substeps = int(substeps)
+        # None -> period-aware default, resolved on first _setup (needs the
+        # initial estimate's orbit): node spacing T/24 keeps the quintic
+        # Hermite reference interpolation far below measurement noise while
+        # letting high orbits take proportionally longer reference steps
+        # (buffer sizes drive both axon compile time and the sequential
+        # step count of the reference propagation).
+        self._max_gap_user = max_gap_s
         self.max_gap_s = float(
             max_gap_s
             if max_gap_s is not None
@@ -372,13 +379,18 @@ class ScanKalmanOD:
         opts, method = self.prop.opts, self.prop.method
         # clamp reference nodes to the filler spacing so the quintic
         # Hermite interpolation stays far below measurement noise
+        # Unrolled stages for the single-lane reference: at B=1 a stage
+        # *loop* pays the axon per-loop-iteration floor (~0.2 ms) 16x per
+        # RK step — ~3 ms/step, which dominated the whole warm filter run.
+        # The unrolled 16-stage body of the 9-dim EOM is a moderate graph
+        # (same one the MC bench compiles in ~30 s). High-degree fields
+        # (> Harmonics.UNROLL_MAX_DEGREE) use the scan gravity recursion
+        # inside each stage, keeping the product of the two unrolls in
+        # check.
         ref_opts = _dc_replace(
             opts,
             max_step_s=min(opts.max_step_s, self.max_gap_s),
-            # stage-looped RK: with heavyweight EOMs (high-degree gravity)
-            # the 16x-unrolled RK89 body is prohibitively slow to compile
-            # on the axon remote compiler
-            stage_mode="loop",
+            stage_mode="unroll",
         )
         types = self.types
         frame = self.station_frame
@@ -499,22 +511,6 @@ class ScanKalmanOD:
                 return a_i, b_i, c_i, eta_i, 0.5 * (j_i + j_i.T)
 
             elems = jax.vmap(make_element)(phi, q_all, h_all, z_all, r_all)
-            # fold the prior into element 0: Q_1 -> Φ P0 Φᵀ + Q_1, A_1 -> 0
-            phi0, q0, h0, z0, r0 = (
-                phi[0], q_all[0], h_all[0], z_all[0], r_all[0]
-            )
-            pbar0 = phi0 @ p0 @ phi0.T + q0
-            a0, b0, c0, eta0, j0 = make_element(
-                jnp.eye(STATE_DIM), pbar0, h0, z0, r0
-            )
-            elems = tuple(
-                e.at[0].set(v)
-                for e, v in zip(
-                    elems,
-                    (jnp.zeros_like(a0), b0, c0, jnp.zeros(STATE_DIM),
-                     jnp.zeros((STATE_DIM, STATE_DIM))),
-                )
-            )
 
             def compose(left, right):
                 a1, b1, c1, e1, j1 = left
@@ -548,9 +544,58 @@ class ScanKalmanOD:
                 j_new = 0.5 * (j_new + j_new.swapaxes(-1, -2))
                 return a_new, b_new, c_new, e_new, j_new
 
-            a_s, b_s, c_s, _, _ = jax.lax.associative_scan(compose, elems)
-            dev_all = b_s  # [M, 9]
-            p_all = c_s  # [M, 9, 9]
+            # Two-level blocked scan. A flat associative_scan over all M
+            # rows traces an O(M)-sized program that the axon remote
+            # compiler cannot digest for day-long arcs; instead an outer
+            # `lax.scan` walks fixed-size blocks whose body holds ONE
+            # C-row associative scan (program size O(log C)), giving
+            # sequential depth M/C with the per-iteration loop floor paid
+            # only once per block. The running filter state enters each
+            # block as the prior element (A=0, b=dev, C=P): composing a
+            # prior-type element on the left of a block-cumulative element
+            # is exactly filtering from that prior (Särkkä &
+            # García-Fernández 2021, lemma 8), so no per-row fold is
+            # needed — the carry starts at (0, P0), which also folds
+            # Φ P0 Φᵀ + Q into row 0 through the same composition.
+            m_rows = phi.shape[0]
+            block = min(128, m_rows)
+            n_blocks = -(-m_rows // block)
+            pad = n_blocks * block - m_rows
+            eye_b = jnp.broadcast_to(jnp.eye(STATE_DIM), (pad, STATE_DIM, STATE_DIM))
+
+            def pad_id(e, idv):
+                return jnp.concatenate([e, idv], axis=0)
+
+            a_e, b_e, c_e, eta_e, j_e = elems
+            # identity element (A=I, rest 0): composing it on the right is
+            # a no-op, so padded rows pass the carry through untouched
+            a_e = pad_id(a_e, eye_b)
+            b_e = pad_id(b_e, jnp.zeros((pad, STATE_DIM)))
+            c_e = pad_id(c_e, jnp.zeros((pad, STATE_DIM, STATE_DIM)))
+            eta_e = pad_id(eta_e, jnp.zeros((pad, STATE_DIM)))
+            j_e = pad_id(j_e, jnp.zeros((pad, STATE_DIM, STATE_DIM)))
+            blk = tuple(
+                e.reshape((n_blocks, block) + e.shape[1:])
+                for e in (a_e, b_e, c_e, eta_e, j_e)
+            )
+
+            def outer(carry, be):
+                dev_c, p_c = carry
+                cum = jax.lax.associative_scan(compose, be)
+                prior = (
+                    jnp.zeros((STATE_DIM, STATE_DIM)), dev_c, p_c,
+                    jnp.zeros(STATE_DIM),
+                    jnp.zeros((STATE_DIM, STATE_DIM)),
+                )
+                res = jax.vmap(lambda *r: compose(prior, r))(*cum)
+                dev_b, p_b = res[1], res[2]
+                return (dev_b[-1], p_b[-1]), (dev_b, p_b)
+
+            (_, _), (dev_blocks, p_blocks) = jax.lax.scan(
+                outer, (jnp.zeros(STATE_DIM), p0), blk
+            )
+            dev_all = dev_blocks.reshape(-1, STATE_DIM)[:m_rows]  # [M, 9]
+            p_all = p_blocks.reshape(-1, STATE_DIM, STATE_DIM)[:m_rows]
             dev_prev = jnp.concatenate(
                 [jnp.zeros((1, STATE_DIM)), dev_all[:-1]]
             )
@@ -639,7 +684,9 @@ class ScanKalmanOD:
                 phi, q_all, h_all, z_all, r_all, avail, p0
             )
             y_est = y_bar + dev_all
-            return y_est, p_all, prefit, postfit, ratio, rejected
+            # n_valid ships back so the host can detect capture-buffer
+            # saturation (writes clamp silently on device)
+            return y_est, p_all, prefit, postfit, ratio, rejected, n_valid
 
         run = jax.jit(run_one)
         run_batch = jax.jit(
@@ -706,12 +753,23 @@ class ScanKalmanOD:
     # ------------------------------------------------------------------
     def _setup(self, initial_estimate, arc: TrackingDataArc):
         epoch0 = initial_estimate.epoch
+        if self._max_gap_user is None:
+            orb = initial_estimate.nominal.orbit
+            period = 2.0 * np.pi * np.sqrt(
+                max(float(orb.sma_km), 1.0) ** 3 / orb.frame.mu_km3_s2
+            )
+            self.max_gap_s = float(
+                np.clip(period / 24.0, 60.0, self.prop.opts.max_step_s)
+            )
         t_rel, trk, obs, avail, real = self._prepare(arc, epoch0)
         m_rows = len(t_rel)
         arc_span = float(t_rel[-1]) if m_rows else 0.0
         if self.prop_mode == "batch":
-            node_hint = min(self.max_gap_s, self.prop.opts.max_step_s) / 8.0
-            k_cap = int(arc_span / max(node_hint, 1.0)) + 32
+            # x4 margin over the max-gap spacing: the adaptive reference
+            # may take shorter natural steps in dynamic regions
+            node_hint = min(self.max_gap_s, self.prop.opts.max_step_s) / 4.0
+            k_cap = int(arc_span / max(node_hint, 1.0)) + 64
+            self._last_k_cap = k_cap
             key = (m_rows, k_cap)
             if key not in self._compiled:
                 self._compiled[key] = self._build_batch(m_rows, k_cap)
@@ -741,9 +799,11 @@ class ScanKalmanOD:
         )
         y0 = jnp.asarray(initial_estimate.nominal.to_vector())
         p0 = jnp.asarray(initial_estimate.covar)
-        y_est, covar, prefit, postfit, ratio, rejected = run(
-            *args, y0, p0, ctx, sc_params, epoch0_tdb
-        )
+        out = run(*args, y0, p0, ctx, sc_params, epoch0_tdb)
+        if len(out) == 7:  # batch mode ships n_valid back
+            *out, n_valid = out
+            self._check_capture(n_valid)
+        y_est, covar, prefit, postfit, ratio, rejected = out
         return ScanODResult(
             epochs_tai_s=np.asarray(arc.epochs_tai_s),
             y_est=np.asarray(y_est)[real],
@@ -754,6 +814,19 @@ class ScanKalmanOD:
             rejected=np.asarray(rejected)[real],
             types=self.types,
         )
+
+    def _check_capture(self, n_valid):
+        """Raise if the reference capture buffer saturated (device writes
+        clamp silently, which would degrade the Hermite interpolation)."""
+        from ..errors import PropagationError
+
+        k_cap = getattr(self, "_last_k_cap", 0)
+        if k_cap and int(np.max(np.asarray(n_valid))) >= k_cap:
+            raise PropagationError(
+                "scan-filter reference capture buffer saturated "
+                f"({k_cap} nodes); pass a smaller max_gap_s or raise the "
+                "margin in _setup"
+            )
 
     def process_arc_batch(self, initial_estimates, arc: TrackingDataArc):
         """Run an ensemble of filters over the same arc in one vmapped
@@ -766,9 +839,11 @@ class ScanKalmanOD:
         )
         y0s = jnp.asarray(np.stack([e.nominal.to_vector() for e in initial_estimates]))
         p0s = jnp.asarray(np.stack([e.covar for e in initial_estimates]))
-        y_est, covar, prefit, postfit, ratio, rejected = run_batch(
-            *args, y0s, p0s, ctx, sc_params, epoch0_tdb
-        )
+        outs = run_batch(*args, y0s, p0s, ctx, sc_params, epoch0_tdb)
+        if len(outs) == 7:  # batch mode ships n_valid back
+            *outs, n_valid = outs
+            self._check_capture(n_valid)
+        y_est, covar, prefit, postfit, ratio, rejected = outs
         out = []
         for k in range(len(initial_estimates)):
             out.append(

@@ -187,6 +187,12 @@ class ODSolution:
             epoch0, np.array(ts), np.stack(ys), ests[0].nominal
         )
 
+    def to_ephemeris(self, path, target: int = -10_000, degree: int = 11):
+        """Write the estimated trajectory as a SPICE BSP segment
+        (solution/mod.rs to_ephemeris parity): filtered states -> Traj ->
+        SPK type 3."""
+        return self.to_traj().to_ephemeris(path, target=target, degree=degree)
+
     def to_parquet(self, path, local_frame: Optional[str] = None) -> str:
         """Export estimates + covariances (+residuals) to parquet
         (solution/export.rs:60)."""

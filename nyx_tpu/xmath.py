@@ -90,6 +90,37 @@ def unit(x, axis=-1):
     return x / jnp.linalg.norm(x, axis=axis, keepdims=True)
 
 
+def tilde_matrix(v):
+    """Skew-symmetric cross-product matrix [..., 3, 3] such that
+    tilde(a) @ b == a x b (utils.rs tilde_matrix)."""
+    z = jnp.zeros_like(v[..., 0])
+    return jnp.stack(
+        [
+            jnp.stack([z, -v[..., 2], v[..., 1]], axis=-1),
+            jnp.stack([v[..., 2], z, -v[..., 0]], axis=-1),
+            jnp.stack([-v[..., 1], v[..., 0], z], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def rotv(v, axis, theta_rad):
+    """Rodrigues rotation of `v` about unit `axis` by `theta` (utils.rs
+    rotv). Batched over leading dims."""
+    k = unit(axis)
+    c = jnp.cos(theta_rad)[..., None]
+    s = jnp.sin(theta_rad)[..., None]
+    kxv = jnp.cross(k, v)
+    kdv = jnp.sum(k * v, axis=-1, keepdims=True)
+    return v * c + kxv * s + k * kdv * (1.0 - c)
+
+
+def projv(a, b):
+    """Projection of `a` onto `b` (utils.rs projv)."""
+    bb = jnp.sum(b * b, axis=-1, keepdims=True)
+    return b * jnp.sum(a * b, axis=-1, keepdims=True) / bb
+
+
 def gauss_solve(m, rhs):
     """Batched dense linear solve by unrolled Gaussian elimination with
     partial pivoting: `m` [..., n, n], `rhs` [..., n, k] -> [..., n, k].

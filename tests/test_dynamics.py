@@ -59,6 +59,20 @@ def test_j2_pines_vs_closed_form():
         assert np.abs(acc[i] - cf).max() / np.abs(cf).max() < 1e-12
 
 
+def test_harmonics_content_equality():
+    """Two Harmonics built from identical field data must hash/compare
+    equal (shared jit caches), and differ when coefficients differ."""
+    J2 = 1.08262693637e-3
+    mk = lambda j2: Harmonics.from_stor(
+        GravityFieldData.from_j2(
+            -j2 / np.sqrt(5.0), mu_km3_s2=398600.4415, radius_km=6378.1363
+        )
+    )
+    a, b, c = mk(J2), mk(J2), mk(J2 * 1.001)
+    assert a == b and hash(a) == hash(b)
+    assert a != c
+
+
 def test_val_earth_sph_harmonics_j2_vs_monte():
     # orbitaldyn.rs:860-930 (assert: 2e-2 km, 2e-5 km/s vs Monte)
     monte_gm = 3.986_004_328_969_392e5

@@ -76,3 +76,25 @@ def test_local_frame_dcms_orthonormal():
         d = np.asarray(dcm_fn(r, v))
         np.testing.assert_allclose(d @ d.T, np.eye(3), atol=1e-14)
         assert np.linalg.det(d) == pytest.approx(1.0)
+
+
+def test_xmath_vector_utils():
+    """tilde_matrix/rotv/projv parity with the reference's utils.rs
+    (tilde_matrix:38, rotv, projv)."""
+    from nyx_tpu import xmath
+
+    a = jnp.asarray([1.0, 2.0, 3.0])
+    b = jnp.asarray([-2.0, 0.5, 4.0])
+    np.testing.assert_allclose(
+        np.asarray(xmath.tilde_matrix(a) @ b), np.cross(a, b), atol=1e-15
+    )
+    # rotv: rotating x about z by 90 deg gives y
+    out = xmath.rotv(
+        jnp.asarray([1.0, 0.0, 0.0]), jnp.asarray([0.0, 0.0, 1.0]),
+        jnp.asarray(np.pi / 2),
+    )
+    np.testing.assert_allclose(np.asarray(out), [0.0, 1.0, 0.0], atol=1e-15)
+    # projv: projection onto b is parallel to b, residual orthogonal
+    p = np.asarray(xmath.projv(a, b))
+    np.testing.assert_allclose(np.cross(p, b), 0.0, atol=1e-12)
+    assert abs(np.dot(np.asarray(a) - p, b)) < 1e-12
