@@ -117,10 +117,15 @@ class Harmonics:
     #: unnormalized J2/J3 captured for precision="split" (zeroed in tables)
     j2: float = 0.0
     j3: float = 0.0
+    #: "xla" (default) or "pallas": single f32 VMEM-resident kernel for the
+    #: whole recursion (gravity_pallas.py); applies to f32 evaluations only
+    #: (f64/mixed calls always take the XLA paths)
+    backend: str = "xla"
     MIXED_SPLIT_DEGREE = 3
 
     @classmethod
-    def from_stor(cls, stor: GravityFieldData, precision: str = "f64") -> "Harmonics":
+    def from_stor(cls, stor: GravityFieldData, precision: str = "f64",
+                  backend: str = "xla") -> "Harmonics":
         N, M = stor.max_degree, stor.max_order
         b_nm, c_nm, vr01, vr11, diag = _precompute(N, M)
         W = M + 2
@@ -176,13 +181,15 @@ class Harmonics:
             max_order=M,
             frame=stor.frame,
             precision=precision,
+            backend=backend,
             j2=float(j2),
             j3=float(j3),
         )
 
     def __hash__(self):
         return hash((self.c_nm, self.mu_km3_s2, self.radius_km,
-                     self.max_degree, self.max_order, self.precision))
+                     self.max_degree, self.max_order, self.precision,
+                     self.backend))
 
     def __eq__(self, other):
         return self is other or (
@@ -193,6 +200,7 @@ class Harmonics:
             and self.max_degree == other.max_degree
             and self.max_order == other.max_order
             and self.precision == other.precision
+            and self.backend == other.backend
             and self.frame == other.frame
         )
 
@@ -260,9 +268,29 @@ class Harmonics:
         return self._accel_any(r_bf)
 
     def _accel_any(self, r_bf, q_lo: int = 0, q_hi: int = 0):
+        if self.backend == "pallas" and r_bf.dtype == jnp.float32:
+            return self._accel_pallas(r_bf, q_lo, q_hi)
         if self.max_degree <= self.UNROLL_MAX_DEGREE:
             return self._accel_unrolled(r_bf, q_lo, q_hi)
         return self._accel_scan(r_bf, q_lo, q_hi)
+
+    def _accel_pallas(self, r_bf, q_lo: int = 0, q_hi: int = 0):
+        """VMEM-resident Pines kernel (gravity_pallas.py); f32 only. Falls
+        back to interpret mode off-TPU so numerics tests run anywhere."""
+        from . import gravity_pallas as gp
+
+        xs, diag, N, M = self._tables
+        key = ("pallas_tab", q_lo, q_hi)
+        cache = self.__dict__.setdefault("_pallas_cache", {})
+        if key not in cache:
+            cache[key] = gp.pack_tables(xs, N, M + 2, q_lo, q_hi)
+        tab, gate = cache[key]
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        return gp.pines_accel_pallas(
+            r_bf, jnp.asarray(tab), gate, W=M + 2,
+            mu=self.mu_km3_s2, radius=self.radius_km, diag1=float(diag[1]),
+            interpret=interpret,
+        )
 
     def _prelude(self, r_bf):
         xs, diag, N, M = self._tables

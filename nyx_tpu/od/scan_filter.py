@@ -765,10 +765,13 @@ class ScanKalmanOD:
         m_rows = len(t_rel)
         arc_span = float(t_rel[-1]) if m_rows else 0.0
         if self.prop_mode == "batch":
-            # x4 margin over the max-gap spacing: the adaptive reference
-            # may take shorter natural steps in dynamic regions
+            # x4 margin over the max-gap spacing (the adaptive reference's
+            # natural steps are tolerance-driven, not period-driven);
+            # _kcap_grow doubles on observed saturation (see process_arc)
             node_hint = min(self.max_gap_s, self.prop.opts.max_step_s) / 4.0
-            k_cap = int(arc_span / max(node_hint, 1.0)) + 64
+            k_cap = (int(arc_span / max(node_hint, 1.0)) + 64) * getattr(
+                self, "_kcap_grow", 1
+            )
             self._last_k_cap = k_cap
             key = (m_rows, k_cap)
             if key not in self._compiled:
@@ -794,15 +797,24 @@ class ScanKalmanOD:
     def process_arc(self, initial_estimate, arc: TrackingDataArc) -> ScanODResult:
         """Run the compiled scan filter over the arc. `initial_estimate`
         is a KfEstimate whose nominal epoch precedes the first measurement."""
-        (run, _), args, ctx, sc_params, epoch0_tdb, real = self._setup(
-            initial_estimate, arc
-        )
         y0 = jnp.asarray(initial_estimate.nominal.to_vector())
         p0 = jnp.asarray(initial_estimate.covar)
-        out = run(*args, y0, p0, ctx, sc_params, epoch0_tdb)
-        if len(out) == 7:  # batch mode ships n_valid back
-            *out, n_valid = out
-            self._check_capture(n_valid)
+        for _attempt in range(4):
+            (run, _), args, ctx, sc_params, epoch0_tdb, real = self._setup(
+                initial_estimate, arc
+            )
+            out = run(*args, y0, p0, ctx, sc_params, epoch0_tdb)
+            if len(out) == 7:  # batch mode ships n_valid back
+                *out, n_valid = out
+                if self._capture_saturated(n_valid):
+                    # reference took more natural steps than the sized
+                    # buffer; double and recompile (kept on the instance,
+                    # so later arcs start at the grown size)
+                    self._kcap_grow = getattr(self, "_kcap_grow", 1) * 2
+                    continue
+            break
+        else:
+            self._check_capture(n_valid)  # raises
         y_est, covar, prefit, postfit, ratio, rejected = out
         return ScanODResult(
             epochs_tai_s=np.asarray(arc.epochs_tai_s),
@@ -815,17 +827,21 @@ class ScanKalmanOD:
             types=self.types,
         )
 
+    def _capture_saturated(self, n_valid) -> bool:
+        """True when the reference capture buffer filled completely:
+        device writes clamp silently, which would degrade the Hermite
+        interpolation (n_valid counts the initial node + traj_len)."""
+        k_cap = getattr(self, "_last_k_cap", 0)
+        return bool(k_cap) and int(np.max(np.asarray(n_valid))) >= k_cap
+
     def _check_capture(self, n_valid):
-        """Raise if the reference capture buffer saturated (device writes
-        clamp silently, which would degrade the Hermite interpolation)."""
         from ..errors import PropagationError
 
-        k_cap = getattr(self, "_last_k_cap", 0)
-        if k_cap and int(np.max(np.asarray(n_valid))) >= k_cap:
+        if self._capture_saturated(n_valid):
             raise PropagationError(
                 "scan-filter reference capture buffer saturated "
-                f"({k_cap} nodes); pass a smaller max_gap_s or raise the "
-                "margin in _setup"
+                f"({self._last_k_cap} nodes) even after growth; pass a "
+                "smaller max_gap_s or an explicit larger buffer"
             )
 
     def process_arc_batch(self, initial_estimates, arc: TrackingDataArc):
@@ -834,15 +850,21 @@ class ScanKalmanOD:
         would fan out whole processes; here the filter ensemble is just
         another batch axis). Returns a list of ScanODResult."""
         first = initial_estimates[0]
-        (_, run_batch), args, ctx, sc_params, epoch0_tdb, real = self._setup(
-            first, arc
-        )
         y0s = jnp.asarray(np.stack([e.nominal.to_vector() for e in initial_estimates]))
         p0s = jnp.asarray(np.stack([e.covar for e in initial_estimates]))
-        outs = run_batch(*args, y0s, p0s, ctx, sc_params, epoch0_tdb)
-        if len(outs) == 7:  # batch mode ships n_valid back
-            *outs, n_valid = outs
-            self._check_capture(n_valid)
+        for _attempt in range(4):
+            (_, run_batch), args, ctx, sc_params, epoch0_tdb, real = (
+                self._setup(first, arc)
+            )
+            outs = run_batch(*args, y0s, p0s, ctx, sc_params, epoch0_tdb)
+            if len(outs) == 7:  # batch mode ships n_valid back
+                *outs, n_valid = outs
+                if self._capture_saturated(n_valid):
+                    self._kcap_grow = getattr(self, "_kcap_grow", 1) * 2
+                    continue
+            break
+        else:
+            self._check_capture(n_valid)  # raises
         y_est, covar, prefit, postfit, ratio, rejected = outs
         out = []
         for k in range(len(initial_estimates)):

@@ -374,3 +374,26 @@ def test_shadr_loader(tmp_path):
     a1 = Harmonics.from_stor(stor).accel_body_fixed(r_bf)
     a2 = Harmonics.from_stor(direct).accel_body_fixed(r_bf)
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-14)
+
+
+def test_pallas_harmonics_backend_matches_xla():
+    """backend='pallas' (gravity_pallas.py VMEM-resident Pines kernel, run
+    in interpret mode off-TPU) matches the XLA f32 recursion to f32
+    round-off, including windowed (q_lo/q_hi) evaluations."""
+    stor = GravityFieldData.from_cof(JGM3, 21, 21, True, Frames.IAU_EARTH)
+    h_xla = Harmonics.from_stor(stor, precision="f32")
+    h_pal = Harmonics.from_stor(stor, precision="f32", backend="pallas")
+    rng = np.random.default_rng(3)
+    B = 64
+    r = rng.normal(size=(B, 3))
+    r = r / np.linalg.norm(r, axis=1, keepdims=True) * rng.uniform(
+        6700, 42000, (B, 1)
+    )
+    r32 = jnp.asarray(r, jnp.float32)
+    for q_lo, q_hi in ((0, 0), (3, 0)):
+        a_x = np.asarray(h_xla._accel_any(r32, q_lo, q_hi))
+        a_p = np.asarray(h_pal._accel_any(r32, q_lo, q_hi))
+        rel = (
+            np.linalg.norm(a_p - a_x, axis=1) / np.linalg.norm(a_x, axis=1)
+        ).max()
+        assert rel < 2e-5, f"pallas vs xla rel err {rel} (q_lo={q_lo})"
