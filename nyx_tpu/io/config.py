@@ -110,9 +110,11 @@ def ground_station_from_dict(d: dict) -> "GroundStation":
 
 
 def load_ground_stations(path) -> List["GroundStation"]:
-    """ConfigRepr::load / load_many for ground stations."""
-    with open(path) as f:
-        doc = yaml.safe_load(f)
+    """ConfigRepr::load / load_many for ground stations (YAML or TOML;
+    TOML lists use a `[[stations]]` array-of-tables)."""
+    doc = _load_any(path)
+    if isinstance(doc, dict) and isinstance(doc.get("stations"), list):
+        doc = doc["stations"]
     if isinstance(doc, dict):
         doc = [doc]
     return [ground_station_from_dict(d) for d in doc]
@@ -156,6 +158,8 @@ def ground_station_to_dict(gs) -> dict:
 
 def save_ground_stations(stations, path) -> str:
     doc = [ground_station_to_dict(g) for g in stations]
+    if str(path).endswith(".toml"):
+        return _save_any({"stations": doc}, path)
     with open(path, "w") as f:
         yaml.safe_dump(doc if len(doc) > 1 else doc[0], f, sort_keys=False)
     return str(path)
@@ -208,7 +212,7 @@ def _lenient_yaml_load(path):
 
 
 def load_spacecraft(path) -> Spacecraft:
-    return spacecraft_from_dict(_lenient_yaml_load(path))
+    return spacecraft_from_dict(_load_any(path))
 
 
 def spacecraft_to_dict(sc: Spacecraft) -> dict:
@@ -233,9 +237,7 @@ def spacecraft_to_dict(sc: Spacecraft) -> dict:
 
 
 def save_spacecraft(sc: Spacecraft, path) -> str:
-    with open(path, "w") as f:
-        yaml.safe_dump(spacecraft_to_dict(sc), f, sort_keys=False)
-    return str(path)
+    return _save_any(spacecraft_to_dict(sc), path)
 
 
 # ---------------------------------------------------------------------------
@@ -267,9 +269,123 @@ def trk_config_from_dict(d: dict) -> "TrkConfig":
 
 
 def load_trk_configs(path) -> Dict[str, "TrkConfig"]:
-    """Named map (tracking_cfg.yaml) or single document (trk_cfg_od_val.yaml)."""
-    with open(path) as f:
-        doc = yaml.safe_load(f)
+    """Named map (tracking_cfg.yaml) or single document (trk_cfg_od_val.yaml);
+    YAML or TOML."""
+    doc = _load_any(path)
     if "sampling" in doc or "scheduler" in doc:
         return {"": trk_config_from_dict(doc)}
     return {name: trk_config_from_dict(d) for name, d in doc.items()}
+
+
+# ---------------------------------------------------------------------------
+# TOML front-end (the reference round-trips IntegratorOptions and configs
+# through TOML as well as YAML/Dhall, propagators/options.rs:253-260).
+# Reading uses stdlib tomllib; writing uses the minimal emitter below
+# (scalars, nested tables, arrays-of-tables — all these configs need).
+# ---------------------------------------------------------------------------
+def _toml_scalar(v) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return '"' + str(v).replace("\\", "\\\\").replace('"', '\\"') + '"'
+
+
+def _toml_emit(d: dict, prefix="") -> List[str]:
+    lines = []
+    scalars = {k: v for k, v in d.items()
+               if not isinstance(v, (dict, list)) and v is not None}
+    arrays = {k: v for k, v in d.items()
+              if isinstance(v, list) and not all(isinstance(e, dict) for e in v)}
+    tables = {k: v for k, v in d.items() if isinstance(v, dict)}
+    table_arrays = {k: v for k, v in d.items()
+                    if isinstance(v, list) and v
+                    and all(isinstance(e, dict) for e in v)}
+    for k, v in scalars.items():
+        lines.append(f"{k} = {_toml_scalar(v)}")
+    for k, v in arrays.items():
+        lines.append(f"{k} = [" + ", ".join(_toml_scalar(e) for e in v) + "]")
+    for k, v in tables.items():
+        name = f"{prefix}{k}"
+        lines.append(f"\n[{name}]")
+        lines.extend(_toml_emit(v, name + "."))
+    for k, v in table_arrays.items():
+        name = f"{prefix}{k}"
+        for entry in v:
+            lines.append(f"\n[[{name}]]")
+            lines.extend(_toml_emit(entry, name + "."))
+    return lines
+
+
+def toml_dumps(d: dict) -> str:
+    return "\n".join(_toml_emit(d)) + "\n"
+
+
+def _load_any(path) -> dict:
+    """Parse a config document by extension: .toml via tomllib, else YAML."""
+    if str(path).endswith(".toml"):
+        import tomllib
+
+        with open(path, "rb") as f:
+            return tomllib.load(f)
+    return _lenient_yaml_load(path)
+
+
+def _save_any(doc, path) -> str:
+    if str(path).endswith(".toml"):
+        with open(path, "w") as f:
+            f.write(toml_dumps(doc))
+    else:
+        with open(path, "w") as f:
+            yaml.safe_dump(doc, f, sort_keys=False)
+    return str(path)
+
+
+def integrator_options_to_dict(opts) -> dict:
+    return {
+        "init_step": f"{opts.init_step_s} s",
+        "min_step": f"{opts.min_step_s} s",
+        "max_step": f"{opts.max_step_s} s",
+        "tolerance": opts.tolerance,
+        "attempts": opts.attempts,
+        "fixed_step": opts.fixed_step,
+        "error_ctrl": getattr(opts.error_ctrl, "__name__", "rss_cartesian_step"),
+    }
+
+
+_ERROR_CTRL_NAMES = {
+    # function names and the reference's enum spellings both accepted
+    "rss_cartesian_step": "RSSCartesianStep",
+    "rss_cartesian_state": "RSSCartesianState",
+    "rss_step": "RSSStep",
+    "rss_state": "RSSState",
+    "largest_error": "LargestError",
+    "largest_state": "LargestState",
+    "largest_step": "LargestStep",
+}
+
+
+def integrator_options_from_dict(d: dict):
+    from ..propagators import IntegratorOptions
+    from ..propagators.error_ctrl import ErrorControl
+
+    name = str(d.get("error_ctrl", "RSSCartesianStep"))
+    name = _ERROR_CTRL_NAMES.get(name, name)
+    return IntegratorOptions(
+        init_step_s=parse_duration_s(d.get("init_step", 60.0)),
+        min_step_s=parse_duration_s(d.get("min_step", 1e-3)),
+        max_step_s=parse_duration_s(d.get("max_step", 2700.0)),
+        tolerance=float(d.get("tolerance", 1e-12)),
+        attempts=int(d.get("attempts", 50)),
+        fixed_step=bool(d.get("fixed_step", False)),
+        error_ctrl=getattr(ErrorControl, name),
+    )
+
+
+def load_integrator_options(path):
+    """IntegratorOptions from YAML or TOML (options.rs:188-260 parity)."""
+    return integrator_options_from_dict(_load_any(path))
+
+
+def save_integrator_options(opts, path) -> str:
+    return _save_any(integrator_options_to_dict(opts), path)

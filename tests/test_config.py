@@ -181,3 +181,120 @@ class TestDer:
         assert MEASUREMENT_TYPE_ENUM["doppler_km_s"] == 1
         assert MEASUREMENT_TYPE_ENUM["transmit_freq_rate"] == 9
         assert MEASUREMENT_TYPE_ENUM["z"] == 8
+
+
+DHALL_CFG = "/root/reference/data/02_config"
+
+
+class TestDhall:
+    """Dhall front-end against the reference's own fixtures
+    (data/02_config/*.dhall, serde_dhall output of config.rs:57-133)."""
+
+    def test_prop_config(self):
+        from nyx_tpu.dynamics.sequence import load_dhall_propagator
+
+        pc = load_dhall_propagator(f"{DHALL_CFG}/prop_config.dhall")
+        assert pc.method == "rk89"
+        assert pc.options.init_step_s == 60.0
+        assert pc.options.min_step_s == 1e-3
+        assert pc.options.max_step_s == 2700.0
+        assert pc.options.tolerance == 1e-12
+        assert pc.options.attempts == 50
+        assert pc.dynamics.point_masses == (399, 301)
+        assert pc.dynamics.drag == "stdatm"
+        assert pc.dynamics.solar_pressure is False
+        gf = pc.dynamics.gravity_field
+        assert (gf["degree"], gf["order"], gf["gunzipped"]) == (21, 21, True)
+        assert "EGM2008" in gf["path"]
+
+    def test_full_sequence(self):
+        from nyx_tpu.dynamics.sequence import load_dhall_sequence
+
+        seq = load_dhall_sequence(f"{DHALL_CFG}/full_seq.dhall")
+        assert set(seq.propagators) == {"Near Earth", "Cislunar"}
+        assert seq.thruster_sets["BiProp"].thrust_N == 25.0
+        assert seq.thruster_sets["BiProp"].isp_s == 300.0
+        phases = sorted(seq.seq.items(), key=lambda kv: kv[0].to_tai_seconds())
+        assert len(phases) == 4
+        assert phases[-1][1].terminate
+        # phase 2 applies a staging event with an impulsive maneuver
+        staging = phases[1][1]
+        assert staging.on_entry.kind == "staging"
+        np.testing.assert_allclose(
+            staging.on_entry.impulsive_maneuver.dv_km_s, [2.5e-5, 0.0, 0.0]
+        )
+        # phase 3 is a guided finite burn using the BiProp thruster
+        burn = phases[2][1]
+        assert burn.guidance["thruster_model"] == "BiProp"
+        law = burn.guidance["law"]
+        assert law.thrust_prct == 1.0
+        assert law.duration_s == 45.0
+        seq.validate()
+
+    def test_guidance_config(self):
+        from nyx_tpu.dynamics.sequence import _dhall_phase
+        from nyx_tpu.io import dhall
+
+        ph = _dhall_phase(dhall.load(f"{DHALL_CFG}/guid_config.dhall"))
+        assert ph.name == "Finite Maneuver"
+        assert ph.propagator == "Cislunar"
+        law = ph.guidance["law"]
+        np.testing.assert_allclose(np.asarray(law.vector), [1.0, 0.0, 0.0])
+        assert law.frame == "vnc"
+
+
+class TestToml:
+    def test_integrator_options_roundtrip(self, tmp_path):
+        """TOML round-trip of IntegratorOptions (options.rs:253-260)."""
+        from nyx_tpu.io.config import (
+            load_integrator_options,
+            save_integrator_options,
+        )
+        from nyx_tpu.propagators import IntegratorOptions
+        from nyx_tpu.propagators.error_ctrl import ErrorControl
+
+        opts = IntegratorOptions(
+            init_step_s=30.0, min_step_s=0.01, max_step_s=600.0,
+            tolerance=1e-10, attempts=40, error_ctrl=ErrorControl.RSSStep,
+        )
+        p = tmp_path / "opts.toml"
+        save_integrator_options(opts, p)
+        back = load_integrator_options(p)
+        assert back.init_step_s == 30.0
+        assert back.min_step_s == 0.01
+        assert back.max_step_s == 600.0
+        assert back.tolerance == 1e-10
+        assert back.attempts == 40
+        assert back.error_ctrl is ErrorControl.RSSStep
+
+    def test_ground_stations_toml_roundtrip(self, tmp_path):
+        from nyx_tpu.io.config import load_ground_stations, save_ground_stations
+        from nyx_tpu.od import GroundStation
+
+        stations = [
+            GroundStation.dss65_madrid(10.0),
+            GroundStation.dss34_canberra(5.0),
+        ]
+        p = tmp_path / "stations.toml"
+        save_ground_stations(stations, p)
+        back = load_ground_stations(p)
+        assert [g.name for g in back] == [g.name for g in stations]
+        for a, b in zip(back, stations):
+            assert a.latitude_deg == b.latitude_deg
+            assert a.longitude_deg == b.longitude_deg
+            assert a.elevation_mask_deg == b.elevation_mask_deg
+
+    def test_spacecraft_toml_roundtrip(self, tmp_path):
+        from nyx_tpu import Epoch, Frames, Orbit, Spacecraft
+        from nyx_tpu.io.config import load_spacecraft, save_spacecraft
+
+        e = Epoch.from_gregorian_utc(2021, 3, 4)
+        o = Orbit.keplerian(7136.6, 2e-4, 51.6, 30.0, 65.0, 80.0, e,
+                            Frames.EME2000)
+        sc = Spacecraft.new(o, 100.0, 20.0, 2.0, 1.8, 1.5, 2.2)
+        p = tmp_path / "sc.toml"
+        save_spacecraft(sc, p)
+        back = load_spacecraft(p)
+        np.testing.assert_allclose(back.orbit.r_km, np.asarray(sc.orbit.r_km))
+        np.testing.assert_allclose(back.orbit.v_km_s, np.asarray(sc.orbit.v_km_s))
+        assert back.prop_mass_kg == sc.prop_mass_kg
