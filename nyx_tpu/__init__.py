@@ -29,8 +29,12 @@ from .md.events import Event  # noqa: E402
 from .md.objective import Objective  # noqa: E402
 from .md.param import StateParameter  # noqa: E402
 from .md.trajectory import Trajectory  # noqa: E402
+from .tracing import annotate, enable_logging, profile_trace  # noqa: E402
 
 __all__ = [
+    "annotate",
+    "enable_logging",
+    "profile_trace",
     "Epoch",
     "Duration",
     "Unit",

@@ -160,6 +160,9 @@ class MonteCarlo:
 
                     y0 = shard_ensemble(y0, mesh)
                 handles.append(run(y0, duration_s, ctx, sc_params))
+            from ..tracing import Progress
+
+            progress = Progress(n_chunks, "chunks")
             chunks = []
             for k, res in enumerate(handles):
                 take = min(max_lanes_per_call, n - k * max_lanes_per_call)
@@ -168,6 +171,7 @@ class MonteCarlo:
                         epoch0, end_epoch, template, res, take, n_capture
                     )
                 )
+                progress.step(k, f"{(k + 1) * max_lanes_per_call} lanes")
             return Results.concatenate(chunks)
         template = self.random_state.template
         epoch0 = template.epoch

@@ -119,6 +119,9 @@ class KalmanODProcess:
 
         n = len(arc)
         accepted = rejected = 0
+        from ..tracing import Progress
+
+        progress = Progress(n, "measurements")
         for i in range(n):
             msr = arc.measurement(i)
             device = dev_map.get(msr.tracker)
@@ -187,6 +190,9 @@ class KalmanODProcess:
             else:
                 instance.state = nominal.with_stm()
             sol.append(est, resid)
+            # 10%-decile progress with accept/reject counts
+            # (od/process/mod.rs:403-415)
+            progress.step(i, f"{accepted} accepted, {rejected} rejected")
 
         sol.accepted, sol.rejected = accepted, rejected
         return sol

@@ -101,12 +101,26 @@ class PropInstance:
         )
 
     def _run(self, duration_s: float, n_capture: int = 0, capture_stride: int = 1):
+        import time as _time
+
+        from ..tracing import logger as _log
+
         with_stm = self.state.stm is not None
         ctx = self.dynamics.build_context(self.state.epoch, duration_s, self.almanac)
         y0 = self._pack(with_stm)
         run = self._compiled(with_stm, n_capture, capture_stride)
+        _t0 = _time.time()
+        _log.debug(
+            "propagating %.1f s from %s (stm=%s, capture=%d)",
+            duration_s, self.state.epoch, with_stm, n_capture,
+        )
         res = run(y0, duration_s, ctx, self._sc_params())
         status = int(res.status[0])
+        if _log.isEnabledFor(10):  # DEBUG — n_accepted forces a sync
+            _log.debug(
+                "propagation done in %.3f s (%d accepted steps)",
+                _time.time() - _t0, int(res.n_accepted[0]),
+            )
         if status == FAILED_NAN:
             raise ArithmeticError(
                 "propagation diverged to NaN; try another method or smaller steps"
