@@ -62,7 +62,15 @@ def main():
         # dispersed ensemble the split-vs-mixed spread is 0.46 m median /
         # 2.6 m max. 1.76x faster than "mixed" on TPU (f32 VPU rate for the
         # whole recursion instead of emulated f64 low degrees).
-        OrbitalDynamics.from_model(Harmonics.from_stor(stor, precision="split"), Frames.EME2000),
+        # NYX_BENCH_GRAV_BACKEND=pallas swaps the XLA recursion for the
+        # VMEM-resident Pallas kernel (gravity_pallas.py) in the f32 part.
+        OrbitalDynamics.from_model(
+            Harmonics.from_stor(
+                stor, precision="split",
+                backend=os.environ.get("NYX_BENCH_GRAV_BACKEND", "xla"),
+            ),
+            Frames.EME2000,
+        ),
         (SolarPressure.default(), Drag.earth_exp()),
     )
     # GMAT-default step bounds (options.rs:42-61); RK89 at 1e-9 tolerance.

@@ -195,6 +195,30 @@ class Almanac:
         )[0] / (2 * h)
         return r, v
 
+    def translate_to(self, orbit, frame):
+        """The orbit re-centered on `frame`'s body (ANISE transform_to for
+        translation-only frame changes; both frames must be J2000-aligned —
+        rotating targets would also need a DCM, which propagation frames
+        never are in the reference's usage, instance.rs:119-142)."""
+        from dataclasses import replace as _replace
+
+        if orbit.frame.center == frame.center:
+            return _replace(orbit, frame=frame)
+        if not (orbit.frame.is_inertial and frame.is_inertial):
+            from ..errors import ConfigError
+
+            raise ConfigError(
+                "translate_to supports J2000-aligned frames only; use "
+                "Trajectory.to_frame for rotating-frame output"
+            )
+        r_c, v_c = self.state(orbit.frame.center, frame.center, orbit.epoch)
+        return _replace(
+            orbit,
+            r_km=np.asarray(orbit.r_km) + r_c,
+            v_km_s=np.asarray(orbit.v_km_s) + v_c,
+            frame=frame,
+        )
+
     # ---------------- device-table construction ----------------------
     def build_table(
         self,

@@ -168,7 +168,8 @@ class MonteCarlo:
                 take = min(max_lanes_per_call, n - k * max_lanes_per_call)
                 chunks.append(
                     self._results(
-                        epoch0, end_epoch, template, res, take, n_capture
+                        epoch0, end_epoch, template, res, take, n_capture,
+                        y0_all[k * max_lanes_per_call:(k + 1) * max_lanes_per_call],
                     )
                 )
                 progress.step(k, f"{(k + 1) * max_lanes_per_call} lanes")
@@ -194,10 +195,10 @@ class MonteCarlo:
         )
         run = self._compiled(prop, mesh, n_capture, capture_stride)
         res = run(y0, duration_s, ctx, sc_params)
-        return self._results(epoch0, end_epoch, template, res, n, n_capture)
+        return self._results(epoch0, end_epoch, template, res, n, n_capture, y0)
 
     @staticmethod
-    def _results(epoch0, end_epoch, template, res, take, n_capture):
+    def _results(epoch0, end_epoch, template, res, take, n_capture, y0=None):
         return Results(
             epoch0=epoch0,
             end_epoch=end_epoch,
@@ -209,6 +210,7 @@ class MonteCarlo:
             traj_t=np.asarray(res.traj_t)[:take] if n_capture else None,
             traj_y=np.asarray(res.traj_y)[:take] if n_capture else None,
             traj_len=np.asarray(res.traj_len)[:take] if n_capture else None,
+            y_initial=np.asarray(y0)[:take] if y0 is not None else None,
         )
 
     # reference alias

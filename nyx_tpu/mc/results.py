@@ -59,6 +59,8 @@ class Results:
     event_t: Optional[np.ndarray] = None  # [B] rel s of the nth crossing
     event_y: Optional[np.ndarray] = None  # [B, N] state at the crossing
     event_found: Optional[np.ndarray] = None  # [B] bool
+    #: dispersed initial states (for first_values_of; mc/results.rs:117-137)
+    y_initial: Optional[np.ndarray] = None  # [B, 9]
 
     @property
     def n_runs(self) -> int:
@@ -85,6 +87,23 @@ class Results:
     def dispersion_values_of(self, parameter: str) -> tuple[float, float]:
         vals = self.final_values_of(parameter)
         return float(np.mean(vals)), float(np.std(vals))
+
+    def first_values_of(self, parameter: str) -> np.ndarray:
+        """Per-run value at the dispersed INITIAL state
+        (mc/results.rs first_values_of)."""
+        if self.y_initial is None:
+            raise MonteCarloError("initial states were not retained")
+        frame = self.template.frame
+        return np.asarray(
+            param_mod.value(
+                parameter, jnp.asarray(self.y_initial[:, :9]), frame.mu,
+                frame.radius_km or 0.0,
+            )
+        )
+
+    def last_values_of(self, parameter: str) -> np.ndarray:
+        """Per-run value at the final state (mc/results.rs last_values_of)."""
+        return self.final_values_of(parameter)
 
     def final_state(self, index: int) -> Spacecraft:
         return self.template.set_vector(self.end_epoch, self.y_final[index])
@@ -222,6 +241,7 @@ class Results:
             cat("y_final"), cat("status"), cat("n_accepted"), cat("n_rejected"),
             cat("traj_t"), cat("traj_y"), cat("traj_len"),
             cat("event_t"), cat("event_y"), cat("event_found"),
+            cat("y_initial"),
         )
 
     def to_parquet(

@@ -37,6 +37,27 @@ class PropInstance:
         self.almanac = almanac
         self._eom_cache = {}
         self._jit_cache = {}
+        # IntegratorOptions.integration_frame: transform the state into the
+        # requested frame once, up front, and propagate there — the
+        # reference's behavior (instance.rs:119-142); results stay in the
+        # integration frame.
+        iframe = getattr(prop.opts, "integration_frame", None)
+        if iframe is not None and iframe != state.frame:
+            from dataclasses import replace as _replace
+
+            from ..tracing import logger
+
+            if iframe.center == state.frame.center:
+                orbit = _replace(state.orbit, frame=iframe)
+            else:
+                if almanac is None:
+                    raise PropagationError(
+                        "integration_frame with a different center needs an "
+                        "almanac"
+                    )
+                orbit = almanac.translate_to(state.orbit, iframe)
+            logger.info("state transformed to integration frame %s", iframe)
+            self.state = state.with_orbit(orbit)
 
     @property
     def dynamics(self):

@@ -32,6 +32,10 @@ class IntegratorOptions:
     # iteration, amortizing that same floor further.
     stage_mode: str = "auto"
     steps_per_iter: int = 1
+    # Optional frame to transform the state into before propagating
+    # (options.rs:42-61 integration_frame); None = propagate in the
+    # state's own frame.
+    integration_frame: object = None
 
     @classmethod
     def with_adaptive_step(

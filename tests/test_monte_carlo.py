@@ -200,3 +200,23 @@ def test_resume_run_until_epoch_skips(setup):
     mc2 = MonteCarlo(mvn, seed=13)
     tail = mc2.resume_run_until_epoch(prop, None, EPOCH + 1800.0, skip=16, n=16)
     np.testing.assert_array_equal(full.y_final[16:], tail.y_final)
+
+
+def test_first_last_values_of(setup):
+    """first_values_of sees the dispersed initial states, last_values_of
+    the propagated finals (mc/results.rs:117-137)."""
+    sc, mvn, prop = setup
+    mc = MonteCarlo(mvn, seed=77)
+    res = mc.run_until_epoch(prop, None, EPOCH + 1800.0, 256)
+    first_sma = res.first_values_of("sma")
+    last_sma = res.last_values_of("sma")
+    # initial dispersion reproduces the requested sigma
+    assert abs(np.std(first_sma) - 0.5) < 0.1
+    assert abs(np.mean(first_sma) - sc.orbit.sma_km) < 0.1
+    # two-body: sma conserved per-run to integrator tolerance
+    np.testing.assert_allclose(last_sma, first_sma, atol=1e-6)
+    # chunked path carries initials too
+    res_c = MonteCarlo(mvn, seed=77).run_until_epoch(
+        prop, None, EPOCH + 1800.0, 256, max_lanes_per_call=64
+    )
+    np.testing.assert_array_equal(res_c.first_values_of("sma"), first_sma)

@@ -141,3 +141,44 @@ def test_until_event_periapsis():
     state2, _ = inst2.until_nth_event(3.0 * period, Event.periapsis(), 1)
     gap = (state2.epoch - state.epoch).to_seconds()
     assert abs(gap - period) < 1.0
+
+
+def test_integration_frame_transform():
+    """IntegratorOptions.integration_frame translates the state into the
+    requested frame before propagating (instance.rs:119-142): an EME2000-
+    expressed lunar orbit propagated with integration_frame=MOON_J2000
+    matches the same orbit given directly in MOON_J2000."""
+    from dataclasses import replace
+
+    from nyx_tpu import Epoch, Frames, Orbit, Spacecraft
+    from nyx_tpu.dynamics import OrbitalDynamics, SpacecraftDynamics
+    from nyx_tpu.ephem.almanac import Almanac
+    from nyx_tpu.propagators import Propagator
+
+    alm = Almanac()
+    epoch = Epoch.from_gregorian_utc(2022, 5, 1)
+    moon = Frames.MOON_J2000
+    orbit_moon = Orbit.keplerian(1837.4, 0.01, 25.0, 10.0, 5.0, 0.0, epoch, moon)
+    r_m, v_m = alm.state(301, 399, epoch)
+    orbit_eme = Orbit.cartesian(
+        *(np.asarray(orbit_moon.r_km) + r_m),
+        *(np.asarray(orbit_moon.v_km_s) + v_m),
+        epoch, Frames.EME2000,
+    )
+    dyn = SpacecraftDynamics.new(OrbitalDynamics.two_body(moon))
+    opts = IntegratorOptions()
+    direct = (
+        Propagator.rk89(dyn, opts)
+        .with_state(Spacecraft.from_orbit(orbit_moon), alm)
+        .for_duration(3600.0)
+    )
+    via_iframe = (
+        Propagator.rk89(dyn, replace(opts, integration_frame=moon))
+        .with_state(Spacecraft.from_orbit(orbit_eme), alm)
+        .for_duration(3600.0)
+    )
+    assert via_iframe.frame.center == 301
+    np.testing.assert_allclose(
+        np.asarray(via_iframe.orbit.r_km), np.asarray(direct.orbit.r_km),
+        atol=1e-9,
+    )
