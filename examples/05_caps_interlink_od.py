@@ -1,0 +1,212 @@
+#!/usr/bin/env python
+"""Example 05 — CAPS cislunar spacecraft-to-spacecraft OD
+(reference: examples/05_cislunar_spacecraft_link_od/main.rs).
+
+The Cislunar Autonomous Positioning System concept: an NRHO transmitter
+spacecraft tracks a low-lunar-orbit vehicle over a crosslink, and the LLO
+state is estimated from the range/Doppler interlink data alone. Noise
+models are derived from the link budget (onboard-clock Allan deviation,
+chip rate, S/N0 and C/N0 — noise/link_specific.rs parity).
+
+Runs on the TPU by default; NYX_EX05_CPU=1 forces the CPU platform.
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import os
+import time
+
+import numpy as np
+import jax
+
+if os.environ.get("NYX_EX05_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    str(Path(__file__).resolve().parent.parent / ".jax_cache"),
+)
+
+from dataclasses import replace
+
+from nyx_tpu import Epoch, Frames, IntegratorOptions, Orbit, Propagator, Spacecraft
+from nyx_tpu.constants import NAIF
+from nyx_tpu.dynamics import OrbitalDynamics, PointMasses, SpacecraftDynamics
+from nyx_tpu.ephem.almanac import Almanac
+from nyx_tpu.od import (
+    InterlinkTxSpacecraft,
+    KalmanODProcess,
+    MeasurementType,
+    SpacecraftUncertainty,
+    TrackingArcSim,
+    TrkConfig,
+)
+from nyx_tpu.od.kalman import KalmanVariant
+from nyx_tpu.od.noise import (
+    CN0,
+    SN0,
+    CarrierFreq,
+    ChipRate,
+    StochasticNoise,
+    WhiteNoise,
+)
+from nyx_tpu.cosmic.orbit import ric_dcm
+
+OUT = Path(__file__).resolve().parent.parent / "data" / "output"
+
+
+def main():
+    t0 = time.time()
+    OUT.mkdir(parents=True, exist_ok=True)
+    alm = Almanac()
+    moon = Frames.MOON_J2000
+
+    # NRHO transmitter, given in EME2000 exactly as the reference (main.rs:64-74)
+    epoch = Epoch.from_gregorian_tai(2021, 5, 29, 19, 51, 16.852)
+    nrho_eme = Orbit.cartesian(
+        166_473.631_302_239_7,
+        -274_715.487_253_382_7,
+        -211_233.210_176_686_7,
+        0.933_451_604_520_018_4,
+        0.436_775_046_841_900_9,
+        -0.082_211_021_250_348_95,
+        epoch,
+        Frames.EME2000,
+    )
+
+    # Cislunar dynamics: Moon-centered two-body + Earth & Sun third bodies.
+    # integration_frame=MOON_J2000 translates the EME2000 state up front
+    # (the reference calls transform_to explicitly, main.rs:76).
+    dyn = SpacecraftDynamics.new(
+        OrbitalDynamics.from_models(
+            [PointMasses((NAIF.EARTH, NAIF.SUN))], moon
+        )
+    )
+    opts = replace(
+        IntegratorOptions.with_adaptive_step(0.1, 30.0, 1e-9),
+        integration_frame=moon,
+    )
+    setup = Propagator.rk89(dyn, opts)
+
+    nrho_sc = Spacecraft.from_orbit(nrho_eme)
+    inst = setup.with_state(nrho_sc, alm)
+    nrho_moon = inst.state.orbit  # translated by integration_frame
+    print(f"Start state (Moon J2000): r={np.asarray(nrho_moon.r_km)}")
+
+    # ~1.1 NRHO periods of transmitter trajectory (main.rs:90-96); the NRHO
+    # period is ~6.5 days, but the OD arc is only 2 h — propagate 12 h.
+    prop_time = float(os.environ.get("NYX_EX05_TX_HOURS", 12.0)) * 3600.0
+    _, tx_traj = inst.for_duration_with_traj(prop_time, n_capture=16384)
+    print(f"[{time.time()-t0:6.1f}s] NRHO tx trajectory done")
+
+    # LLO vehicle: 110 km circular polar lunar orbit (main.rs:101-103)
+    llo_orbit = Orbit.keplerian(
+        1737.4 + 110.0, 1e-4, 90.0, 0.0, 0.0, 0.0, epoch, moon
+    )
+    llo_sc = Spacecraft.from_orbit(llo_orbit)
+    end_epoch = epoch + prop_time
+    _, llo_traj = (
+        setup.with_state(llo_sc, alm).for_duration_with_traj(
+            prop_time, n_capture=16384
+        )
+    )
+    print(f"[{time.time()-t0:6.1f}s] LLO truth trajectory done")
+
+    # Link-budget noises: SA-45 CSAC clock, 10 s integration (main.rs:123-145)
+    sa45_csac_allan_dev = 1e-11
+    stochastics = {
+        MeasurementType.RANGE_KM: StochasticNoise.from_hardware_range_km(
+            sa45_csac_allan_dev, 10.0, ChipRate.StandardT4B, SN0.Average
+        ),
+        MeasurementType.DOPPLER_KM_S: StochasticNoise.from_hardware_doppler_km_s(
+            sa45_csac_allan_dev, 10.0, CarrierFreq.SBand, CN0.Average
+        ),
+    }
+    print(
+        "link noise: range "
+        f"{stochastics[MeasurementType.RANGE_KM].white_noise.sigma*1e3:.3f} m, "
+        "doppler "
+        f"{stochastics[MeasurementType.DOPPLER_KM_S].white_noise.sigma*1e6:.3f} mm/s"
+    )
+
+    interlink = InterlinkTxSpacecraft(
+        tx_traj,
+        name="NRHO Tx SC",
+        occulting_radius_km=1737.4,  # Moon blocks the crosslink
+    )
+    interlink.stochastic_noises = stochastics
+
+    cfg = TrkConfig(sampling_s=60.0, strands=[(epoch, end_epoch)])
+    sim = TrackingArcSim.with_seed(
+        [interlink], llo_traj, {"NRHO Tx SC": cfg}, seed=0
+    )
+    arc = sim.generate_measurements()
+    print(f"[{time.time()-t0:6.1f}s] {len(arc)} interlink measurements")
+    arc.to_parquet(OUT / "05_nrho_interlink_msr.parquet")
+
+    # Initial estimate: 1 km / 1 m/s RIC uncertainty, randomized (main.rs:183-198)
+    unc = SpacecraftUncertainty(
+        nominal=llo_sc, frame="ric",
+        x_km=1.0, y_km=1.0, z_km=1.0,
+        vx_km_s=1e-3, vy_km_s=1e-3, vz_km_s=1e-3,
+    )
+    rng = np.random.default_rng(0)
+    est0, dispersed = unc.to_estimate_randomized(rng)
+    est0 = replace(est0, nominal=dispersed, covar=est0.covar * 2.5)
+
+    # Process devices accept more measurements: white noise x3 (main.rs:202-206)
+    proc_link = InterlinkTxSpacecraft(
+        tx_traj, name="NRHO Tx SC", occulting_radius_km=1737.4
+    )
+    proc_link.stochastic_noises = {
+        t: StochasticNoise(WhiteNoise(n.white_noise.sigma * 3.0))
+        for t, n in stochastics.items()
+    }
+
+    init_err = np.linalg.norm(
+        np.asarray(est0.nominal.orbit.r_km) - np.asarray(llo_orbit.r_km)
+    )
+    print(f"initial position error {init_err*1e3:.1f} m")
+
+    odp = KalmanODProcess(
+        setup, variant=KalmanVariant.ReferenceUpdate,
+        resid_rejection_sigmas=3.0, almanac=alm,
+    )
+
+    # Process the first two hours (main.rs:224)
+    arc_2h = arc.filter_by_offset(0.0, 7200.0)
+    sol = odp.process_arc(est0, arc_2h, [proc_link])
+    print(f"[{time.time()-t0:6.1f}s] OD done: {sol.accepted} accepted, "
+          f"{sol.rejected} rejected")
+    sol.to_parquet(OUT / "05_caps_interlink_od_sol.parquet")
+
+    final_est = sol.final_estimate
+    truth_at = llo_traj.at(final_est.nominal.epoch)
+    err_in = np.asarray(final_est.nominal.orbit.r_km) - np.asarray(
+        truth_at.orbit.r_km
+    )
+    dcm = np.asarray(
+        ric_dcm(np.asarray(truth_at.orbit.r_km), np.asarray(truth_at.orbit.v_km_s))
+    )
+    err_ric = dcm @ err_in
+    print(f"RIC error at end: {err_ric*1e3} m  (|r| {np.linalg.norm(err_ric)*1e3:.1f} m)")
+
+    # Residuals-versus-reference mode: same arc, every measurement rejected,
+    # so the solution shows the pure-propagation residual growth (main.rs:260)
+    rvr_sol = odp.process_arc(est0, arc_2h.resid_vs_ref_check(), [proc_link])
+    assert rvr_sol.accepted == 0
+    rvr_sol.to_parquet(OUT / "05_caps_interlink_resid_v_ref.parquet")
+    prop_err = np.linalg.norm(
+        np.asarray(rvr_sol.final_estimate.nominal.orbit.r_km)
+        - np.asarray(truth_at.orbit.r_km)
+    )
+    print(f"pure-propagation error {prop_err*1e3:.1f} m vs "
+          f"OD error {np.linalg.norm(err_in)*1e3:.1f} m")
+    print(f"[{time.time()-t0:6.1f}s] example 05 complete")
+
+
+if __name__ == "__main__":
+    main()

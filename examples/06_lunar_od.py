@@ -1,0 +1,199 @@
+#!/usr/bin/env python
+"""Example 06 — lunar orbiter DSN orbit determination
+(reference: examples/06_lunar_orbit_determination/main.rs).
+
+A 150 km lunar orbiter with spherical-harmonics gravity (synthetic
+Kaula-rule field standing in for GRAIL JGGRX, which cannot be downloaded
+here), Earth/Sun/Jupiter third bodies and SRP. DSN stations and tracking
+schedules are loaded from the reference's own YAML fixtures
+(dsn-network.yaml, tracking-cfg.yaml), a 2-day range/Doppler arc is
+simulated, and an EKF with velocity-derived SNC and 3-sigma rejection
+estimates the orbit. Filter-consistency statistics (residual RMS, KS
+normality, NIS) and parquet artifacts match the reference flow.
+
+Runs on the TPU by default; NYX_EX06_CPU=1 forces the CPU platform,
+NYX_EX06_DEGREE the field size (default 50; the reference uses 80x80).
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import os
+import time
+
+import numpy as np
+import jax
+
+if os.environ.get("NYX_EX06_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    str(Path(__file__).resolve().parent.parent / ".jax_cache"),
+)
+
+from nyx_tpu import Epoch, Frames, IntegratorOptions, Orbit, Propagator, Spacecraft
+from nyx_tpu.constants import NAIF
+from nyx_tpu.dynamics import (
+    Harmonics,
+    OrbitalDynamics,
+    PointMasses,
+    SolarPressure,
+    SpacecraftDynamics,
+)
+from nyx_tpu.ephem.almanac import Almanac
+from nyx_tpu.io.gravity import GravityFieldData
+from nyx_tpu.od import (
+    GroundStation,
+    KalmanODProcess,
+    MeasurementType,
+    ProcessNoise,
+    SpacecraftUncertainty,
+    TrackingArcSim,
+)
+from nyx_tpu.od.kalman import KalmanVariant
+from nyx_tpu.io.config import load_trk_configs
+from nyx_tpu.cosmic.orbit import ric_dcm
+
+REF06 = Path("/root/reference/nyx-core/examples/06_lunar_orbit_determination")
+OUT = Path(__file__).resolve().parent.parent / "data" / "output"
+
+
+def kaula_moon_field(n_max, seed=7):
+    """Synthetic lunar field with Kaula-rule magnitudes (the GRAIL JGGRX
+    SHADR cannot be fetched in this environment; the OD is self-consistent
+    since truth and filter share the field)."""
+    rng = np.random.default_rng(seed)
+    c = np.zeros((n_max + 1, n_max + 1))
+    s = np.zeros((n_max + 1, n_max + 1))
+    c[2, 0] = -9.088e-5  # lunar J2
+    c[2, 2] = 3.467e-5
+    for n in range(3, n_max + 1):
+        k = 3.5e-4 / n**2  # lunar Kaula ~3.5e-4/n^2 (stronger than Earth)
+        for m in range(0, n + 1):
+            c[n, m] = rng.normal() * k
+            if m > 0:
+                s[n, m] = rng.normal() * k
+    c[0, 0] = 1.0
+    return GravityFieldData(
+        c_nm=c, s_nm=s, mu_km3_s2=4902.800066, radius_km=1737.4,
+        frame=Frames.IAU_MOON,
+    )
+
+
+def main():
+    t0 = time.time()
+    OUT.mkdir(parents=True, exist_ok=True)
+    alm = Almanac()
+    moon = Frames.MOON_J2000
+
+    # Orbiter template (main.rs:71-80): 1018 kg dry + 900 kg prop, SRP area
+    epoch = Epoch.from_gregorian_utc(2024, 2, 29, 12, 0, 0.0)
+    orbit = Orbit.keplerian(
+        1737.4 + 150.0, 0.00212, 33.6, 45.0, 45.0, 0.0, epoch, moon
+    )
+    orbiter = Spacecraft.new(orbit, 1018.0, 900.0, 3.9 * 2.7, 0.0, 0.96, 2.2)
+
+    # Dynamics: harmonics + Earth/Sun/Jupiter point masses + SRP (main.rs:110-122)
+    degree = int(os.environ.get("NYX_EX06_DEGREE", 50))
+    field = kaula_moon_field(degree)
+    dyn = SpacecraftDynamics(
+        OrbitalDynamics.from_models(
+            [
+                Harmonics.from_stor(field, precision="f64"),
+                PointMasses((NAIF.EARTH, NAIF.SUN, NAIF.JUPITER_BARYCENTER)),
+            ],
+            moon,
+        ),
+        (SolarPressure.default(NAIF.MOON),),
+    )
+    setup = Propagator.rk89(dyn, IntegratorOptions())
+
+    arc_days = float(os.environ.get("NYX_EX06_DAYS", 2.0))
+    _, truth_traj = setup.with_state(orbiter, alm).for_duration_with_traj(
+        arc_days * 86400.0, n_capture=65536
+    )
+    print(f"[{time.time()-t0:6.1f}s] truth trajectory done "
+          f"({degree}x{degree} field, {arc_days} days)")
+
+    # DSN network + schedules from the reference's own YAML (main.rs:139-147)
+    devices = GroundStation.load_named(REF06 / "dsn-network.yaml")
+    configs = load_trk_configs(REF06 / "tracking-cfg.yaml")
+    end_epoch = epoch + arc_days * 86400.0
+    # Earth DSN tracking a Moon-centered trajectory: each station gets a
+    # device-resident Moon-relative-to-Earth offset table
+    stations = [
+        gs.with_target_frame(alm, NAIF.MOON, epoch, end_epoch)
+        for gs in devices.values()
+    ]
+    print("stations:", ", ".join(devices))
+
+    sim = TrackingArcSim.with_seed(stations, truth_traj, configs, seed=123)
+    arc = sim.generate_measurements()
+    print(f"[{time.time()-t0:6.1f}s] {len(arc)} measurements simulated")
+    arc.to_parquet(OUT / "06_lunar_simulated_tracking.parquet")
+
+    # Initial estimate: 500 m / 5 mm/s RIC sigmas (main.rs:171-183)
+    unc = SpacecraftUncertainty(
+        nominal=orbiter, frame="ric",
+        x_km=0.5, y_km=0.5, z_km=0.5,
+        vx_km_s=5e-3, vy_km_s=5e-3, vz_km_s=5e-3,
+    )
+    rng = np.random.default_rng(123)
+    est0, dispersed = unc.to_estimate_randomized(rng)
+    from dataclasses import replace
+
+    est0 = replace(est0, nominal=dispersed)
+    init_err = np.linalg.norm(
+        np.asarray(est0.nominal.orbit.r_km) - np.asarray(orbit.r_km)
+    )
+    print(f"initial position error {init_err*1e3:.1f} m")
+
+    # SNC from velocity noise over 1 h, disabled beyond 10 min gaps (main.rs:189)
+    snc = ProcessNoise.from_velocity_km_s(
+        [1e-14, 1e-14, 1e-14], 3600.0, disable_time_s=600.0
+    )
+
+    odp = KalmanODProcess(
+        setup,
+        process_noise=(snc,),
+        variant=KalmanVariant.ReferenceUpdate,
+        resid_rejection_sigmas=3.0,
+        almanac=alm,
+    )
+    sol = odp.process_arc(est0, arc, stations)
+    print(f"[{time.time()-t0:6.1f}s] OD done: {sol.accepted} accepted, "
+          f"{sol.rejected} rejected")
+
+    final_est = sol.final_estimate
+    truth_at = truth_traj.at(final_est.nominal.epoch)
+    err_in = np.asarray(final_est.nominal.orbit.r_km) - np.asarray(
+        truth_at.orbit.r_km
+    )
+    dcm = np.asarray(
+        ric_dcm(np.asarray(truth_at.orbit.r_km),
+                np.asarray(truth_at.orbit.v_km_s))
+    )
+    ric_pos = dcm @ err_in
+    print(f"RIC position error (m): {ric_pos*1e3}")
+
+    # Consistency statistics (main.rs:225-233)
+    print(f"residual RMS (range km): "
+          f"{sol.postfit_rms(MeasurementType.RANGE_KM):.3e}")
+    ks_stat, ks_ok = sol.ks_normality()
+    print(f"whitened residuals normal? {bool(ks_ok)} (KS {ks_stat:.4f})")
+    nis = sol.nis_test()
+    print(f"NIS consistency: {nis}")
+
+    sol.to_parquet(OUT / "06_lunar_od_results.parquet")
+    od_traj = sol.to_traj()
+    od_traj.ric_diff_to_parquet(
+        truth_traj, OUT / "06_lunar_od_truth_error.parquet"
+    )
+    print(f"[{time.time()-t0:6.1f}s] example 06 complete")
+
+
+if __name__ == "__main__":
+    main()

@@ -116,7 +116,13 @@ def load_ground_stations(path) -> List["GroundStation"]:
     if isinstance(doc, dict) and isinstance(doc.get("stations"), list):
         doc = doc["stations"]
     if isinstance(doc, dict):
-        doc = [doc]
+        if "name" not in doc and all(
+            isinstance(v, dict) for v in doc.values()
+        ):
+            # named map {alias: station} (ConfigRepr::load_named)
+            doc = [dict(v, name=v.get("name", k)) for k, v in doc.items()]
+        else:
+            doc = [doc]
     return [ground_station_from_dict(d) for d in doc]
 
 

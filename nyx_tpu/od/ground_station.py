@@ -107,6 +107,13 @@ class GroundStation:
     #: `elevation_mask_deg` (mod.rs terrain_mask / terrain_mask_ignored)
     terrain_mask: Optional[TerrainMask] = None
     terrain_mask_ignored: bool = False
+    #: cross-body tracking (e.g. Earth DSN tracking a lunar orbiter): a
+    #: device-resident table of the TRAJECTORY's central body relative to
+    #: the STATION's body, added to every spacecraft state before the
+    #: topocentric geometry (the reference routes this through ANISE
+    #: transform_to; here it's a Chebyshev/Hermite lookup so the whole
+    #: measurement stays jittable). Build with `with_target_frame`.
+    target_center_offset: object = None
 
     # -- DSN builtins (builtin.rs), IAU_EARTH geodetic coordinates -------
     @classmethod
@@ -188,8 +195,43 @@ class GroundStation:
 
         return jax.jvp(pos, (t_tdb_s,), (jnp.ones_like(t_tdb_s),))
 
-    def sez_state(self, t_tdb_s, rv6):
+    def _shift_to_station_center(self, t_tdb_s, rv6):
+        """Re-center a spacecraft state from its trajectory's central body
+        onto this station's body (no-op without target_center_offset)."""
+        if self.target_center_offset is None:
+            return rv6
+        return rv6 + self.target_center_offset.state_at(t_tdb_s)
+
+    def with_target_frame(self, almanac, center: int, start, end,
+                          step_s: float = 300.0) -> "GroundStation":
+        """Copy of this station able to track a trajectory centered on
+        `center` (NAIF id, e.g. 301 for a lunar orbiter tracked from
+        Earth): samples center-relative-to-station-body states over
+        [start, end] into a device-resident Hermite table."""
+        from dataclasses import replace
+
+        from .interlink import DeviceTrajectory
+
+        t0 = start.to_tdb_seconds() - 2 * step_s
+        t1 = end.to_tdb_seconds() + 2 * step_s
+        ts = np.arange(t0, t1 + step_s, step_s)
+        rs = almanac.position(center, self.frame.center, ts)
+        h = 2.0
+        vs = (
+            almanac.position(center, self.frame.center, ts + h)
+            - almanac.position(center, self.frame.center, ts - h)
+        ) / (2.0 * h)
+        table = DeviceTrajectory(
+            jnp.asarray(ts), jnp.asarray(np.concatenate([rs, vs], axis=1))
+        )
+        out = replace(self, target_center_offset=table)
+        out.stochastic_noises = self.stochastic_noises
+        return out
+
+    def sez_state(self, t_tdb_s, rv6, _shifted=False):
         """Topocentric SEZ relative position/velocity of a J2000 state."""
+        if not _shifted:
+            rv6 = self._shift_to_station_center(t_tdb_s, rv6)
         dcm_bf = self.frame.dcm_from_j2000(t_tdb_s)
         r_st, v_st = self.inertial_posvel(t_tdb_s)
         rho = rv6[0:3] - r_st
@@ -197,10 +239,10 @@ class GroundStation:
         sez = sez_dcm(self.latitude_deg, self.longitude_deg) @ dcm_bf
         return sez @ rho, sez @ rho_dot
 
-    def azimuth_elevation_range(self, t_tdb_s, rv6):
+    def azimuth_elevation_range(self, t_tdb_s, rv6, _shifted=False):
         """(az_deg, el_deg, range_km, range_rate_km_s), the ANISE AzElRange
         equivalent used for visibility and angle measurements."""
-        rho_sez, rhod_sez = self.sez_state(t_tdb_s, rv6)
+        rho_sez, rhod_sez = self.sez_state(t_tdb_s, rv6, _shifted)
         rng = jnp.linalg.norm(rho_sez)
         el = jnp.rad2deg(jnp.arcsin(rho_sez[2] / rng))
         az = jnp.rad2deg(jnp.arctan2(rho_sez[1], -rho_sez[0])) % 360.0
@@ -225,9 +267,11 @@ class GroundStation:
 
     # ------------------------------------------------------------------
     def _one_way(self, t_tdb_s, rv6, types):
+        rv6 = self._shift_to_station_center(t_tdb_s, rv6)
         if self.light_time_correction:
             rv6 = self._light_time_backdate(t_tdb_s, rv6)
-        az, el, rng, rr = self.azimuth_elevation_range(t_tdb_s, rv6)
+        az, el, rng, rr = self.azimuth_elevation_range(t_tdb_s, rv6,
+                                                       _shifted=True)
         table = {
             MeasurementType.RANGE_KM: rng,
             MeasurementType.DOPPLER_KM_S: rr,

@@ -85,6 +85,10 @@ class TrackingDataArc:
     tracker_idx: np.ndarray
     values: np.ndarray
     moduli: Optional[Dict[str, float]] = None
+    #: residual-versus-reference mode: the OD process rejects every
+    #: measurement so residuals are computed against the pure propagation
+    #: (trackingdata/mod.rs:506, process/mod.rs:175-180)
+    force_reject: bool = False
 
     # ------------------------------------------------------------------
     @classmethod
@@ -154,11 +158,35 @@ class TrackingDataArc:
             self.tracker_idx[keep],
             self.values[keep],
             self.moduli,
+            self.force_reject,
         )
+
+    def resid_vs_ref_check(self) -> "TrackingDataArc":
+        """Arc copy whose processing computes residuals against the pure
+        propagated reference (every measurement force-rejected,
+        trackingdata/mod.rs:506)."""
+        from dataclasses import replace
+
+        return replace(self, force_reject=True)
 
     def filter_by_epoch(self, start: Epoch, end: Epoch) -> "TrackingDataArc":
         s, e = start.to_tai_seconds(), end.to_tai_seconds()
         return self._mask((self.epochs_tai_s >= s) & (self.epochs_tai_s <= e))
+
+    def filter_by_offset(self, start_offset_s=0.0, end_offset_s=None):
+        """Keep measurements within [start, end] offsets (seconds or
+        Duration) from the arc start (trackingdata filter_by_offset)."""
+        from ..time import Duration
+
+        def _s(x):
+            return x.to_seconds() if isinstance(x, Duration) else float(x)
+
+        t0 = float(self.epochs_tai_s[0]) if len(self.epochs_tai_s) else 0.0
+        rel = self.epochs_tai_s - t0
+        keep = rel >= _s(start_offset_s)
+        if end_offset_s is not None:
+            keep &= rel <= _s(end_offset_s)
+        return self._mask(keep)
 
     def exclude_by_epoch(self, start: Epoch, end: Epoch) -> "TrackingDataArc":
         s, e = start.to_tai_seconds(), end.to_tai_seconds()

@@ -117,6 +117,13 @@ class KalmanODProcess:
         )
         sol.append(initial_estimate, None)
 
+        # residual-vs-reference mode: reject everything so the filter never
+        # updates and residuals are vs the propagated nominal
+        # (process/mod.rs:175-180)
+        reject_sigmas = self.resid_rejection_sigmas
+        if getattr(arc, "force_reject", False):
+            reject_sigmas = 0.0
+
         n = len(arc)
         accepted = rejected = 0
         from ..tracing import Progress
@@ -175,7 +182,7 @@ class KalmanODProcess:
                 h_tilde,
                 stm,
                 dt_s,
-                self.resid_rejection_sigmas,
+                reject_sigmas,
                 tracker=msr.tracker,
                 msr_types=types,
             )

@@ -846,3 +846,76 @@ class TestSolutionIO:
         ).to_vector()
         for r in batch:
             assert np.linalg.norm(r.final_state()[:3] - truth_fin[:3]) < 0.02
+
+
+class TestCrossBodyTracking:
+    """Earth stations tracking a Moon-centered trajectory via the
+    device-resident center-offset table (with_target_frame; the reference
+    routes this through ANISE transform_to, trk_device.rs + example 06)."""
+
+    def test_offset_geometry(self):
+        """Range from a DSN station to a lunar orbiter is ~Earth-Moon
+        distance, and matches the manually re-centered computation."""
+        import jax.numpy as jnp
+
+        from nyx_tpu.ephem.almanac import Almanac
+
+        alm = Almanac()
+        epoch = Epoch.from_gregorian_utc(2024, 2, 29, 12)
+        moon = Frames.MOON_J2000
+        orbit = Orbit.keplerian(1887.4, 0.002, 33.6, 45.0, 45.0, 0.0, epoch, moon)
+        gs = _white_only(GroundStation.dss65_madrid(5.0))
+        gs_x = gs.with_target_frame(alm, 301, epoch, epoch + 3600.0)
+        t = jnp.float64(epoch.to_tdb_seconds()) + 1800.0
+        rv6_moon = jnp.asarray(
+            np.concatenate([np.asarray(orbit.r_km), np.asarray(orbit.v_km_s)])
+        )
+        types = (MeasurementType.RANGE_KM, MeasurementType.DOPPLER_KM_S)
+        vals = np.asarray(gs_x._one_way(t, rv6_moon, types))
+        assert 330_000 < vals[0] < 440_000  # ~Earth-Moon range
+        # manual re-centering through the almanac host path
+        r_m = alm.position(301, 399, np.asarray(t))
+        rv6_earth = jnp.asarray(
+            np.concatenate([np.asarray(orbit.r_km) + r_m, np.asarray(orbit.v_km_s)])
+        )
+        manual = np.asarray(gs._one_way(t, rv6_earth, types))
+        assert abs(vals[0] - manual[0]) < 1e-3  # < 1 m (table vs host ephem)
+
+    def test_lunar_od_from_earth(self, tmp_path):
+        """End-to-end: DSN tracks a lunar two-body orbiter; the filter
+        recovers a dispersed initial state (example-06 flow, small)."""
+        from nyx_tpu.ephem.almanac import Almanac
+
+        alm = Almanac()
+        epoch = Epoch.from_gregorian_utc(2024, 2, 29, 12)
+        moon = Frames.MOON_J2000
+        orbit = Orbit.keplerian(1887.4, 0.002, 33.6, 45.0, 45.0, 0.0, epoch, moon)
+        truth = Spacecraft.from_orbit(orbit)
+        dyn = SpacecraftDynamics.new(OrbitalDynamics.two_body(moon))
+        prop = Propagator.rk89(dyn, IntegratorOptions())
+        _, traj = prop.with_state(truth, alm).for_duration_with_traj(6 * 3600.0)
+        end = epoch + 6 * 3600.0
+        stations = [
+            _white_only(GroundStation.dss65_madrid(5.0)).with_target_frame(
+                alm, 301, epoch, end
+            ),
+            _white_only(GroundStation.dss34_canberra(5.0)).with_target_frame(
+                alm, 301, epoch, end
+            ),
+        ]
+        cfg = TrkConfig(sampling_s=120.0, scheduler=Scheduler(min_samples=3))
+        sim = TrackingArcSim.with_seed(
+            stations, traj, {g.name: cfg for g in stations}, seed=6
+        )
+        arc = sim.generate_measurements()
+        assert len(arc) > 50
+        rng = np.random.default_rng(7)
+        est0, init_err = _dispersed_estimate(truth, rng)
+        od = KalmanODProcess(
+            prop, variant=KalmanVariant.ReferenceUpdate,
+            resid_rejection_sigmas=None, almanac=alm,
+        )
+        sol = od.process_arc(est0, arc, stations)
+        final_err = _pos_err_km(sol.final_estimate, traj)
+        assert final_err < init_err / 2.0
+        assert final_err < 0.05, f"final error {final_err*1e3:.1f} m"
