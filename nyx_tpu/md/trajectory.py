@@ -166,6 +166,31 @@ class Trajectory:
         ys = np.stack([self.interpolate(t) for t in ts])
         return Trajectory(self.epoch0, ts, ys, self.template)
 
+    def filter_by_epoch(self, start: Epoch, end: Epoch) -> "Trajectory":
+        """Sub-trajectory whose nodes fall in [start, end]
+        (traj.rs filter_by_epoch)."""
+        s = (start - self.epoch0).to_seconds()
+        e = (end - self.epoch0).to_seconds()
+        keep = (self.ts >= s - 1e-9) & (self.ts <= e + 1e-9)
+        if not np.any(keep):
+            raise TrajError("no trajectory nodes in the requested window")
+        return Trajectory(self.epoch0, self.ts[keep], self.ys[keep], self.template)
+
+    def filter_by_offset(self, start_offset_s=0.0, end_offset_s=None) -> "Trajectory":
+        """Sub-trajectory by offsets (s or Duration) from the first node
+        (traj.rs filter_by_offset)."""
+
+        def _s(x):
+            return x.to_seconds() if isinstance(x, Duration) else float(x)
+
+        t0 = float(self.ts[0])
+        keep = self.ts - t0 >= _s(start_offset_s) - 1e-9
+        if end_offset_s is not None:
+            keep &= self.ts - t0 <= _s(end_offset_s) + 1e-9
+        if not np.any(keep):
+            raise TrajError("no trajectory nodes in the requested window")
+        return Trajectory(self.epoch0, self.ts[keep], self.ys[keep], self.template)
+
     # ---------------- export (parquet/OEM in io.export) ---------------
     def to_parquet(self, path, cfg=None):
         from ..io.export import traj_to_parquet

@@ -919,3 +919,30 @@ class TestCrossBodyTracking:
         final_err = _pos_err_km(sol.final_estimate, traj)
         assert final_err < init_err / 2.0
         assert final_err < 0.05, f"final error {final_err*1e3:.1f} m"
+
+
+def test_trajectory_filters():
+    """Trajectory.filter_by_epoch / filter_by_offset (traj.rs parity)."""
+    from nyx_tpu.dynamics import OrbitalDynamics, SpacecraftDynamics
+    from nyx_tpu.propagators import IntegratorOptions, Propagator
+
+    epoch = Epoch.from_gregorian_utc(2021, 1, 1)
+    orbit = Orbit.keplerian(8000.0, 0.01, 30.0, 0.0, 0.0, 0.0, epoch,
+                            Frames.EME2000)
+    prop = Propagator.rk89(
+        SpacecraftDynamics.new(OrbitalDynamics.two_body(Frames.EME2000)),
+        IntegratorOptions(),
+    )
+    _, traj = prop.with_state(Spacecraft.from_orbit(orbit)).for_duration_with_traj(
+        7200.0
+    )
+    sub = traj.filter_by_offset(1800.0, 5400.0)
+    assert sub.ts[0] >= 1800.0 - 1e-6 and sub.ts[-1] <= 5400.0 + 1e-6
+    sub2 = traj.filter_by_epoch(epoch + 1800.0, epoch + 5400.0)
+    assert len(sub2.ts) == len(sub.ts)
+    # interpolation still works inside the window
+    mid = sub.at(epoch + 3600.0)
+    np.testing.assert_allclose(
+        np.asarray(mid.orbit.r_km), np.asarray(traj.at(epoch + 3600.0).orbit.r_km),
+        atol=1e-9,
+    )
