@@ -128,6 +128,15 @@ class Results:
             raise MonteCarloError("run with n_capture > 0 to retain trajectories")
         B, K, N = self.traj_y.shape
         G = len(t_rel)
+        # native whole-ensemble kernel (nyx_tpu/native/hermite.cpp) — the
+        # per-lane Python loop below is the no-toolchain fallback
+        from .. import native
+
+        nat = native.hermite_interp_ensemble(
+            self.traj_t, self.traj_y, self.traj_len, np.asarray(t_rel)
+        )
+        if nat is not None:
+            return nat
         out = np.empty((B, G, N))
         for b in range(B):  # searchsorted per lane; vector math per lane
             k = int(self.traj_len[b])
