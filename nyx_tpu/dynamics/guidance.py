@@ -382,10 +382,14 @@ class Maneuver(GuidanceLaw):
     start: Epoch
     end: Epoch
     thrust_prct: float = 1.0
-    vector: Optional[np.ndarray] = None  # fixed direction in `frame`
+    vector: Optional[np.ndarray] = None  # direction at burn start in `frame`
     azimuth_poly: Optional[np.ndarray] = None  # alpha(t) rad, t since start
     elevation_poly: Optional[np.ndarray] = None
     frame: str = LocalFrame.VNC
+    #: optional vector-representation time dependence (thrust targeters):
+    #: u(t) = normalize(vector + vector_rate*t + vector_accel*t^2)
+    vector_rate: Optional[np.ndarray] = None
+    vector_accel: Optional[np.ndarray] = None
 
     def __post_init__(self):
         self._start_tdb = self.start.to_tdb_seconds()
@@ -425,6 +429,12 @@ class Maneuver(GuidanceLaw):
         """Direction (in `frame`) at an absolute TDB time (mnvr.rs:205-216)."""
         if self.vector is not None:
             vec = jnp.asarray(self.vector)
+            if self.vector_rate is not None or self.vector_accel is not None:
+                tau = t_tdb - self._start_tdb
+                if self.vector_rate is not None:
+                    vec = vec + jnp.asarray(self.vector_rate) * tau
+                if self.vector_accel is not None:
+                    vec = vec + jnp.asarray(self.vector_accel) * tau**2
             return vec / jnp.linalg.norm(vec)
         t = t_tdb - self._start_tdb
         alpha = jnp.polyval(jnp.asarray(self.azimuth_poly), t)
@@ -628,3 +638,74 @@ class ThrustDirectionReplay(GuidanceLaw):
         want = jnp.where(in_window, GuidanceMode.Thrust, GuidanceMode.Coast)
         inhibited = mode == GuidanceMode.Inhibit
         return jnp.where(inhibited, mode, jnp.broadcast_to(want, jnp.shape(mode)).astype(mode.dtype))
+
+
+@dataclass
+class ParametricManeuver(GuidanceLaw):
+    """Finite burn whose 12 parameters are read from
+    `ctx.guidance_params` instead of Python closure constants, so one
+    compiled propagation serves every corrected/perturbed maneuver of a
+    targeting loop (the TPU-native counterpart of the reference's
+    parallel-FD thrust targeters, targeter.rs thrust_dir/_rate/_profile).
+
+    Parameter layout ([..., 12], broadcastable against the lane axis so a
+    [V+1, 12] batch targets V perturbations at once):
+
+      0 start_tdb   1 end_tdb   2 thrust_level
+      3:6  direction vector at burn start (local frame)
+      6:9  direction rate  [1/s]
+      9:12 direction accel [1/s^2]
+
+    u_local(tau) = normalize(c + r*tau + a*tau^2), tau = t - start.
+    """
+
+    frame: str = LocalFrame.RCN
+
+    @staticmethod
+    def params_from_maneuver(mnvr: "Maneuver") -> np.ndarray:
+        """Initial 12-parameter vector from a constant-vector Maneuver."""
+        if mnvr.vector is None:
+            raise GuidanceConfigError(
+                "ParametricManeuver needs a vector-representation Maneuver "
+                "as the initial guess"
+            )
+        v = np.asarray(mnvr.vector, dtype=np.float64)
+        v = v / np.linalg.norm(v)
+        return np.concatenate([
+            [mnvr._start_tdb, mnvr._end_tdb, mnvr.thrust_prct],
+            v, np.zeros(6),
+        ])
+
+    def _direction_local(self, p, tau):
+        c = p[..., 3:6]
+        r = p[..., 6:9]
+        a = p[..., 9:12]
+        u = c + r * tau[..., None] + a * tau[..., None] ** 2
+        return u / jnp.linalg.norm(u, axis=-1, keepdims=True)
+
+    def direction_and_throttle(self, ctx, t_tdb, y9, mode):
+        p = ctx.guidance_params
+        if p is None:
+            raise GuidanceConfigError(
+                "ParametricManeuver requires ctx.guidance_params"
+            )
+        p = jnp.asarray(p)
+        tau = t_tdb - p[..., 0]
+        u_local = self._direction_local(p, jnp.broadcast_to(tau, y9.shape[:-1]))
+        r = y9[..., 0:3]
+        v = y9[..., 3:6]
+        dcm = LocalFrame.dcm_to_inertial(self.frame, r, v)
+        u = jnp.einsum(
+            "...ij,...j->...i", dcm, jnp.broadcast_to(u_local, r.shape)
+        )
+        thrusting = mode == GuidanceMode.Thrust
+        throttle = jnp.where(thrusting, p[..., 2], 0.0)
+        return jnp.where(thrusting[..., None], u, 0.0), throttle
+
+    def next_mode(self, ctx, t_tdb, y9, mode):
+        p = jnp.asarray(ctx.guidance_params)
+        in_burn = (t_tdb >= p[..., 0]) & (t_tdb < p[..., 1])
+        want = jnp.where(in_burn, GuidanceMode.Thrust, GuidanceMode.Coast)
+        inhibited = mode == GuidanceMode.Inhibit
+        want = jnp.broadcast_to(want, jnp.shape(mode))
+        return jnp.where(inhibited, mode, want.astype(mode.dtype))

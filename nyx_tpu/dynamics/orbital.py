@@ -23,7 +23,7 @@ from ..cosmic.frames import Frame, Frames
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["epoch0_tdb", "table"],
+    data_fields=["epoch0_tdb", "table", "guidance_params"],
     meta_fields=["frame"],
 )
 @dataclass(frozen=True)
@@ -35,6 +35,11 @@ class EomContext:
     epoch0_tdb: object  # TDB s past J2000 of t=0 (scalar array)
     table: object  # EphemTable for third bodies / sun (or None)
     frame: Frame  # integration frame (center + J2000 orientation)
+    #: parameter vector(s) for parametric guidance laws ([..., P] array, or
+    #: None) — a traced leaf, so the finite-burn targeter re-runs one
+    #: compiled propagation with corrected/perturbed maneuvers (the
+    #: TPU-native form of the reference's parallel FD, targeter.rs thrust_*)
+    guidance_params: object = None
 
     def body_index(self, body: int) -> int:
         return self.table.index_of(body)

@@ -25,10 +25,41 @@ class Vary:
     POSITIONS = (PositionX, PositionY, PositionZ)
     VELOCITIES = (VelocityX, VelocityY, VelocityZ)
 
+    # finite-burn maneuver variables (target_variable.rs:28-68); these
+    # correct a ParametricManeuver's 12-parameter vector, not the state
+    ThrustX = "thrust_x"
+    ThrustY = "thrust_y"
+    ThrustZ = "thrust_z"
+    ThrustLevel = "thrust_level"
+    ThrustRateX = "thrust_rate_x"
+    ThrustRateY = "thrust_rate_y"
+    ThrustRateZ = "thrust_rate_z"
+    ThrustAccelX = "thrust_accel_x"
+    ThrustAccelY = "thrust_accel_y"
+    ThrustAccelZ = "thrust_accel_z"
+    StartEpoch = "start_epoch"
+    EndEpoch = "end_epoch"
+    Duration = "duration"
+
+    MNVR = (
+        ThrustX, ThrustY, ThrustZ, ThrustLevel,
+        ThrustRateX, ThrustRateY, ThrustRateZ,
+        ThrustAccelX, ThrustAccelY, ThrustAccelZ,
+        StartEpoch, EndEpoch, Duration,
+    )
+
     #: flat 9-state slot each tag perturbs (in the local frame block)
     SLOT = {
         PositionX: 0, PositionY: 1, PositionZ: 2,
         VelocityX: 3, VelocityY: 4, VelocityZ: 5,
+    }
+
+    #: ParametricManeuver parameter-vector slot for the maneuver tags
+    PSLOT = {
+        StartEpoch: 0, EndEpoch: 1, Duration: 1, ThrustLevel: 2,
+        ThrustX: 3, ThrustY: 4, ThrustZ: 5,
+        ThrustRateX: 6, ThrustRateY: 7, ThrustRateZ: 8,
+        ThrustAccelX: 9, ThrustAccelY: 10, ThrustAccelZ: 11,
     }
 
 
@@ -46,10 +77,35 @@ class Variable:
     @classmethod
     def from_vary(cls, component: str, perturbation: Optional[float] = None):
         if perturbation is None:
-            perturbation = (
-                1e-4 if component in Vary.POSITIONS else 1e-6
-            )
-        return cls(component, perturbation)
+            if component in Vary.POSITIONS:
+                perturbation = 1e-4
+            elif component in (Vary.StartEpoch, Vary.EndEpoch, Vary.Duration):
+                perturbation = 0.5  # seconds
+            elif component in Vary.MNVR:
+                perturbation = 1e-4  # unit-vector component / level / rate
+            else:
+                perturbation = 1e-6
+        kw = {}
+        if component == Vary.ThrustLevel:
+            # throttle stays in (0, 1]
+            kw = dict(max_value=1.0, min_value=1e-4, max_step=0.2)
+        elif component in (Vary.StartEpoch, Vary.EndEpoch, Vary.Duration):
+            kw = dict(max_value=600.0, min_value=-600.0, max_step=60.0)
+        elif component in (Vary.ThrustRateX, Vary.ThrustRateY,
+                           Vary.ThrustRateZ):
+            # rate * burn duration must stay O(1) for a unit vector:
+            # 1e-3/s over a 10-minute burn rotates the direction by ~0.6
+            perturbation = 1e-6
+            kw = dict(max_value=1e-2, min_value=-1e-2, max_step=1e-4)
+        elif component in (Vary.ThrustAccelX, Vary.ThrustAccelY,
+                           Vary.ThrustAccelZ):
+            perturbation = 1e-8
+            kw = dict(max_value=1e-4, min_value=-1e-4, max_step=1e-6)
+        return cls(component, perturbation, **kw)
+
+    @property
+    def is_finite_burn(self) -> bool:
+        return self.component in Vary.MNVR
 
     def with_initial_guess(self, guess: float) -> "Variable":
         from dataclasses import replace
@@ -76,6 +132,11 @@ class Variable:
     @property
     def slot(self) -> int:
         return Vary.SLOT[self.component]
+
+    @property
+    def pslot(self) -> int:
+        """ParametricManeuver parameter index for finite-burn tags."""
+        return Vary.PSLOT[self.component]
 
     def __str__(self):
         return f"Variable({self.component}, pert {self.perturbation})"

@@ -39,6 +39,20 @@ class TargeterSolution:
     iterations: int
     achieved_errors: np.ndarray  # [O] residual error per objective
     converged: bool
+    #: corrected finite-burn maneuver (thrust targeters only)
+    maneuver: object = None
+
+    @property
+    def is_finite_burn(self) -> bool:
+        return self.maneuver is not None
+
+    def to_mnvr(self):
+        """The corrected Maneuver (solution.rs:64 to_mnvr)."""
+        from ...errors import TargetingError
+
+        if self.maneuver is None:
+            raise TargetingError("solution is not a finite-burn correction")
+        return self.maneuver
 
     def __str__(self):
         tag = "converged" if self.converged else "NOT CONVERGED"
@@ -106,6 +120,53 @@ class Targeter:
             frame=frame, **kw,
         )
 
+    # -- finite-burn thrust targeters (targeter.rs:121-211) -------------
+    @classmethod
+    def thrust_dir(cls, prop, objectives, mnvr0, **kw) -> "Targeter":
+        """Correct the burn's (constant) direction vector + throttle."""
+        return cls._thrust(
+            prop, objectives, mnvr0,
+            (Vary.ThrustX, Vary.ThrustY, Vary.ThrustZ, Vary.ThrustLevel),
+            **kw,
+        )
+
+    @classmethod
+    def thrust_dir_rate(cls, prop, objectives, mnvr0, **kw) -> "Targeter":
+        """Direction + rates + throttle."""
+        return cls._thrust(
+            prop, objectives, mnvr0,
+            (Vary.ThrustX, Vary.ThrustY, Vary.ThrustZ, Vary.ThrustLevel,
+             Vary.ThrustRateX, Vary.ThrustRateY, Vary.ThrustRateZ),
+            **kw,
+        )
+
+    @classmethod
+    def thrust_profile(cls, prop, objectives, mnvr0, **kw) -> "Targeter":
+        """Full quadratic direction profile + throttle."""
+        return cls._thrust(
+            prop, objectives, mnvr0,
+            (Vary.ThrustX, Vary.ThrustY, Vary.ThrustZ, Vary.ThrustLevel,
+             Vary.ThrustRateX, Vary.ThrustRateY, Vary.ThrustRateZ,
+             Vary.ThrustAccelX, Vary.ThrustAccelY, Vary.ThrustAccelZ),
+            **kw,
+        )
+
+    @classmethod
+    def _thrust(cls, prop, objectives, mnvr0, varies, **kw) -> "Targeter":
+        from ...dynamics.guidance import ParametricManeuver
+
+        law = ParametricManeuver(frame=mnvr0.frame)
+        out = cls(
+            prop.with_guidance(law),
+            [Variable.from_vary(v) for v in varies],
+            objectives,
+            frame=mnvr0.frame,
+            **kw,
+        )
+        out._mnvr0 = mnvr0
+        out._coast_prop = prop
+        return out
+
     # ------------------------------------------------------------------
     def _apply_correction(self, sc: Spacecraft, correction: np.ndarray) -> Spacecraft:
         """Add the correction (expressed in `self.frame` at `sc`) to the
@@ -132,11 +193,11 @@ class Targeter:
         ]
         return jnp.stack(vals, axis=-1)
 
-    def _batch_run(self, with_stm: bool):
-        key = with_stm
+    def _batch_run(self, with_stm: bool, thruster=None):
+        key = (with_stm, thruster)
         if key not in self._jit_cache:
             dyn = self.prop.dynamics
-            eom = dyn.make_eom(with_stm)
+            eom = dyn.make_eom(with_stm, thruster=thruster)
             finally_fn = dyn.make_finally()
             opts, method = self.prop.opts, self.prop.method
 
@@ -167,6 +228,10 @@ class Targeter:
         """Newton-Raphson to meet the objectives at `achievement_epoch` by
         varying the state at `correction_epoch` (targeter.rs:246,
         raphson_finite_diff.rs:42-360)."""
+        if any(v.is_finite_burn for v in self.variables):
+            return self._try_achieve_mnvr(
+                initial_state, correction_epoch, achievement_epoch
+            )
         # 1. bring the state to the correction epoch
         sc0 = initial_state
         dt0 = (correction_epoch - sc0.epoch).to_seconds()
@@ -325,3 +390,165 @@ class Targeter:
         return self.try_achieve_from(
             initial_state, correction_epoch, achievement_epoch, method="dual"
         )
+
+
+def _try_achieve_mnvr(self, initial_state, correction_epoch, achievement_epoch):
+    """Finite-burn correction: Newton-Raphson on the ParametricManeuver's
+    12-parameter vector. One compiled propagation serves every iteration —
+    the [V+1] nominal+perturbed maneuvers run as a batch with per-lane
+    guidance parameters (the reference propagates each FD perturbation on a
+    rayon thread, raphson_finite_diff.rs:331; here they are lanes)."""
+    from dataclasses import replace as _replace
+
+    from ...cosmic.spacecraft import GuidanceMode
+    from ...dynamics.guidance import Maneuver, ParametricManeuver
+    from ...errors import TargetingError
+
+    if initial_state.thruster is None:
+        raise TargetingError("finite-burn targeting needs a thruster")
+    mnvr0 = getattr(self, "_mnvr0", None)
+    if mnvr0 is None:
+        raise TargetingError(
+            "use Targeter.thrust_dir/_dir_rate/_profile to build a "
+            "finite-burn targeter"
+        )
+    params0 = ParametricManeuver.params_from_maneuver(mnvr0)
+
+    # 1. coast to the correction epoch with the unguided propagator
+    sc0 = initial_state
+    dt0 = (correction_epoch - sc0.epoch).to_seconds()
+    if abs(dt0) > 1e-9:
+        sc0 = self._coast_prop.with_state(sc0, self.almanac).for_duration(dt0)
+    dt = (achievement_epoch - correction_epoch).to_seconds()
+
+    mu = sc0.frame.mu
+    radius_km = sc0.frame.radius_km or 0.0
+    dyn = self.prop.dynamics
+    base_ctx = dyn.build_context(correction_epoch, dt, self.almanac)
+    sc_params = dict(
+        dry_mass_kg=sc0.dry_mass_kg,
+        srp_area_m2=sc0.srp_area_m2,
+        drag_area_m2=sc0.drag_area_m2,
+    )
+    run = self._batch_run(with_stm=False, thruster=sc0.thruster)
+    tols = np.array([o.tolerance for o in self.objectives])
+    nvars = len(self.variables)
+
+    # initial guidance mode from the burn window at the correction epoch
+    t0_tdb = correction_epoch.to_tdb_seconds()
+    mode0 = (
+        GuidanceMode.Thrust
+        if params0[0] <= t0_tdb < params0[1]
+        else GuidanceMode.Coast
+    )
+    y_row = np.concatenate([sc0.to_vector(), [float(mode0)]])
+
+    def apply(correction):
+        p = params0.copy()
+        for var, c in zip(self.variables, correction):
+            p[var.pslot] += c
+        return p
+
+    correction = np.array([v.init_guess for v in self.variables])
+    prev_norm = None
+    prev_correction = None
+    applied_dx = None
+    backtracks = 0
+    it = 0
+    for it in range(1, self.iterations + 1):
+        p_nom = apply(correction)
+        rows = [p_nom]
+        for i, var in enumerate(self.variables):
+            pert = np.zeros(nvars)
+            pert[i] = var.perturbation
+            rows.append(apply(correction + pert))
+        ctx = _replace(
+            base_ctx, guidance_params=jnp.asarray(np.stack(rows))
+        )
+        y0 = jnp.asarray(np.tile(y_row, (nvars + 1, 1)))
+        res = run(y0, dt, ctx, sc_params)
+        yf_all = np.asarray(res.y)[:, :STATE_DIM]
+        achieved = np.asarray(
+            self._objective_values(jnp.asarray(yf_all), mu, radius_km)
+        )
+        errs = self._errors(achieved[0])
+        if all(abs(e) <= o.tolerance for e, o in zip(errs, self.objectives)):
+            break
+
+        norm = float(np.linalg.norm(errs / tols))
+        if (
+            prev_norm is not None
+            and norm > prev_norm
+            and backtracks < 10
+            and np.linalg.norm(applied_dx) > 1e-14
+        ):
+            applied_dx = applied_dx / 2.0
+            correction = prev_correction + applied_dx
+            backtracks += 1
+            continue
+        backtracks = 0
+
+        jac = np.empty((len(self.objectives), nvars))
+        for i, var in enumerate(self.variables):
+            jac[:, i] = (achieved[i + 1] - achieved[0]) / var.perturbation
+        # trust-region equilibration: columns scaled by each variable's
+        # natural step, rows by objective tolerance — the raw Jacobian
+        # mixes units (throttle ~1, rates ~1e-4/s) and min-norm lstsq on
+        # it starves the small-scaled variables
+        scale = np.array([v.max_step for v in self.variables])
+        w = 1.0 / tols
+        try:
+            dxs = np.linalg.lstsq(
+                jac * scale[None, :] * w[:, None], errs * w, rcond=None
+            )[0]
+        except np.linalg.LinAlgError:
+            dxs = np.linalg.pinv(jac * scale[None, :] * w[:, None]) @ (
+                errs * w
+            )
+        dx = np.array(
+            [v.check_step(d) for v, d in zip(self.variables, dxs * scale)]
+        )
+        prev_norm = norm
+        prev_correction = correction.copy()
+        new_abs = params0[
+            [v.pslot for v in self.variables]
+        ] + prev_correction + dx
+        # bounds apply to the correction itself (epoch shifts, level)
+        correction = np.array(
+            [
+                var.apply_bounds(c + d)
+                if var.component != Vary.ThrustLevel
+                else np.clip(c + d, var.min_value - params0[2],
+                             var.max_value - params0[2])
+                for var, c, d in zip(self.variables, prev_correction, dx)
+            ]
+        )
+        del new_abs
+        applied_dx = correction - prev_correction
+
+    p_fin = apply(correction)
+    converged = all(
+        abs(e) <= o.tolerance for e, o in zip(errs, self.objectives)
+    )
+    final = sc0.set_vector(
+        achievement_epoch, np.asarray(res.y)[0][:STATE_DIM]
+    )
+    vec = p_fin[3:6]
+    rate = p_fin[6:9]
+    acc = p_fin[9:12]
+    mnvr = Maneuver(
+        start=mnvr0.start + (p_fin[0] - params0[0]),
+        end=mnvr0.end + (p_fin[1] - params0[1]),
+        thrust_prct=float(p_fin[2]),
+        vector=vec / np.linalg.norm(vec),
+        vector_rate=rate if np.any(rate) else None,
+        vector_accel=acc if np.any(acc) else None,
+        frame=mnvr0.frame,
+    )
+    return TargeterSolution(
+        sc0, final, correction, it, errs, converged, maneuver=mnvr
+    )
+
+
+Targeter._try_achieve_mnvr = _try_achieve_mnvr
+del _try_achieve_mnvr

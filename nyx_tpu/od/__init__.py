@@ -9,7 +9,8 @@ from .groundpnt import GroundAsset, GroundPntProcess, GroundPntSim
 from .kalman import KalmanFilter, KalmanVariant, ProcessNoise
 from .msr import Measurement, MeasurementType, TrackingDataArc
 from .noise import GaussMarkov, StochasticNoise, WhiteNoise
-from .process import KalmanODProcess, SpacecraftKalmanOD
+from .process import (KalmanODProcess, SpacecraftKalmanOD,
+                      SpacecraftKalmanScalarOD)
 from .simulator import Scheduler, TrackingArcSim, TrkConfig
 from .solution import ODSolution
 from . import tdm as _tdm  # attaches TrackingDataArc.to_tdm/from_tdm
@@ -22,6 +23,6 @@ __all__ = [
     "GroundAsset", "GroundPntProcess", "GroundPntSim",
     "KalmanFilter", "KalmanVariant", "ProcessNoise", "Measurement",
     "MeasurementType", "TrackingDataArc", "GaussMarkov", "StochasticNoise",
-    "WhiteNoise", "KalmanODProcess", "SpacecraftKalmanOD", "Scheduler",
+    "WhiteNoise", "KalmanODProcess", "SpacecraftKalmanOD", "SpacecraftKalmanScalarOD", "Scheduler",
     "TrackingArcSim", "TrkConfig", "ODSolution",
 ]

@@ -243,3 +243,39 @@ def SpacecraftKalmanOD(prop, process_noise=(), variant=KalmanVariant.ReferenceUp
     return KalmanODProcess(
         prop, process_noise, variant, resid_rejection_sigmas, max_step, almanac
     )
+
+
+class SpacecraftKalmanScalarOD(KalmanODProcess):
+    """MsrSize=1 engine (od/mod.rs SpacecraftKalmanScalarOD): every
+    measurement type is processed as its own scalar update in sequence —
+    the classic scalar-measurement Kalman formulation (no matrix solve per
+    update). Implemented by expanding each multi-type measurement row into
+    consecutive single-type rows at the same epoch before the standard
+    loop."""
+
+    def process_arc(self, initial_estimate, arc, devices):
+        return super().process_arc(
+            initial_estimate, _expand_scalar(arc), devices
+        )
+
+
+def _expand_scalar(arc):
+    """Arc copy with one measurement type per row (same epoch order)."""
+    from .msr import TrackingDataArc
+
+    epochs, tidx, rows = [], [], []
+    T = len(arc.types)
+    for i in range(len(arc)):
+        for j in range(T):
+            v = arc.values[i, j]
+            if not np.isnan(v):
+                row = np.full(T, np.nan)
+                row[j] = v
+                epochs.append(arc.epochs_tai_s[i])
+                tidx.append(arc.tracker_idx[i])
+                rows.append(row)
+    return TrackingDataArc(
+        arc.trackers, arc.types, np.asarray(epochs), np.asarray(tidx),
+        np.stack(rows) if rows else np.zeros((0, T)), arc.moduli,
+        arc.force_reject,
+    )

@@ -158,6 +158,24 @@ class ODSolution:
             ),
         )
 
+    # reference-named aliases (od/process/solution/stats.rs public API)
+    def rejected_residuals(self) -> List[Residual]:
+        return [r for r in self.residuals if r is not None and r.rejected]
+
+    def residual_ratio_within_threshold(self, num_sigmas: float = 3.0) -> float:
+        """Percentage of accepted ratios within the threshold
+        (stats.rs residual_ratio_within_threshold)."""
+        return self.percent_within_sigmas(num_sigmas)
+
+    def is_normal(self, alpha: float = 0.05) -> bool:
+        """KS-test verdict on residual-ratio normality (stats.rs is_normal)."""
+        _, pval = self.ks_normality()
+        return bool(pval > alpha)
+
+    def nis_consistency(self, alpha: float = 0.05) -> str:
+        """NIS chi-square verdict string (stats.rs nis_consistency)."""
+        return str(self.nis_test(alpha).get("verdict", "no data"))
+
     def nees(self, truth_states: Sequence) -> np.ndarray:
         """Normalized estimation error squared vs a truth trajectory
         (stats.rs:358). truth_states: Spacecraft at each estimate epoch."""

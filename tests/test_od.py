@@ -946,3 +946,29 @@ def test_trajectory_filters():
         np.asarray(mid.orbit.r_km), np.asarray(traj.at(epoch + 3600.0).orbit.r_km),
         atol=1e-9,
     )
+
+
+def test_scalar_od_matches_vector_closely(two_body_prop, truth_setup, stations):
+    """SpacecraftKalmanScalarOD (sequential scalar updates, od/mod.rs)
+    recovers the truth like the vector engine (the estimates differ only
+    through update ordering, which is second-order)."""
+    from nyx_tpu.od.process import SpacecraftKalmanScalarOD
+
+    truth_sc, traj = truth_setup
+    cfg = TrkConfig(sampling_s=60.0, scheduler=Scheduler(min_samples=5))
+    sim = TrackingArcSim.with_seed(
+        stations, traj, {g.name: cfg for g in stations}, seed=11
+    )
+    arc = sim.generate_measurements()
+    rng = np.random.default_rng(13)
+    est0, init_err = _dispersed_estimate(truth_sc, rng)
+    scalar = SpacecraftKalmanScalarOD(
+        two_body_prop, variant=KalmanVariant.ReferenceUpdate,
+        resid_rejection_sigmas=None,
+    )
+    sol = scalar.process_arc(est0, arc, stations)
+    # twice the rows of the 2-type arc were processed
+    assert len(sol.estimates) == 2 * len(arc) + 1
+    final_err = _pos_err_km(sol.final_estimate, traj)
+    assert final_err < 0.02, f"final error {final_err*1e3:.1f} m"
+    assert final_err < init_err / 3.0

@@ -179,3 +179,79 @@ class TestMultipleShooting:
             state = seg.achieved_state
         # final node is the destination position (last node never moved)
         assert np.linalg.norm(sol.nodes[-1].position() - xf.r_km) < 1e-9
+
+
+class TestFiniteBurnTargeting:
+    """Thrust-direction finite-burn targeters (targeter.rs thrust_dir/
+    _rate/_profile; solution.rs to_mnvr). The FD perturbations run as
+    lanes of one batch with per-lane ParametricManeuver parameters."""
+
+    def _setup(self):
+        from nyx_tpu.cosmic.spacecraft import GuidanceMode, Thruster
+
+        orbit = Orbit.keplerian(7000.0, 0.001, 28.5, 0.0, 0.0, 0.0, EPOCH,
+                                Frames.EME2000)
+        sc = Spacecraft.new(orbit, 900.0, 100.0, 0.0, 0.0, 1.8, 2.2)
+        from dataclasses import replace
+
+        sc = replace(sc, thruster=Thruster(thrust_N=400.0, isp_s=300.0))
+        dyn = SpacecraftDynamics.new(OrbitalDynamics.two_body(Frames.EME2000))
+        prop = Propagator.rk89(dyn, IntegratorOptions())
+        return sc, prop
+
+    def test_thrust_dir_sma_raise(self):
+        from nyx_tpu.dynamics.guidance import LocalFrame, Maneuver
+
+        sc, prop = self._setup()
+        a0 = float(sc.orbit.sma_km)
+        burn_start = EPOCH
+        burn_end = EPOCH + 300.0
+        achieve = EPOCH + 3000.0
+        # initial guess: prograde 5-minute burn at full throttle
+        mnvr0 = Maneuver.from_time_invariant(
+            burn_start, burn_end, 1.0, [1.0, 0.0, 0.0], LocalFrame.VNC
+        )
+        tgt = Targeter.thrust_dir(
+            prop, [Objective("sma", a0 + 150.0, 0.5)], mnvr0
+        )
+        sol = tgt.try_achieve_from(sc, burn_start, achieve)
+        assert sol.converged, str(sol)
+        assert abs(sol.achieved_errors[0]) <= 0.5
+        assert sol.is_finite_burn
+        mnvr = sol.to_mnvr()
+        assert 0.0 < mnvr.thrust_prct <= 1.0
+
+        # independent verification: propagate with the corrected Maneuver
+        # as a plain closure-based guidance law
+        from dataclasses import replace
+
+        from nyx_tpu.cosmic.spacecraft import GuidanceMode
+
+        final = (
+            prop.with_guidance(mnvr)
+            .with_state(replace(sc, mode=GuidanceMode.Thrust))
+            .until_epoch(achieve)
+        )
+        assert abs(float(final.orbit.sma_km) - (a0 + 150.0)) < 1.0, (
+            float(final.orbit.sma_km) - a0
+        )
+
+    def test_thrust_dir_rate_two_objectives(self):
+        from nyx_tpu.dynamics.guidance import LocalFrame, Maneuver
+
+        sc, prop = self._setup()
+        a0 = float(sc.orbit.sma_km)
+        mnvr0 = Maneuver.from_time_invariant(
+            EPOCH, EPOCH + 300.0, 1.0, [1.0, 0.0, 0.0], LocalFrame.VNC
+        )
+        tgt = Targeter.thrust_dir_rate(
+            prop,
+            [Objective("sma", a0 + 120.0, 0.5), Objective("inc", 28.55, 5e-4)],
+            mnvr0,
+        )
+        sol = tgt.try_achieve_from(sc, EPOCH, EPOCH + 3000.0)
+        assert sol.converged, str(sol)
+        assert abs(sol.achieved_errors[0]) <= 0.5
+        assert abs(sol.achieved_errors[1]) <= 5e-4
+        mnvr = sol.to_mnvr()
+        assert mnvr.vector_rate is not None
