@@ -448,7 +448,17 @@ class Maneuver(GuidanceLaw):
         u_local = self.vector_at(t_tdb)
         dcm = LocalFrame.dcm_to_inertial(self.frame, r, v)
         u = jnp.einsum("...ij,...j->...i", dcm, jnp.broadcast_to(u_local, r.shape))
-        thrusting = mode == GuidanceMode.Thrust
+        # hybrid gate: thrust when the stage time is in the window OR the
+        # mode latched Thrust. The time term catches a burn lying inside
+        # one long coast step (the latch alone would skip it); the latch
+        # keeps stages probing past the step end (RK89 has c=4/3 > 1)
+        # thrusting near the burn edges, which keeps the constant-mdot
+        # quadrature exact for steps inside the burn.
+        in_burn = (t_tdb >= self._start_tdb) & (t_tdb < self._end_tdb)
+        thrusting = (
+            jnp.broadcast_to(in_burn, jnp.shape(mode))
+            | (mode == GuidanceMode.Thrust)
+        ) & (mode != GuidanceMode.Inhibit)
         throttle = jnp.where(thrusting, self.thrust_prct, 0.0)
         return jnp.where(thrusting[..., None], u, 0.0), throttle
 
@@ -698,7 +708,15 @@ class ParametricManeuver(GuidanceLaw):
         u = jnp.einsum(
             "...ij,...j->...i", dcm, jnp.broadcast_to(u_local, r.shape)
         )
-        thrusting = mode == GuidanceMode.Thrust
+        # pure time gate at RK-stage granularity (unlike Maneuver's hybrid
+        # latch): targeting needs the FD Jacobian wrt StartEpoch/Duration
+        # to be non-zero and burn edges always fall mid-propagation, where
+        # a mode latch would overthrust by up to one accepted step. The
+        # adaptive controller localizes the RHS discontinuity by rejection.
+        in_burn = (
+            jnp.broadcast_to(t_tdb, jnp.shape(mode)) >= p[..., 0]
+        ) & (jnp.broadcast_to(t_tdb, jnp.shape(mode)) < p[..., 1])
+        thrusting = in_burn & (mode != GuidanceMode.Inhibit)
         throttle = jnp.where(thrusting, p[..., 2], 0.0)
         return jnp.where(thrusting[..., None], u, 0.0), throttle
 

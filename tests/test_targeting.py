@@ -227,11 +227,14 @@ class TestFiniteBurnTargeting:
 
         from nyx_tpu.cosmic.spacecraft import GuidanceMode
 
-        final = (
+        post = (
             prop.with_guidance(mnvr)
             .with_state(replace(sc, mode=GuidanceMode.Thrust))
-            .until_epoch(achieve)
+            .until_epoch(mnvr.end)
         )
+        final = prop.with_state(
+            replace(post, mode=GuidanceMode.Coast)
+        ).until_epoch(achieve)
         assert abs(float(final.orbit.sma_km) - (a0 + 150.0)) < 1.0, (
             float(final.orbit.sma_km) - a0
         )
@@ -255,3 +258,46 @@ class TestFiniteBurnTargeting:
         assert abs(sol.achieved_errors[1]) <= 5e-4
         mnvr = sol.to_mnvr()
         assert mnvr.vector_rate is not None
+
+
+def test_convert_impulsive_to_finite_burn():
+    """An impulsive prograde dv converts to a finite burn whose end state
+    matches the impulsive trajectory (convert_impulsive.rs:37)."""
+    from dataclasses import replace
+
+    from nyx_tpu.cosmic.spacecraft import GuidanceMode, Thruster
+    from nyx_tpu.md.opti import convert_impulsive_mnvr
+
+    orbit = Orbit.keplerian(7000.0, 0.001, 28.5, 0.0, 0.0, 0.0,
+                            EPOCH + 3600.0, Frames.EME2000)
+    sc = replace(
+        Spacecraft.new(orbit, 900.0, 100.0, 0.0, 0.0, 1.8, 2.2),
+        thruster=Thruster(thrust_N=400.0, isp_s=300.0),
+    )
+    dyn = SpacecraftDynamics.new(OrbitalDynamics.two_body(Frames.EME2000))
+    prop = Propagator.rk89(dyn, IntegratorOptions())
+    v_hat = np.asarray(sc.orbit.v_km_s) / np.linalg.norm(sc.orbit.v_km_s)
+    dv = 0.025 * v_hat  # 25 m/s prograde
+    sol = convert_impulsive_mnvr(sc, dv, prop)
+    assert sol.converged, str(sol)
+    mnvr = sol.to_mnvr()
+    # rocket equation: ~63 s at 400 N for 1000 kg and 25 m/s
+    assert 50.0 < mnvr.duration_s < 80.0
+    # independent check: propagate the finite burn and compare to the
+    # impulsive end state
+    achieve = mnvr.end + 900.0
+    truth = prop.with_state(sc.with_dv(dv)).until_epoch(achieve)
+    pre = prop.with_state(sc).until_epoch(mnvr.start)
+    # propagate the burn end-aligned (exact quadrature with the hybrid
+    # mode latch), then coast to the comparison epoch
+    burn_inst = prop.with_guidance(mnvr).with_state(
+        replace(pre, mode=GuidanceMode.Thrust)
+    )
+    post_burn = burn_inst.until_epoch(mnvr.end)
+    final = prop.with_state(
+        replace(post_burn, mode=GuidanceMode.Coast)
+    ).until_epoch(achieve)
+    err_r = np.linalg.norm(np.asarray(final.orbit.r_km) - np.asarray(truth.orbit.r_km))
+    err_v = np.linalg.norm(np.asarray(final.orbit.v_km_s) - np.asarray(truth.orbit.v_km_s))
+    assert err_r < 0.02, f"position mismatch {err_r*1e3:.1f} m"
+    assert err_v < 2e-5, f"velocity mismatch {err_v*1e6:.1f} mm/s"
