@@ -98,3 +98,83 @@ def test_xmath_vector_utils():
     p = np.asarray(xmath.projv(a, b))
     np.testing.assert_allclose(np.cross(p, b), 0.0, atol=1e-12)
     assert abs(np.dot(np.asarray(a) - p, b)) < 1e-12
+
+
+class TestExtendedStateParameters:
+    """Equinoctial / geometric / Brouwer-mean parameters (md/param.rs +
+    the ANISE OrbitalElement union of the reference's Dhall schema)."""
+
+    def _state(self):
+        from nyx_tpu import Epoch, Frames, Orbit
+
+        e = Epoch.from_gregorian_utc(2021, 3, 4)
+        o = Orbit.keplerian(8000.0, 0.15, 35.0, 40.0, 70.0, 120.0, e,
+                            Frames.EME2000)
+        y = np.concatenate([np.asarray(o.r_km), np.asarray(o.v_km_s),
+                            [1.8, 2.2, 0.0]])
+        return o, jnp.asarray(y), o.frame.mu, o.frame.radius_km
+
+    def test_equinoctial_consistency(self):
+        from nyx_tpu.md.param import value
+
+        o, y, mu, rad = self._state()
+        h = float(value("equinoctial_h", y, mu, rad))
+        k = float(value("equinoctial_k", y, mu, rad))
+        p = float(value("equinoctial_p", y, mu, rad))
+        q = float(value("equinoctial_q", y, mu, rad))
+        assert abs(np.hypot(h, k) - 0.15) < 1e-12
+        assert abs(np.hypot(p, q) - np.tan(np.deg2rad(35.0) / 2)) < 1e-12
+        assert abs(np.rad2deg(np.arctan2(h, k)) % 360.0 - 110.0) < 1e-9
+        assert abs(np.rad2deg(np.arctan2(p, q)) % 360.0 - 40.0) < 1e-9
+
+    def test_geometric_parameters(self):
+        from nyx_tpu.md.param import value
+
+        o, y, mu, rad = self._state()
+        a, e = 8000.0, 0.15
+        assert abs(float(value("semi_parameter", y, mu, rad)) - a * (1 - e**2)) < 1e-8
+        assert abs(float(value("semi_minor_axis", y, mu, rad)) - a * np.sqrt(1 - e**2)) < 1e-8
+        tl = float(value("true_longitude", y, mu, rad))
+        assert abs(tl - (40.0 + 70.0 + 120.0) % 360.0) < 1e-9
+        h = np.cross(np.asarray(o.r_km), np.asarray(o.v_km_s))
+        for i, comp in enumerate(("hx", "hy", "hz")):
+            assert abs(float(value(comp, y, mu, rad)) - h[i]) < 1e-9
+        vd = float(value("velocity_declination", y, mu, rad))
+        v = np.asarray(o.v_km_s)
+        assert abs(vd - np.rad2deg(np.arcsin(v[2] / np.linalg.norm(v)))) < 1e-9
+
+    def test_brouwer_mean_removes_j2_short_periodics(self):
+        """Mean elements are near-constant under J2-only propagation while
+        the osculating ones oscillate (BrouwerMeanShort semantics)."""
+        from nyx_tpu import Epoch, Frames, Orbit, Spacecraft
+        from nyx_tpu.dynamics import (
+            Harmonics,
+            OrbitalDynamics,
+            SpacecraftDynamics,
+        )
+        from nyx_tpu.io.gravity import GravityFieldData
+        from nyx_tpu.md.param import value
+        from nyx_tpu.propagators import IntegratorOptions, Propagator
+
+        epoch = Epoch.from_gregorian_utc(2021, 3, 4)
+        orbit = Orbit.keplerian(7136.6, 0.01, 51.6, 30.0, 65.0, 0.0, epoch,
+                                Frames.EME2000)
+        stor = GravityFieldData.from_j2(
+            -1.082626925638815e-3 / np.sqrt(5.0), Frames.IAU_EARTH
+        )
+        dyn = SpacecraftDynamics.new(
+            OrbitalDynamics.from_model(Harmonics.from_stor(stor), Frames.EME2000)
+        )
+        prop = Propagator.rk89(dyn, IntegratorOptions())
+        _, traj = prop.with_state(
+            Spacecraft.from_orbit(orbit)
+        ).for_duration_with_traj(5 * 5925.0)
+        ts = np.arange(0.0, 5 * 5925.0, 120.0)
+        ys = jnp.asarray(np.stack([traj.interpolate(t) for t in ts]))
+        mu, rad = orbit.frame.mu, orbit.frame.radius_km
+        for name, factor in (("sma", 50.0), ("ecc", 50.0), ("inc", 5.0)):
+            osc = np.asarray(value(name, ys, mu, rad))
+            mean = np.asarray(value(f"brouwer_mean_short_{name}", ys, mu, rad))
+            assert np.ptp(osc) > factor * np.ptp(mean), (
+                f"{name}: osc p2p {np.ptp(osc):.2e} vs mean {np.ptp(mean):.2e}"
+            )
