@@ -273,6 +273,19 @@ class Orbit:
     def vmag_km_s(self) -> float:
         return float(np.linalg.norm(self.v_km_s))
 
+    def ric_difference(self, other: "Orbit") -> "Orbit":
+        """This orbit minus `other`, expressed in OTHER's RIC frame (the
+        ANISE Orbit::ric_difference used throughout the reference's OD
+        reporting): returns an Orbit whose r/v are the RIC deltas."""
+        from dataclasses import replace as _replace
+
+        dcm = np.asarray(
+            ric_dcm(jnp.asarray(other.r_km), jnp.asarray(other.v_km_s))
+        )
+        dr = dcm @ (np.asarray(self.r_km) - np.asarray(other.r_km))
+        dv = dcm @ (np.asarray(self.v_km_s) - np.asarray(other.v_km_s))
+        return _replace(self, r_km=dr, v_km_s=dv)
+
     def _kep(self):
         with _cpu():
             return jax.tree_util.tree_map(

@@ -1,6 +1,7 @@
 """Tools: Lambert solvers and math helpers (counterpart of
 nyx-core/src/tools/)."""
 
+from .porkchop import Porkchop, porkchop, porkchop_grid
 from .lambert import (
     LambertInput,
     LambertSolution,
@@ -17,4 +18,7 @@ __all__ = [
     "gooding",
     "izzo",
     "lambert_izzo_rv",
+    "Porkchop",
+    "porkchop",
+    "porkchop_grid",
 ]

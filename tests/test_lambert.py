@@ -113,3 +113,28 @@ def test_lambert_vmapped_porkchop_scan():
     # shorter TOF needs more departure energy in this geometry
     c3 = np.sum((np.asarray(v1s)) ** 2, axis=1)
     assert c3[0] > c3[idx]
+
+
+def test_porkchop_earth_mars_2020():
+    """Whole-grid vmapped porkchop: the Earth->Mars 2020 window minimum C3
+    lands in the known range (14-17 km^2/s^2 per NASA trajectory browser;
+    wide tolerance for the analytic ephemeris)."""
+    from nyx_tpu import Epoch
+    from nyx_tpu.constants import NAIF
+    from nyx_tpu.ephem.almanac import Almanac
+    from nyx_tpu.tools.porkchop import porkchop
+
+    alm = Almanac()
+    dep0 = Epoch.from_gregorian_utc(2020, 6, 20)
+    arr0 = Epoch.from_gregorian_utc(2020, 12, 1)
+    deps = [dep0 + k * 5 * 86400.0 for k in range(12)]   # Jun 20 - Aug 19
+    arrs = [arr0 + k * 10 * 86400.0 for k in range(12)]  # Dec 1 - late Mar
+    pc = porkchop(alm, NAIF.EARTH, NAIF.MARS_BARYCENTER, deps, arrs)
+    assert pc.c3_km2_s2.shape == (12, 12)
+    dep, arr, c3min = pc.best("c3_km2_s2")
+    assert 8.0 < c3min < 25.0, c3min
+    # the optimum departs in July/August 2020 (the Mars-2020 window)
+    assert dep.to_tai_seconds() > Epoch.from_gregorian_utc(2020, 7, 1).to_tai_seconds()
+    # all valid arrival v-infinities are physical
+    v = pc.vinf_arrival_km_s
+    assert np.nanmin(v) > 1.0  # corner cells (very short TOF) run hot

@@ -178,3 +178,18 @@ class TestExtendedStateParameters:
             assert np.ptp(osc) > factor * np.ptp(mean), (
                 f"{name}: osc p2p {np.ptp(osc):.2e} vs mean {np.ptp(mean):.2e}"
             )
+
+
+def test_ric_difference():
+    """Orbit.ric_difference: deltas expressed in the other's RIC frame
+    (ANISE Orbit::ric_difference parity)."""
+    e = Epoch.from_gregorian_utc(2021, 3, 4)
+    a = Orbit.keplerian(7000.0, 0.001, 30.0, 10.0, 20.0, 30.0, e, Frames.EME2000)
+    # purely radial offset
+    r_hat = np.asarray(a.r_km) / np.linalg.norm(a.r_km)
+    b = Orbit.cartesian(*(np.asarray(a.r_km) + 0.5 * r_hat),
+                        *np.asarray(a.v_km_s), e, Frames.EME2000)
+    d = b.ric_difference(a)
+    np.testing.assert_allclose(np.asarray(d.r_km), [0.5, 0.0, 0.0], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(d.v_km_s), 0.0, atol=1e-12)
+    assert abs(d.rmag_km - 0.5) < 1e-12
