@@ -1,0 +1,35 @@
+#!/bin/bash
+# TPU perf sweep: run after the axon tunnel is confirmed up.
+#   bash devtools/tpu_sweep.sh [outdir]
+# Probes the device, then measures: bench.py with the XLA and Pallas
+# gravity backends, the OD-only bench, and the example-04 smoke. Each step
+# is individually time-bounded; results land in $OUT/*.log.
+
+set -u
+cd "$(dirname "$0")/.."
+OUT=${1:-/tmp/tpu_sweep}
+mkdir -p "$OUT"
+
+echo "== probe =="
+if ! timeout 120 python -c "import jax; print(jax.devices())"; then
+    echo "TPU tunnel is down (probe timed out) — aborting"
+    exit 1
+fi
+
+run() {
+    name=$1; shift
+    echo "== $name =="
+    ( time timeout 1800 "$@" ) >"$OUT/$name.log" 2>&1
+    rc=$?
+    tail -3 "$OUT/$name.log"
+    echo "[$name rc=$rc]"
+}
+
+run bench_xla          python bench.py
+run bench_pallas       env NYX_BENCH_GRAV_BACKEND=pallas python bench.py
+run bench_b8192        env NYX_BENCH_B=8192 python bench.py
+run od_only            python bench.py --od-only
+run example04          env NYX_EX04_DEGREE=50 python examples/04_lro_od.py
+
+echo "== summary =="
+grep -h '"metric"\|OD_STEPS_PER_S\|traj/s' "$OUT"/*.log | tail -10

@@ -64,7 +64,7 @@ def main():
     n = 5000
     print(f"running {n}-member Monte Carlo...")
     res = mc.run_until_epoch(prop, almanac, epoch + 6.5 * 86_400.0, n,
-                             max_lanes_per_call=2048)
+                             max_lanes_per_call=2048, n_capture=1024)
     print(f"{res.n_ok}/{res.n_runs} trajectories completed")
     finals = res.y_final[:, :3]
     std = np.std(finals - finals.mean(axis=0), axis=0)
@@ -73,7 +73,13 @@ def main():
     print(f"MC / mapped envelope ratio: {ratio:.3f} "
           "(near 1 = linear covariance mapping is adequate)")
     res.to_parquet("/tmp/ex02_mc.parquet")
-    print("exported /tmp/ex02_mc.parquet")
+    # the reference's headline artifact: the whole 5000-run ensemble time
+    # history, one row per (run, epoch)
+    # (examples/02_jwst_covar_monte_carlo/README.md:26)
+    res.to_parquet(
+        "/tmp/ex02_mc_ensemble.parquet", trajectories=True, step=3600.0
+    )
+    print("exported /tmp/ex02_mc.parquet and /tmp/ex02_mc_ensemble.parquet")
 
 
 if __name__ == "__main__":
