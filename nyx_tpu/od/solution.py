@@ -40,6 +40,74 @@ class ODSolution:
     def final_estimate(self) -> KfEstimate:
         return self.estimates[-1]
 
+    # -------- record filtering (od/process/solution/filter_data.rs) ----
+    def _subset(self, keep) -> "ODSolution":
+        return ODSolution(
+            self.devices,
+            self.measurement_types,
+            [e for e, k in zip(self.estimates, keep) if k],
+            [r for r, k in zip(self.residuals, keep) if k],
+            sum(
+                1 for r, k in zip(self.residuals, keep)
+                if k and r is not None and not r.rejected
+            ),
+            sum(
+                1 for r, k in zip(self.residuals, keep)
+                if k and r is not None and r.rejected
+            ),
+        )
+
+    def drop_time_updates(self) -> "ODSolution":
+        """Only records carrying a measurement update (filter_data.rs:88)."""
+        return self._subset([r is not None for r in self.residuals])
+
+    def filter_by_msr_type(self, msr_type: str) -> "ODSolution":
+        return self._subset([
+            r is not None and msr_type in r.msr_types for r in self.residuals
+        ])
+
+    def filter_by_tracker(self, tracker: str) -> "ODSolution":
+        return self._subset([
+            r is not None and r.tracker == tracker for r in self.residuals
+        ])
+
+    def exclude_tracker(self, tracker: str) -> "ODSolution":
+        return self._subset([
+            r is None or r.tracker != tracker for r in self.residuals
+        ])
+
+    def split(self) -> List["ODSolution"]:
+        """One solution per tracker (filter_data.rs:216)."""
+        trackers = sorted({
+            r.tracker for r in self.residuals if r is not None
+        })
+        return [self.filter_by_tracker(t) for t in trackers]
+
+    def merge(self, other: "ODSolution") -> "ODSolution":
+        """Chronologically merged records (filter_data.rs:230)."""
+        pairs = list(zip(self.estimates, self.residuals)) + list(
+            zip(other.estimates, other.residuals)
+        )
+        pairs.sort(key=lambda p: p[0].epoch.to_tai_seconds())
+        out = ODSolution(
+            tuple(dict.fromkeys(self.devices + other.devices)),
+            tuple(dict.fromkeys(self.measurement_types + other.measurement_types)),
+        )
+        for e, r in pairs:
+            out.append(e, r)
+        out.accepted = self.accepted + other.accepted
+        out.rejected = self.rejected + other.rejected
+        return out
+
+    def at(self, epoch: Epoch):
+        """(estimate, residual) at an exact epoch, None if absent
+        (filter_data.rs:265)."""
+        t = epoch.to_tai_seconds()
+        for e, r in zip(self.estimates, self.residuals):
+            if abs(e.epoch.to_tai_seconds() - t) < 1e-6:
+                return e, r
+        return None
+
     # ------------------------------------------------------------------
     def smooth(self) -> "ODSolution":
         """RTS backward smoother with the stored Φ/P̄ (smooth.rs:33-80)."""

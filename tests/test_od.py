@@ -972,3 +972,34 @@ def test_scalar_od_matches_vector_closely(two_body_prop, truth_setup, stations):
     final_err = _pos_err_km(sol.final_estimate, traj)
     assert final_err < 0.02, f"final error {final_err*1e3:.1f} m"
     assert final_err < init_err / 3.0
+
+
+def test_od_solution_filter_data(two_body_prop, truth_setup, stations):
+    """ODSolution record filtering (filter_data.rs): by tracker/type,
+    drop_time_updates, split/merge, at(epoch)."""
+    truth_sc, traj = truth_setup
+    cfg = TrkConfig(sampling_s=120.0, scheduler=Scheduler(min_samples=5))
+    sim = TrackingArcSim.with_seed(
+        stations, traj, {g.name: cfg for g in stations}, seed=21
+    )
+    arc = sim.generate_measurements()
+    rng = np.random.default_rng(23)
+    est0, _ = _dispersed_estimate(truth_sc, rng)
+    od = KalmanODProcess(two_body_prop, resid_rejection_sigmas=None)
+    sol = od.process_arc(est0, arc, stations)
+
+    upd = sol.drop_time_updates()
+    assert len(upd) == sol.accepted + sol.rejected
+    rng_only = sol.filter_by_msr_type(MeasurementType.RANGE_KM)
+    assert 0 < len(rng_only) <= len(upd)
+    name = stations[0].name
+    one = sol.filter_by_tracker(name)
+    rest = sol.exclude_tracker(name)
+    assert len(one) + len([r for r in rest.residuals if r is not None]) == len(upd)
+    parts = sol.split()
+    assert sum(len(p) for p in parts) == len(upd)
+    merged = parts[0].merge(parts[1]) if len(parts) > 1 else parts[0]
+    ts = [e.epoch.to_tai_seconds() for e in merged.estimates]
+    assert ts == sorted(ts)
+    hit = sol.at(sol.estimates[5].epoch)
+    assert hit is not None and hit[0] is sol.estimates[5]
