@@ -34,10 +34,22 @@ class ExportCfg:
     start_epoch: Optional[Epoch] = None
     end_epoch: Optional[Epoch] = None
     metadata: dict = field(default_factory=dict)
+    #: append a UTC timestamp to the filename (io/mod.rs:69-71)
+    timestamp: bool = False
 
     @classmethod
     def default(cls) -> "ExportCfg":
         return cls()
+
+    def actual_path(self, path) -> str:
+        if not self.timestamp:
+            return str(path)
+        import datetime as _dt
+        from pathlib import Path as _P
+
+        p = _P(str(path))
+        stamp = _dt.datetime.now(_dt.timezone.utc).strftime("%Y-%m-%dT%H-%M-%S")
+        return str(p.with_name(f"{p.stem}-{stamp}{p.suffix}"))
 
 
 def _traj_table(traj, cfg: ExportCfg):
@@ -75,6 +87,7 @@ def traj_to_parquet(traj, path, cfg: Optional[ExportCfg] = None) -> str:
     import pyarrow.parquet as pq
 
     cfg = cfg or ExportCfg()
+    path = cfg.actual_path(path)
     pq.write_table(_traj_table(traj, cfg), path, compression="zstd")
     return str(path)
 
