@@ -80,7 +80,8 @@ def main():
 
     opts = replace(
         IntegratorOptions.with_adaptive_step(0.1, 2700.0, 1e-9),
-        stage_mode="unroll",
+        stage_mode=os.environ.get("NYX_BENCH_STAGE_MODE", "unroll"),
+        steps_per_iter=int(os.environ.get("NYX_BENCH_STEPS_PER_ITER", 1)),
     )
     prop = Propagator.rk89(dynamics, opts)
 

@@ -286,9 +286,12 @@ class Harmonics:
             cache[key] = gp.pack_tables(xs, N, M + 2, q_lo, q_hi)
         tab, gate = cache[key]
         interpret = jax.default_backend() not in ("tpu", "axon")
+        import os
+
         return gp.pines_accel_pallas(
             r_bf, jnp.asarray(tab), gate, W=M + 2,
             mu=self.mu_km3_s2, radius=self.radius_km, diag1=float(diag[1]),
+            tile_b=int(os.environ.get("NYX_PALLAS_TILE_B", 512)),
             interpret=interpret,
         )
 
