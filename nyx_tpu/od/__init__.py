@@ -6,7 +6,8 @@ from .ground_station import GroundStation, TerrainMask
 from .interlink import DeviceTrajectory, InterlinkTxSpacecraft
 from .position import PositionDevice
 from .groundpnt import GroundAsset, GroundPntProcess, GroundPntSim
-from .kalman import KalmanFilter, KalmanVariant, ProcessNoise
+from .kalman import (KalmanFilter, KalmanVariant, ProcessNoise,
+                     ProcessNoise3D)
 from .msr import Measurement, MeasurementType, TrackingDataArc
 from .noise import GaussMarkov, StochasticNoise, WhiteNoise
 from .process import (KalmanODProcess, SpacecraftKalmanOD,
@@ -21,7 +22,7 @@ __all__ = [
     "TerrainMask",
     "InterlinkTxSpacecraft", "DeviceTrajectory", "PositionDevice",
     "GroundAsset", "GroundPntProcess", "GroundPntSim",
-    "KalmanFilter", "KalmanVariant", "ProcessNoise", "Measurement",
+    "KalmanFilter", "KalmanVariant", "ProcessNoise", "ProcessNoise3D", "Measurement",
     "MeasurementType", "TrackingDataArc", "GaussMarkov", "StochasticNoise",
     "WhiteNoise", "KalmanODProcess", "SpacecraftKalmanOD", "SpacecraftKalmanScalarOD", "Scheduler",
     "TrackingArcSim", "TrkConfig", "ODSolution",

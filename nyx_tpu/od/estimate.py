@@ -63,6 +63,16 @@ class KfEstimate:
         sig = np.sqrt(np.diag(self.covar))
         return bool(np.all(np.abs(err[:6]) <= num_sigmas * sig[:6]))
 
+    def deviation_within_sigma(self, num_sigmas: float) -> bool:
+        """The reference's Estimate::within_sigma (estimate/mod.rs:75-85):
+        is the filter's own state deviation inside N-sigma of its
+        covariance (no truth needed)."""
+        sig = np.sqrt(np.diag(self.covar))
+        return bool(np.all(np.abs(self.state_deviation) <= num_sigmas * sig))
+
+    def within_3sigma(self) -> bool:
+        return self.deviation_within_sigma(3.0)
+
     def keplerian_covar(self) -> np.ndarray:
         """6x6 covariance of (SMA km, ECC, INC deg, RAAN deg, AOP deg,
         TA deg), i.e. the Cartesian covariance rotated through the AD

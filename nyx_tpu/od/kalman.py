@@ -227,3 +227,7 @@ class KalmanFilter:
         self.prev_estimate = est
         resid = Residual(epoch, tracker, msr_types, prefit, postfit, ratio, False)
         return est, resid
+
+
+#: reference alias (od/snc.rs ProcessNoise3D = 3-axis accel SNC)
+ProcessNoise3D = ProcessNoise
