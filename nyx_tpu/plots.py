@@ -125,3 +125,89 @@ def plot_residuals(od_solution, title="Residuals", show=True):
     if show:
         plt.show()
     return fig
+
+
+def plot_od_dashboard(od_solution, truth_traj=None, title="OD dashboard",
+                      show=True):
+    """Residual ratios + position sigmas (+ RIC error vs a truth
+    trajectory) in one figure — the reference's od-dashboard view
+    (examples/06 od-dashboard.png)."""
+    plt = _plt()
+    n_rows = 3 if truth_traj is not None else 2
+    fig, axes = plt.subplots(n_rows, 1, figsize=(8, 3 * n_rows), sharex=True)
+    res = [r for r in od_solution.residuals if r is not None]
+    t0 = od_solution.estimates[0].epoch.to_tai_seconds()
+    tr = np.array([r.epoch.to_tai_seconds() - t0 for r in res]) / 3600.0
+    ratios = np.array([r.ratio for r in res])
+    rejected = np.array([r.rejected for r in res])
+    ax = axes[0]
+    ax.scatter(tr[~rejected], ratios[~rejected], s=5, label="accepted")
+    if rejected.any():
+        ax.scatter(tr[rejected], ratios[rejected], s=8, color="red",
+                   marker="x", label="rejected")
+    ax.axhline(3.0, color="gray", ls="--", lw=0.8)
+    ax.set_ylabel("ratio (sigma)")
+    ax.legend(loc="upper right")
+    ax.grid(alpha=0.3)
+
+    te = np.array([
+        e.epoch.to_tai_seconds() - t0 for e in od_solution.estimates
+    ]) / 3600.0
+    sig = np.stack([
+        np.sqrt(np.diag(e.covar)[:3]) for e in od_solution.estimates
+    ])
+    ax = axes[1]
+    for j, lbl in enumerate(("x", "y", "z")):
+        ax.semilogy(te, sig[:, j] * 1e3, label=f"sigma {lbl}")
+    ax.set_ylabel("position sigma (m)")
+    ax.legend(loc="upper right")
+    ax.grid(alpha=0.3)
+
+    if truth_traj is not None:
+        from .cosmic.orbit import ric_dcm
+        import jax.numpy as jnp
+
+        errs = []
+        for e in od_solution.estimates:
+            truth = truth_traj.at(e.epoch)
+            dcm = np.asarray(ric_dcm(jnp.asarray(truth.orbit.r_km),
+                                     jnp.asarray(truth.orbit.v_km_s)))
+            errs.append(dcm @ (
+                np.asarray(e.state().orbit.r_km)
+                - np.asarray(truth.orbit.r_km)
+            ))
+        errs = np.stack(errs) * 1e3
+        ax = axes[2]
+        for j, lbl in enumerate(("radial", "in-track", "cross-track")):
+            ax.plot(te, errs[:, j], label=lbl)
+        ax.set_ylabel("RIC error (m)")
+        ax.legend(loc="upper right")
+        ax.grid(alpha=0.3)
+    axes[-1].set_xlabel("hours past start")
+    fig.suptitle(title)
+    if show:
+        plt.show()
+    return fig
+
+
+def plot_porkchop(pc, metric="c3_km2_s2", title="Porkchop", show=True,
+                  levels=20):
+    """Contour plot of a tools.porkchop.Porkchop grid."""
+    plt = _plt()
+    t0 = pc.dep_epochs[0].to_tai_seconds()
+    xs = [
+        (e.to_tai_seconds() - t0) / 86_400.0 for e in pc.arr_epochs
+    ]
+    ys = [
+        (e.to_tai_seconds() - t0) / 86_400.0 for e in pc.dep_epochs
+    ]
+    grid = getattr(pc, metric)
+    fig, ax = plt.subplots(figsize=(7, 5))
+    cs = ax.contourf(xs, ys, grid, levels=levels, cmap="viridis")
+    fig.colorbar(cs, ax=ax, label=metric)
+    ax.set_xlabel("arrival (days past first departure)")
+    ax.set_ylabel("departure (days past first departure)")
+    ax.set_title(title)
+    if show:
+        plt.show()
+    return fig
