@@ -104,6 +104,24 @@ def main():
     chunk = int(os.environ.get("NYX_BENCH_CHUNK", 0))
     kw = dict(max_lanes_per_call=chunk) if chunk else {}
 
+    # NYX_BENCH_MODE=encke: float32 deviation propagation around one f64
+    # reference (mc/encke.py) — sub-10 m ensemble accuracy, f32-rate lanes
+    if os.environ.get("NYX_BENCH_MODE") == "encke":
+        mc.run_until_epoch_encke(prop, alm, end, B)  # compile + reference
+        t0 = time.time()
+        results = mc.run_until_epoch_encke(prop, alm, end, B)
+        wall = time.time() - t0
+        ok = results.n_ok
+        rate = ok / wall
+        print(json.dumps({
+            "metric": "MC traj/s/chip (10k LEO, encke f32 deviation mode)",
+            "value": round(rate, 2), "unit": "traj/s",
+            "vs_baseline": round(rate / 10_000.0, 4),
+            "wall_s": round(wall, 3), "n_ok": ok,
+            "mean_steps": float(np.mean(results.n_accepted)),
+        }))
+        return
+
     # warmup/compile at the SAME batch size (shape-keyed jit cache), short
     # arc; also pre-compiles the B-sized sampler so the timed region is
     # pure propagation throughput

@@ -1,0 +1,218 @@
+"""Encke deviation propagation: f32 ensemble lanes around one f64 reference.
+
+The MC ensemble's lanes differ from the nominal by km-scale deviations
+(dispersion + along-track drift, ~10-200 km over a day), while the states
+themselves are ~7,000 km. Propagating the DEVIATION in float32 keeps ~5
+significant digits of the deviation (mm-level) at native f32 VPU rate,
+avoiding the TPU's emulated-float64 cost for the state update, error
+control, and the dominant two-body term:
+
+  1. The NOMINAL lane propagates once at full quality (f64/split), and is
+     resampled onto a uniform grid of (r, v, a) rows — position/velocity
+     interpolated on device with a quintic Hermite in f64 (sub-mm at a
+     60 s grid).
+  2. The two-body differential uses Encke's f(q) form, algebraically
+     cancelled so no catastrophic subtraction occurs:
+       da_2b = -mu/r_ref^3 (delta - f(q) r_full),  f(q) = 1-(1+q)^(-3/2)
+     evaluated in f64 (a handful of ops; everything heavy stays f32).
+  3. The perturbation differential is P_f32(r_full) - P_table(t), where
+     the table stores the SAME f32 perturbation function evaluated on the
+     reference grid — the smooth part of the f32 evaluation error is
+     common-mode and cancels in the difference.
+  4. The deviation tolerance is RELATIVE TO THE DEVIATION (|delta| ~ km),
+     so the adaptive RK can run ~3x larger steps than the absolute
+     1e-9-tolerance full-state propagation for the same final accuracy.
+
+This is the "deviation propagation" lever of the perf plan; numerically
+validated against the full-state path in tests/test_monte_carlo.py.
+No guidance/thrust or trajectory capture in this mode (MC statistics use
+the recombined final states).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dynamics.gravity import Harmonics, _j2j3_accel
+
+
+class EnckeReference(NamedTuple):
+    """Device-resident reference tables (pytree)."""
+
+    stride_s: jnp.ndarray  # [] f64
+    r: jnp.ndarray  # [K, 3] f64 positions
+    v: jnp.ndarray  # [K, 3] f64 velocities
+    a: jnp.ndarray  # [K, 3] f64 total accelerations (quintic end data)
+    p32: jnp.ndarray  # [K, 3] f32 perturbation accel (same f32 fn as lanes)
+
+
+def make_perturbation_fn(dyn):
+    """f32 perturbation stack P(ctx, t, r32, v32, sc32) matching the
+    dynamics' composition; for split-precision harmonics the closed-form
+    J2+J3 is re-added in f32 (its zeroed tables skip it)."""
+    split_harmonics = [
+        m for m in dyn.orbital_dyn.models
+        if isinstance(m, Harmonics) and m.precision == "split"
+    ]
+    force_models = dyn.force_models
+
+    def pert(ctx, t_tdb, r32, v32, sc32):
+        a = dyn.orbital_dyn.perturbation_accel(ctx, t_tdb, r32, v32)
+        for h in split_harmonics:
+            dcm = h.frame.dcm_from_j2000(t_tdb).astype(jnp.float32)
+            pole = dcm[..., 2, :]
+            # Python floats stay weakly typed: the whole closed form runs
+            # in f32 because r32 is f32
+            a = a + _j2j3_accel(
+                float(h.mu_km3_s2), float(h.radius_km),
+                float(h.j2), float(h.j3), r32, pole,
+            )
+        for fm in force_models:
+            a = a + fm.force_per_mass(ctx, t_tdb, r32, v32, sc32)
+        return a
+
+    return pert
+
+
+def build_reference(prop, template_sc, duration_s, almanac,
+                    stride_s: float = 60.0) -> EnckeReference:
+    """Propagate the nominal once (full quality) and build the grid tables."""
+    # propagate PAST the grid end: a grid node clamped to the trajectory
+    # end would corrupt the last interpolation intervals exactly where
+    # every lane finishes
+    span = duration_s + 4.0 * stride_s
+    inst = prop.with_state(template_sc, almanac)
+    n_cap = int(span / 30.0) + 256  # roomy capture for the reference
+    _, traj = inst.for_duration_with_traj(span, n_capture=n_cap)
+
+    ts = np.arange(0.0, duration_s + stride_s * 2.5, stride_s)
+    ys = np.stack([traj.interpolate(t) for t in ts])
+    r = ys[:, 0:3]
+    v = ys[:, 3:6]
+
+    dyn = prop.dynamics
+    ctx = dyn.build_context(template_sc.epoch, duration_s, almanac)
+    t_tdb = jnp.float64(ctx.epoch0_tdb) + jnp.asarray(ts)
+    sc32 = dict(
+        cr=jnp.float32(template_sc.cr),
+        cd=jnp.float32(template_sc.cd),
+        srp_area_m2=jnp.float32(template_sc.srp_area_m2),
+        drag_area_m2=jnp.float32(template_sc.drag_area_m2),
+        mass_kg=jnp.float32(template_sc.total_mass_kg),
+    )
+    pert = make_perturbation_fn(dyn)
+    r32 = jnp.asarray(r, jnp.float32)
+    v32 = jnp.asarray(v, jnp.float32)
+    p32 = pert(ctx, t_tdb, r32, v32, sc32)
+    # total accel for the quintic interpolation end data (f64)
+    a_tot = np.asarray(
+        dyn.orbital_dyn.two_body_accel(ctx, jnp.asarray(r))
+    ) + np.asarray(p32, np.float64)
+    return EnckeReference(
+        stride_s=jnp.float64(stride_s),
+        r=jnp.asarray(r),
+        v=jnp.asarray(v),
+        a=jnp.asarray(a_tot),
+        p32=jnp.asarray(p32, jnp.float32),
+    )
+
+
+def _quintic(ref: EnckeReference, t_rel):
+    """f64 (r_ref, v_ref) at per-lane times: two-point quintic Hermite on
+    the uniform grid using (r, v, a) end data — interpolation error
+    ~(h*omega)^6, sub-mm at 60 s for LEO."""
+    h = ref.stride_s
+    x = t_rel / h
+    K = ref.r.shape[0]
+    i = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, K - 2)
+    s = (x - i.astype(jnp.float64))[..., None]
+    r0, r1 = ref.r[i], ref.r[i + 1]
+    v0, v1 = ref.v[i] * h, ref.v[i + 1] * h
+    a0, a1 = ref.a[i] * h**2, ref.a[i + 1] * h**2
+    s2 = s * s
+    s3 = s2 * s
+    s4 = s3 * s
+    s5 = s4 * s
+    # quintic Hermite basis (position, velocity, acceleration endpoints)
+    h00 = 1 - 10 * s3 + 15 * s4 - 6 * s5
+    h10 = s - 6 * s3 + 8 * s4 - 3 * s5
+    h20 = 0.5 * s2 - 1.5 * s3 + 1.5 * s4 - 0.5 * s5
+    h01 = 10 * s3 - 15 * s4 + 6 * s5
+    h11 = -4 * s3 + 7 * s4 - 3 * s5
+    h21 = 0.5 * s3 - s4 + 0.5 * s5
+    r_ref = h00 * r0 + h10 * v0 + h20 * a0 + h01 * r1 + h11 * v1 + h21 * a1
+    # derivative of the basis / h gives velocity
+    d00 = (-30 * s2 + 60 * s3 - 30 * s4) / h
+    d10 = (1 - 18 * s2 + 32 * s3 - 15 * s4) / h
+    d20 = (s - 4.5 * s2 + 6 * s3 - 2.5 * s4) / h
+    d01 = (30 * s2 - 60 * s3 + 30 * s4) / h
+    d11 = (-12 * s2 + 28 * s3 - 15 * s4) / h
+    d21 = (1.5 * s2 - 4 * s3 + 2.5 * s4) / h
+    v_ref = d00 * r0 + d10 * v0 + d20 * a0 + d01 * r1 + d11 * v1 + d21 * a1
+    return r_ref, v_ref
+
+
+def _lagrange6_p32(ref: EnckeReference, t_rel):
+    """f32 perturbation-table value at per-lane times: 6-point Lagrange on
+    the uniform grid. Interpolation error ~(h*omega)^6 of the oscillating
+    part of P — a lower-order cubic leaves ~1e-9 km/s^2 of residual that
+    integrates to tens of meters per day (measured); at 6th order the
+    residual is below the f32 noise floor."""
+    h = ref.stride_s
+    x = t_rel / h
+    K = ref.p32.shape[0]
+    # window start: center the 6 nodes around the evaluation segment
+    i0 = jnp.clip(jnp.floor(x).astype(jnp.int32) - 2, 0, K - 6)
+    s = (x - i0.astype(jnp.float64)).astype(jnp.float32)[..., None]
+    out = jnp.zeros(t_rel.shape + (3,), jnp.float32)
+    for m in range(6):
+        w = jnp.ones_like(s[..., 0:1])
+        for j in range(6):
+            if j != m:
+                w = w * (s - j) / float(m - j)
+        out = out + w * ref.p32[i0 + m]
+    return out
+
+
+def make_encke_eom(dyn, ref: EnckeReference):
+    """Deviation EOM `(t_rel [B], y [B, 9] f32, ctx, p) -> [B, 9] f32`.
+
+    y = [delta_r (km), delta_v (km/s), cr, cd, prop_mass] — the parameter
+    columns ride along untouched (no thrust in this mode)."""
+    pert = make_perturbation_fn(dyn)
+
+    def eom(t_rel, y, ctx, p):
+        dr32 = y[..., 0:3]
+        dv32 = y[..., 3:6]
+        r_ref, v_ref = _quintic(ref, t_rel)
+        dr = dr32.astype(jnp.float64)
+        r_full = r_ref + dr
+        # --- Encke two-body differential, f64 (cancellation-free) ------
+        mu = ctx.frame.mu
+        rr2 = jnp.sum(r_ref * r_ref, axis=-1, keepdims=True)
+        q = jnp.sum(dr * (dr + 2.0 * r_ref), axis=-1, keepdims=True) / rr2
+        fq = 1.0 - (1.0 + q) ** (-1.5)
+        rr3 = rr2 * jnp.sqrt(rr2)
+        da_2b = (-mu / rr3) * (dr - fq * r_full)
+        # --- perturbation differential, f32 ----------------------------
+        t_tdb = ctx.epoch0_tdb + t_rel
+        r32 = r_full.astype(jnp.float32)
+        v32 = (v_ref + dv32.astype(jnp.float64)).astype(jnp.float32)
+        mass = p["dry_mass_kg"] + y[..., 8]
+        sc32 = dict(
+            cr=y[..., 6],
+            cd=y[..., 7],
+            srp_area_m2=jnp.float32(p["srp_area_m2"]),
+            drag_area_m2=jnp.float32(p["drag_area_m2"]),
+            mass_kg=mass,
+        )
+        dp = pert(ctx, t_tdb, r32, v32, sc32) - _lagrange6_p32(ref, t_rel)
+        ddv = da_2b.astype(jnp.float32) + dp
+        zeros = jnp.zeros_like(y[..., 6:9])
+        return jnp.concatenate([dv32, ddv, zeros], axis=-1)
+
+    return eom

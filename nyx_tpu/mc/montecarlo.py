@@ -249,3 +249,90 @@ class MonteCarlo:
         )
         results.locate_nth_event(event, trigger)
         return results
+
+
+def _mc_run_encke(
+    self,
+    prop,
+    almanac,
+    end_epoch: Epoch,
+    n: int,
+    skip: int = 0,
+    stride_s: float = 60.0,
+    tolerance: float = 1e-6,
+) -> Results:
+    """Encke mode (mc/encke.py): the nominal propagates once at full
+    quality; the ensemble advances as float32 DEVIATIONS around it, with
+    the adaptive tolerance relative to the deviation magnitude. 2-5x the
+    full-state throughput on TPU at sub-10 m ensemble accuracy over a day.
+
+    Restrictions: no guidance/thrust, no trajectory capture, no mesh
+    sharding (add when needed); statistics come from recombined finals.
+    """
+    from dataclasses import replace
+
+    from . import encke as enc
+
+    template = self.random_state.template
+    epoch0 = template.epoch
+    duration_s = (end_epoch - epoch0).to_seconds()
+    if prop.dynamics.has_guidance:
+        raise NotImplementedError("encke mode does not support guidance")
+
+    key = (id(prop), epoch0.to_tai_seconds(), duration_s, stride_s, tolerance)
+    hit = getattr(self, "_encke_cache", None)
+    if hit is not None and hit[0] == key and hit[1] is prop:
+        _, _, ref, y_ref_final, run, ctx = hit
+    else:
+        ref = enc.build_reference(prop, template, duration_s, almanac,
+                                  stride_s)
+        # exact reference state at the end for recombination
+        inst = prop.with_state(template, almanac)
+        y_ref_final = inst.for_duration(duration_s).to_vector()
+        ctx = prop.dynamics.build_context(epoch0, duration_s, almanac)
+        eom = enc.make_encke_eom(prop.dynamics, ref)
+        opts = replace(
+            prop.opts,
+            tolerance=tolerance,
+            stage_mode=prop.opts.stage_mode,
+        )
+        method = prop.method
+
+        @jax.jit
+        def run(y0_dev, dur, ctx_, p_):
+            return integrator.propagate(
+                eom, y0_dev, dur, opts, method,
+                state_dtype=jnp.float32, eom_args=(ctx_, p_),
+            )
+
+        self._encke_cache = (key, prop, ref, y_ref_final, run, ctx)
+
+    y0 = np.asarray(self.generate_states(n, skip))
+    ref0 = template.to_vector()
+    y0_dev = np.concatenate(
+        [y0[:, 0:6] - ref0[None, 0:6], y0[:, 6:9]], axis=1
+    ).astype(np.float32)
+    sc_params = dict(
+        dry_mass_kg=template.dry_mass_kg,
+        srp_area_m2=template.srp_area_m2,
+        drag_area_m2=template.drag_area_m2,
+    )
+    res = run(jnp.asarray(y0_dev), duration_s, ctx, sc_params)
+    dev = np.asarray(res.y, np.float64)
+    y_final = np.concatenate(
+        [y_ref_final[None, 0:6] + dev[:, 0:6], dev[:, 6:9]], axis=1
+    )
+    return Results(
+        epoch0=epoch0,
+        end_epoch=end_epoch,
+        template=template,
+        y_final=y_final,
+        status=np.asarray(res.status),
+        n_accepted=np.asarray(res.n_accepted),
+        n_rejected=np.asarray(res.n_rejected),
+        y_initial=y0,
+    )
+
+
+MonteCarlo.run_until_epoch_encke = _mc_run_encke
+del _mc_run_encke

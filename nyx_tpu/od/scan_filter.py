@@ -253,10 +253,10 @@ class ScanKalmanOD:
             fin2 = lambda t, yy: finally_fn(t, yy, ctx, sc_params)
             for k in range(substeps):
                 t = jnp.asarray([t_prev + k * (dt / substeps)])
-                y, _ = integrator._rk_stages(
+                inc, _ = integrator._rk_stages(
                     eom2, a_tab, b_tab, bs_tab, c_tab, t, y, h
                 )
-                y = fin2(t + h, y)
+                y = fin2(t + h, y + inc)
             row = y[0]
             return row[0:STATE_DIM], row[STATE_DIM:].reshape(
                 STATE_DIM, STATE_DIM
@@ -652,10 +652,10 @@ class ScanKalmanOD:
                 # graph for the axon remote compiler (>20 min); one scan
                 # instantiation compiles ~16x faster at negligible runtime
                 # cost (the EOM dominates the stage buffer traffic)
-                y90, _ = integrator._rk_stages_looped(
+                inc90, _ = integrator._rk_stages_looped(
                     eom2, a_tab, b_tab, bs_tab, c_tab, t_s, y90, h_sub
                 )
-                y90 = fin2(t_s + h_sub, y90)
+                y90 = fin2(t_s + h_sub, y90 + inc90)
             y_bar = y90[:, 0:STATE_DIM]
             phi = y90[:, STATE_DIM:].reshape(m, STATE_DIM, STATE_DIM)
 

@@ -44,6 +44,7 @@ class PropCarry(NamedTuple):
     n_accepted: jnp.ndarray  # [B] int32
     n_rejected: jnp.ndarray  # [B] int32
     it: jnp.ndarray  # [] global iteration counter
+    comp: jnp.ndarray  # [B, N] Kahan compensation of the state updates
     traj_t: jnp.ndarray  # [B, K] capture buffer epochs (rel s)
     traj_y: jnp.ndarray  # [B, K, N]
     traj_len: jnp.ndarray  # [B] int32
@@ -64,24 +65,28 @@ class PropResult(NamedTuple):
 
 def _rk_stages(eom, a, b, b_star, c, t, y, h):
     """One full RK stage evaluation for all lanes (unrolled). Returns
-    (next_y, err_vec)."""
+    (increment, err_vec): the caller applies `y + increment` (the
+    propagate loop does so with Kahan compensation)."""
     stages = b.shape[0]
-    hb = h[:, None]
+    # Python-float coefficients and a state-dtype step keep the linear
+    # combinations in the state's dtype (float() is weakly typed in JAX;
+    # an np.float64 scalar would silently promote an f32 state to f64)
+    hb = h.astype(y.dtype)[:, None]
     k = [eom(t, y)]
     for i in range(1, stages):
-        wi = a[i, 0] * k[0]
+        wi = float(a[i, 0]) * k[0]
         for j in range(1, i):
             if a[i, j] != 0.0:
-                wi = wi + a[i, j] * k[j]
+                wi = wi + float(a[i, j]) * k[j]
         k.append(eom(t + c[i] * h, y + hb * wi))
-    acc = b[0] * k[0]
-    err = (b[0] - b_star[0]) * k[0]
+    acc = float(b[0]) * k[0]
+    err = float(b[0] - b_star[0]) * k[0]
     for i in range(1, stages):
         if b[i] != 0.0:
-            acc = acc + b[i] * k[i]
+            acc = acc + float(b[i]) * k[i]
         if (b[i] - b_star[i]) != 0.0:
-            err = err + (b[i] - b_star[i]) * k[i]
-    return y + hb * acc, hb * err
+            err = err + float(b[i] - b_star[i]) * k[i]
+    return hb * acc, hb * err
 
 
 def _rk_stages_looped(eom, a, b, b_star, c, t, y, h, unroll: int = 1):
@@ -97,8 +102,8 @@ def _rk_stages_looped(eom, a, b, b_star, c, t, y, h, unroll: int = 1):
     """
     stages = b.shape[0]
     B, N = y.shape
-    hb = h[:, None]
-    a_j = jnp.asarray(a)
+    hb = h.astype(y.dtype)[:, None]
+    a_j = jnp.asarray(a, dtype=y.dtype)
     c_j = jnp.asarray(c)
     k_buf = jnp.zeros((stages, B, N), dtype=y.dtype).at[0].set(eom(t, y))
 
@@ -110,9 +115,9 @@ def _rk_stages_looped(eom, a, b, b_star, c, t, y, h, unroll: int = 1):
     k_buf, _ = jax.lax.scan(
         step, k_buf, jnp.arange(1, stages), unroll=min(unroll, stages - 1)
     )
-    acc = jnp.einsum("s,sbn->bn", jnp.asarray(b), k_buf)
-    err = jnp.einsum("s,sbn->bn", jnp.asarray(b - b_star), k_buf)
-    return y + hb * acc, hb * err
+    acc = jnp.einsum("s,sbn->bn", jnp.asarray(b, dtype=y.dtype), k_buf)
+    err = jnp.einsum("s,sbn->bn", jnp.asarray(b - b_star, dtype=y.dtype), k_buf)
+    return hb * acc, hb * err
 
 
 def propagate(
@@ -128,6 +133,7 @@ def propagate(
     eom_args: tuple = (),
     stage_mode: Optional[str] = None,
     steps_per_iter: Optional[int] = None,
+    state_dtype=jnp.float64,
 ) -> PropResult:
     """Propagate a batch of states for `duration_s` (may be negative or per-lane).
 
@@ -156,13 +162,18 @@ def propagate(
         ~0.3 ms per loop iteration regardless of body size; K > 1 amortizes
         that floor at the cost of K x compile time. Lanes that finish
         mid-body simply mask out the remaining sub-steps.
+      state_dtype: dtype of the integrated state (and the RK linear
+        combinations, error estimates, capture buffer). Time, steps and
+        durations always stay float64. float32 is the deviation-propagation
+        mode (mc/encke.py): valid when the state magnitudes carry their
+        meaning in ~7 significant digits.
     """
     if eom_args:
         inner_eom, inner_fin = eom, finally_fn
         eom = lambda t, y: inner_eom(t, y, *eom_args)
         if inner_fin is not None:
             finally_fn = lambda t, y: inner_fin(t, y, *eom_args)
-    y0 = jnp.asarray(y0, dtype=jnp.float64)
+    y0 = jnp.asarray(y0, dtype=state_dtype)
     if y0.ndim == 1:
         y0 = y0[None, :]
     B, N = y0.shape
@@ -206,8 +217,9 @@ def propagate(
         n_accepted=jnp.zeros((B,), dtype=jnp.int32),
         n_rejected=jnp.zeros((B,), dtype=jnp.int32),
         it=jnp.zeros((), dtype=jnp.int32),
+        comp=jnp.zeros((B, N), dtype=state_dtype),
         traj_t=jnp.zeros((B, K)),
-        traj_y=jnp.zeros((B, K, N)),
+        traj_y=jnp.zeros((B, K, N), dtype=state_dtype),
         traj_len=jnp.zeros((B,), dtype=jnp.int32),
     )
 
@@ -223,13 +235,23 @@ def propagate(
         overshoot = (carry.t + carry.h) * sgn > t_stop * sgn
         h_use = jnp.where(overshoot, t_stop - carry.t, carry.h)
 
-        next_y, err_vec = stage_fn(eom, a, b, b_star, c, carry.t, carry.y, h_use)
+        inc, err_vec = stage_fn(eom, a, b, b_star, c, carry.t, carry.y, h_use)
+        # Kahan-compensated state update: the rounding of y + inc is
+        # re-injected into the next accepted step. Exact no-op in exact
+        # arithmetic; in float32 deviation mode it removes the dominant
+        # |y|*eps-per-step random walk (~10x lower day-scale drift).
+        inc_eff = inc + carry.comp
+        next_y = carry.y + inc_eff
+        comp_new = inc_eff - (next_y - carry.y)
 
         if fixed:
             err = jnp.zeros((B,))
             accept = jnp.ones((B,), dtype=bool)
         else:
-            err = options.error_ctrl(err_vec, next_y, carry.y)
+            # f64 step control regardless of the state dtype
+            err = options.error_ctrl(err_vec, next_y, carry.y).astype(
+                jnp.float64
+            )
             accept = (
                 (err <= tol)
                 | (jnp.abs(h_use) <= min_step * (1 + 1e-12))
@@ -262,6 +284,7 @@ def propagate(
         )
 
         y_out = jnp.where(do_accept[:, None], next_y, carry.y)
+        comp_out = jnp.where(do_accept[:, None], comp_new, carry.comp)
         if finally_fn is not None:
             y_fin = finally_fn(t_new, y_out)
             y_out = jnp.where(do_accept[:, None], y_fin, y_out)
@@ -305,6 +328,7 @@ def propagate(
             n_accepted=n_acc,
             n_rejected=n_rej,
             it=carry.it + 1,
+            comp=comp_out,
             traj_t=traj_t,
             traj_y=traj_y,
             traj_len=traj_len,

