@@ -29,6 +29,7 @@ run bench_xla          python bench.py
 run bench_pallas       env NYX_BENCH_GRAV_BACKEND=pallas python bench.py
 run bench_b8192        env NYX_BENCH_B=8192 python bench.py
 run bench_encke        env NYX_BENCH_MODE=encke python bench.py
+run bench_encke_pallas env NYX_BENCH_MODE=encke NYX_BENCH_GRAV_BACKEND=pallas python bench.py
 run od_only            python bench.py --od-only
 run example04          env NYX_EX04_DEGREE=50 python examples/04_lro_od.py
 
