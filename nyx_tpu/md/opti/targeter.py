@@ -510,10 +510,8 @@ def _try_achieve_mnvr(self, initial_state, correction_epoch, achievement_epoch):
         )
         prev_norm = norm
         prev_correction = correction.copy()
-        new_abs = params0[
-            [v.pslot for v in self.variables]
-        ] + prev_correction + dx
-        # bounds apply to the correction itself (epoch shifts, level)
+        # bounds apply to the correction itself, except the throttle whose
+        # ABSOLUTE level must stay inside (0, 1]
         correction = np.array(
             [
                 var.apply_bounds(c + d)
@@ -523,7 +521,6 @@ def _try_achieve_mnvr(self, initial_state, correction_epoch, achievement_epoch):
                 for var, c, d in zip(self.variables, prev_correction, dx)
             ]
         )
-        del new_abs
         applied_dx = correction - prev_correction
 
     p_fin = apply(correction)
