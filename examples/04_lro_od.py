@@ -154,7 +154,7 @@ def main():
     rate = len(arc) / (time.time() - t0)
 
     truth_fin = truth_traj.at(
-        Epoch.from_tai_seconds(sol.epochs_tai_s[-1])
+        Epoch.from_tai_seconds_j2000(sol.epochs_tai_s[-1])
     ).to_vector()
     err = np.linalg.norm(sol.final_state()[:3] - truth_fin[:3])
     sig = np.sqrt(np.diag(sol.final_covar())[:3]).max()

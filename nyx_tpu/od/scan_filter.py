@@ -158,6 +158,11 @@ class ScanKalmanOD:
         self.devices = list(devices)
         self.types = tuple(types or devices[0].measurement_types)
         self.variant = variant
+        # accept the KalmanODProcess convention of a sequence of SNCs; the
+        # scan filter applies one (the first) — chronological switchover
+        # would need the switch epoch in the scan carry
+        if isinstance(process_noise, (tuple, list)):
+            process_noise = process_noise[0] if process_noise else None
         self.process_noise = process_noise
         self.resid_rejection_sigmas = resid_rejection_sigmas
         self.almanac = almanac
