@@ -1003,3 +1003,41 @@ def test_od_solution_filter_data(two_body_prop, truth_setup, stations):
     assert ts == sorted(ts)
     hit = sol.at(sol.estimates[5].epoch)
     assert hit is not None and hit[0] is sol.estimates[5]
+
+
+def test_scan_filter_capture_autogrow(two_body_prop, truth_setup, stations):
+    """The batch-mode reference capture buffer doubles and recompiles when
+    the adaptive reference outruns the sized buffer (scan_filter.py
+    _kcap_grow), instead of raising."""
+    from dataclasses import replace as _replace
+
+    from nyx_tpu.od.scan_filter import ScanKalmanOD
+    from nyx_tpu.propagators import IntegratorOptions, Propagator
+
+    truth_sc, _ = truth_setup
+    # long arc, sparse measurements; a huge max_gap makes the node hint
+    # badly undersized so the first k_cap is beaten by the reference's
+    # tolerance-driven natural steps
+    prop = Propagator.rk89(
+        two_body_prop.dynamics,
+        _replace(IntegratorOptions(), max_step_s=1e6),
+    )
+    _, long_traj = prop.with_state(truth_sc).for_duration_with_traj(
+        2 * 86400.0, n_capture=16384
+    )
+    cfg = TrkConfig(sampling_s=3600.0, scheduler=Scheduler(min_samples=2))
+    sim = TrackingArcSim.with_seed(
+        stations[:1], long_traj, {stations[0].name: cfg}, seed=9
+    )
+    arc = sim.generate_measurements()
+    assert len(arc) > 10
+    rng = np.random.default_rng(10)
+    est0, _ = _dispersed_estimate(truth_sc, rng)
+    scan = ScanKalmanOD(
+        prop, stations[:1],
+        types=(MeasurementType.RANGE_KM, MeasurementType.DOPPLER_KM_S),
+        variant="ckf", max_gap_s=1e6,
+    )
+    sol = scan.process_arc(est0, arc)
+    assert getattr(scan, "_kcap_grow", 1) > 1, "buffer never grew"
+    assert np.all(np.isfinite(sol.y_est))
