@@ -397,3 +397,19 @@ def test_pallas_harmonics_backend_matches_xla():
             np.linalg.norm(a_p - a_x, axis=1) / np.linalg.norm(a_x, axis=1)
         ).max()
         assert rel < 2e-5, f"pallas vs xla rel err {rel} (q_lo={q_lo})"
+
+
+def test_pallas_harmonics_rectangular_field():
+    """backend='pallas' on an order < degree field (W-bounded rows with
+    degree-only tail): matches the XLA path."""
+    stor = GravityFieldData.from_cof(JGM3, 12, 6, True, Frames.IAU_EARTH)
+    h_xla = Harmonics.from_stor(stor, precision="f32")
+    h_pal = Harmonics.from_stor(stor, precision="f32", backend="pallas")
+    rng = np.random.default_rng(9)
+    r = rng.normal(size=(32, 3))
+    r = r / np.linalg.norm(r, axis=1, keepdims=True) * 7000.0
+    r32 = jnp.asarray(r, jnp.float32)
+    a_x = np.asarray(h_xla._accel_any(r32))
+    a_p = np.asarray(h_pal._accel_any(r32))
+    rel = (np.linalg.norm(a_p - a_x, axis=1) / np.linalg.norm(a_x, axis=1)).max()
+    assert rel < 2e-5, f"rectangular pallas vs xla rel err {rel}"
