@@ -25,11 +25,16 @@ run() {
     echo "[$name rc=$rc]"
 }
 
-run bench_xla          python bench.py
-run bench_pallas       env NYX_BENCH_GRAV_BACKEND=pallas python bench.py
-run bench_b8192        env NYX_BENCH_B=8192 python bench.py
-run bench_encke        env NYX_BENCH_MODE=encke python bench.py
-run bench_encke_pallas env NYX_BENCH_MODE=encke NYX_BENCH_GRAV_BACKEND=pallas python bench.py
+# NYX_BENCH_OD_TIMEOUT_S=1 skips the embedded OD sub-bench (od_only below
+# measures it once); each MC entry then times pure propagation throughput.
+B="env NYX_BENCH_OD_TIMEOUT_S=1"
+run bench_xla          $B python bench.py
+run bench_pallas       $B env NYX_BENCH_GRAV_BACKEND=pallas python bench.py
+run bench_b8192        $B env NYX_BENCH_B=8192 python bench.py
+run bench_spi2         $B env NYX_BENCH_STEPS_PER_ITER=2 python bench.py
+run bench_spi4         $B env NYX_BENCH_STEPS_PER_ITER=4 python bench.py
+run bench_encke        $B env NYX_BENCH_MODE=encke python bench.py
+run bench_encke_pallas $B env NYX_BENCH_MODE=encke NYX_BENCH_GRAV_BACKEND=pallas python bench.py
 run od_only            python bench.py --od-only
 run example04          env NYX_EX04_DEGREE=50 python examples/04_lro_od.py
 

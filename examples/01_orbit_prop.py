@@ -15,9 +15,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import jax
 
 # Long single-lane while-loops with ephemeris-bearing EOMs fault the
-# tunneled axon TPU runtime; default to CPU (NYX_EX01_TPU=1 to override).
+# tunneled axon TPU runtime; default to CPU (NYX_EX01_TPU=1 to override —
+# the TPU path pads to 8 identical lanes, see IntegratorOptions.min_lanes).
 if not os.environ.get("NYX_EX01_TPU"):
     jax.config.update("jax_platforms", "cpu")
+else:
+    os.environ.setdefault("NYX_MIN_LANES", "8")
 
 jax.config.update("jax_enable_x64", True)
 

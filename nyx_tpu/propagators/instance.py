@@ -129,6 +129,15 @@ class PropInstance:
         with_stm = self.state.stm is not None
         ctx = self.dynamics.build_context(self.state.epoch, duration_s, self.almanac)
         y0 = self._pack(with_stm)
+        # Pad the single lane to opts.min_lanes identical copies (axon TPU
+        # workaround, see IntegratorOptions.min_lanes); lane 0 is read back.
+        import os as _os
+
+        pad = int(_os.environ.get("NYX_MIN_LANES", 0)) or getattr(
+            self.prop.opts, "min_lanes", 1
+        )
+        if pad > 1:
+            y0 = jnp.tile(y0, (pad, 1))
         run = self._compiled(with_stm, n_capture, capture_stride)
         _t0 = _time.time()
         _log.debug(

@@ -32,6 +32,11 @@ class IntegratorOptions:
     # iteration, amortizing that same floor further.
     stage_mode: str = "auto"
     steps_per_iter: int = 1
+    # Pad single-state propagations to this many identical lanes before
+    # entering the batched kernel (results read lane 0). The tunneled axon
+    # TPU runtime faults on 1-lane ephemeris-bearing while-loops; 8 lanes
+    # is free on a 128-lane VPU. Env override: NYX_MIN_LANES.
+    min_lanes: int = 1
     # Optional frame to transform the state into before propagating
     # (options.rs:42-61 integration_frame); None = propagate in the
     # state's own frame.

@@ -213,3 +213,35 @@ def test_state_dtype_f32_two_body():
     # representation of the 8000-km state in f32 is ~0.5 m; a few steps of
     # accumulation stay within tens of meters over an hour
     assert d < 0.05, f"f32 state diverged {d*1e3:.1f} m"
+
+
+def test_min_lanes_padding_parity():
+    """opts.min_lanes pads a single-state propagation to identical lanes
+    (axon single-lane fault workaround); lane-0 results must be bitwise
+    identical to the unpadded run."""
+    from dataclasses import replace
+
+    from nyx_tpu import Epoch, Frames, Orbit, Spacecraft
+    from nyx_tpu.dynamics import OrbitalDynamics, SpacecraftDynamics
+    from nyx_tpu.propagators import Propagator
+
+    eme2k = Frames.EME2000
+    epoch = Epoch.from_gregorian_utc(2020, 1, 1)
+    orbit = Orbit.keplerian(7500.0, 0.02, 40.0, 10.0, 20.0, 30.0, epoch, eme2k)
+    sc = Spacecraft.from_orbit(orbit)
+    dyn = SpacecraftDynamics.new(OrbitalDynamics.two_body(eme2k))
+
+    base = IntegratorOptions()
+    plain = Propagator.rk89(dyn, base).with_state(sc).for_duration(5400.0)
+    padded_inst = Propagator.rk89(
+        dyn, replace(base, min_lanes=8)
+    ).with_state(sc)
+    padded = padded_inst.for_duration(5400.0)
+    np.testing.assert_array_equal(
+        np.asarray(padded.to_vector()), np.asarray(plain.to_vector())
+    )
+
+    # trajectory capture path reads lane 0 of the padded batch
+    _, traj = padded_inst.until_epoch_with_traj(epoch + 9000.0)
+    assert abs(traj.at(epoch + 7200.0).orbit.rmag_km
+               - plain.orbit.rmag_km) < 5e3  # sanity: same orbit scale
