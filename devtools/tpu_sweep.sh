@@ -37,6 +37,8 @@ run bench_encke        $B env NYX_BENCH_MODE=encke python bench.py
 run bench_encke_pallas $B env NYX_BENCH_MODE=encke NYX_BENCH_GRAV_BACKEND=pallas python bench.py
 run od_only            python bench.py --od-only
 run example04          env NYX_EX04_DEGREE=50 python examples/04_lro_od.py
+run example03_drift    env NYX_EX03_TPU=1 python examples/03_geo_analysis.py --drift-bench
+run example01_tpu      env NYX_EX01_TPU=1 python examples/01_orbit_prop.py
 
 echo "== summary =="
 grep -h '"metric"\|OD_STEPS_PER_S\|traj/s' "$OUT"/*.log | tail -10

@@ -21,6 +21,8 @@ import jax
 # (see examples/04); default to CPU, set NYX_EX03_TPU=1 to try the TPU.
 if not os.environ.get("NYX_EX03_TPU"):
     jax.config.update("jax_platforms", "cpu")
+else:
+    os.environ.setdefault("NYX_MIN_LANES", "8")
 jax.config.update("jax_enable_x64", True)
 
 from nyx_tpu import Epoch, Frames, Orbit, Spacecraft
@@ -32,6 +34,54 @@ from nyx_tpu.ephem.almanac import Almanac
 from nyx_tpu.md.objective import Objective
 from nyx_tpu.md.param import StateParameter
 from nyx_tpu.propagators import IntegratorOptions, Propagator
+
+
+def drift_bench():
+    """Head-to-head with the reference's headline number: 1095-day GEO
+    drift, 21x21 JGM3 + SRP (Earth+Moon shadows) + Sun/Moon point masses,
+    RK89 adaptive — ~560 propagated days/min on the reference's hardware
+    (examples/03_geo_analysis/README.md:22-33, 1 min 55 s wall).
+    NYX_EX03_DAYS overrides the arc length (CPU smoke: set it to ~10)."""
+    import time
+
+    from nyx_tpu.dynamics import Harmonics, PointMasses, SolarPressure
+    from nyx_tpu.io.gravity import GravityFieldData
+
+    here = Path(__file__).resolve().parent.parent
+    almanac = Almanac()
+    epoch = Epoch.from_gregorian_utc(2024, 3, 1)
+    orbit = Orbit.keplerian(42_164.0, 1e-4, 0.05, 90.0, 10.0, 0.0, epoch,
+                            Frames.EME2000)
+    sc = Spacecraft.new(orbit, 2000.0, 0.0, 16.0, 16.0, 1.8, 2.2)
+    stor = GravityFieldData.from_cof(
+        here / "data" / "JGM3.cof.gz", 21, 21, True, Frames.IAU_EARTH
+    )
+    dyn = SpacecraftDynamics(
+        OrbitalDynamics.from_models(
+            (
+                Harmonics.from_stor(stor, precision="split"),
+                PointMasses((NAIF.SUN, NAIF.MOON)),
+            ),
+            Frames.EME2000,
+        ),
+        (SolarPressure((NAIF.EARTH, NAIF.MOON)),),
+    )
+    days = float(os.environ.get("NYX_EX03_DAYS", 1095.0))
+    prop = Propagator.rk89(
+        dyn, IntegratorOptions.with_adaptive_step(0.1, 2700.0, 1e-9)
+    )
+    inst = prop.with_state(sc, almanac)
+    # warm the jit cache on a short arc so the timed region is propagation
+    prop.with_state(sc, almanac).for_duration(600.0)
+    t0 = time.time()
+    final = inst.for_duration(days * 86_400.0)
+    wall = time.time() - t0
+    print(
+        f"GEO drift {days:.0f} d in {wall:.1f} s wall -> "
+        f"{days / (wall / 60.0):.0f} propagated days/min "
+        f"(reference: ~560 d/min, 1095 d in 115 s)"
+    )
+    print(f"final sma {final.orbit.sma_km:.1f} km ecc {final.orbit.ecc:.6f}")
 
 
 def main():
@@ -76,4 +126,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--drift-bench" in sys.argv or os.environ.get("NYX_EX03_DRIFT"):
+        drift_bench()
+    else:
+        main()
