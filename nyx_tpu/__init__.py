@@ -15,7 +15,7 @@ import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from .time import Epoch, Duration, Unit  # noqa: E402
 from .constants import GM  # noqa: E402

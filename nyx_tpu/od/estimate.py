@@ -131,6 +131,10 @@ class Residual:
     postfit: np.ndarray
     ratio: float
     rejected: bool
+    # raw observed / computed observations (residual.rs real_obs/computed_obs);
+    # kept so the smoother can recompute postfits at the smoothed state
+    real_obs: "np.ndarray | None" = None
+    computed_obs: "np.ndarray | None" = None
 
     def __str__(self):
         tag = "REJECTED " if self.rejected else ""

@@ -98,6 +98,9 @@ class KalmanFilter:
         # epoch at which SNC was first exercised, anchoring exponential decay
         # (snc.rs:50-51 init_epoch, set by the filter)
         self._snc_init_tai_s = None
+        # Kalman gain of the most recent measurement update (None after a
+        # rejection or before any update); collected into ODSolution.gains
+        self.last_gain = None
 
     # ------------------------------------------------------------------
     def _snc_q(self, epoch_tai_s, dt_s, nominal) -> np.ndarray:
@@ -192,8 +195,10 @@ class KalmanFilter:
                 predicted=True,
             )
             self.prev_estimate = est
+            self.last_gain = None  # no gain applied on rejection
             resid = Residual(
-                epoch, tracker, msr_types, prefit, prefit.copy(), ratio, True
+                epoch, tracker, msr_types, prefit, prefit.copy(), ratio, True,
+                real_obs=real.copy(), computed_obs=comp.copy(),
             )
             return est, resid
 
@@ -225,7 +230,11 @@ class KalmanFilter:
             est.nominal = est.state()
             est.state_deviation = np.zeros(STATE_DIM)
         self.prev_estimate = est
-        resid = Residual(epoch, tracker, msr_types, prefit, postfit, ratio, False)
+        self.last_gain = k_gain.copy()  # exposed for ODSolution.gains
+        resid = Residual(
+            epoch, tracker, msr_types, prefit, postfit, ratio, False,
+            real_obs=real.copy(), computed_obs=comp.copy(),
+        )
         return est, resid
 
 

@@ -196,7 +196,7 @@ class KalmanODProcess:
                 instance.state = est.nominal.with_stm()
             else:
                 instance.state = nominal.with_stm()
-            sol.append(est, resid)
+            sol.append(est, resid, gain=kf.last_gain)
             # 10%-decile progress with accept/reject counts
             # (od/process/mod.rs:403-415)
             progress.step(i, f"{accepted} accepted, {rejected} rejected")

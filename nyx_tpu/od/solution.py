@@ -28,10 +28,24 @@ class ODSolution:
     residuals: List[Optional[Residual]] = field(default_factory=list)
     accepted: int = 0
     rejected: int = 0
+    #: per-step Kalman gain [9, m] (None on time updates/rejections, and
+    #: scrubbed by the smoother — solution/mod.rs:82-83,125-137)
+    gains: List[Optional[np.ndarray]] = field(default_factory=list)
+    #: per-step filter-smoother consistency ratios [9] (smooth.rs:59-105);
+    #: empty until smooth() runs
+    filter_smoother_ratios: List[Optional[np.ndarray]] = field(
+        default_factory=list
+    )
 
-    def append(self, est: KfEstimate, resid: Optional[Residual]):
+    def append(
+        self,
+        est: KfEstimate,
+        resid: Optional[Residual],
+        gain: Optional[np.ndarray] = None,
+    ):
         self.estimates.append(est)
         self.residuals.append(resid)
+        self.gains.append(gain)
 
     def __len__(self):
         return len(self.estimates)
@@ -41,6 +55,11 @@ class ODSolution:
         return self.estimates[-1]
 
     # -------- record filtering (od/process/solution/filter_data.rs) ----
+    def _aligned(self, lst: list) -> list:
+        """`lst` padded with None to len(estimates) (direct-constructed
+        solutions may not have per-step gains/ratios)."""
+        return list(lst) + [None] * (len(self.estimates) - len(lst))
+
     def _subset(self, keep) -> "ODSolution":
         return ODSolution(
             self.devices,
@@ -55,6 +74,14 @@ class ODSolution:
                 1 for r, k in zip(self.residuals, keep)
                 if k and r is not None and r.rejected
             ),
+            [g for g, k in zip(self._aligned(self.gains), keep) if k],
+            [
+                f
+                for f, k in zip(
+                    self._aligned(self.filter_smoother_ratios), keep
+                )
+                if k
+            ],
         )
 
     def drop_time_updates(self) -> "ODSolution":
@@ -85,16 +112,18 @@ class ODSolution:
 
     def merge(self, other: "ODSolution") -> "ODSolution":
         """Chronologically merged records (filter_data.rs:230)."""
-        pairs = list(zip(self.estimates, self.residuals)) + list(
-            zip(other.estimates, other.residuals)
+        pairs = list(
+            zip(self.estimates, self.residuals, self._aligned(self.gains))
+        ) + list(
+            zip(other.estimates, other.residuals, other._aligned(other.gains))
         )
         pairs.sort(key=lambda p: p[0].epoch.to_tai_seconds())
         out = ODSolution(
             tuple(dict.fromkeys(self.devices + other.devices)),
             tuple(dict.fromkeys(self.measurement_types + other.measurement_types)),
         )
-        for e, r in pairs:
-            out.append(e, r)
+        for e, r, g in pairs:
+            out.append(e, r, g)
         out.accepted = self.accepted + other.accepted
         out.rejected = self.rejected + other.rejected
         return out
@@ -109,8 +138,17 @@ class ODSolution:
         return None
 
     # ------------------------------------------------------------------
-    def smooth(self) -> "ODSolution":
-        """RTS backward smoother with the stored Φ/P̄ (smooth.rs:33-80)."""
+    def smooth(self, devices: Optional[Sequence] = None) -> "ODSolution":
+        """RTS backward smoother with the stored Φ/P̄ (smooth.rs:33-80).
+
+        Per smooth.rs semantics: gains are scrubbed (the smoother does not
+        recompute them), ``filter_smoother_ratios`` carries the ODTK
+        filter-smoother consistency test ratio
+        ``(x_f − x_s)_i / sqrt((P_f − P_s)_ii)`` per step (smooth.rs:59-105;
+        |R| ≤ 3 everywhere ⇒ consistent), and — when the tracking
+        ``devices`` are passed — postfit residuals are recomputed from the
+        smoothed state estimate (smooth.rs:164-191).
+        """
         n = len(self.estimates)
         sm = [None] * n
         sm[-1] = self.estimates[-1]
@@ -138,10 +176,53 @@ class ODSolution:
                 stm=ek.stm,
                 predicted=ek.predicted,
             )
+        # filter-smoother consistency ratios (None where ΔP_ii <= 0, e.g.
+        # the unsmoothed final step or frozen parameter slots)
+        fs_ratios: List[Optional[np.ndarray]] = [None] * n
+        for k in range(n - 1):
+            ek, sk = self.estimates[k], sm[k]
+            d_state = (
+                np.asarray(ek.state().to_vector()[:STATE_DIM])
+                - np.asarray(sk.state().to_vector()[:STATE_DIM])
+            )
+            d_cov = np.diag(ek.covar - sk.covar)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                fs_ratios[k] = d_state / np.sqrt(np.maximum(d_cov, 0.0))
+        residuals = list(self.residuals)
+        if devices is not None:
+            residuals = self._recompute_postfits(sm, residuals, devices)
         out = ODSolution(
-            self.devices, self.measurement_types, sm, list(self.residuals),
+            self.devices, self.measurement_types, sm, residuals,
             self.accepted, self.rejected,
+            gains=[None] * n,  # scrubbed (smooth.rs note 1)
+            filter_smoother_ratios=fs_ratios,
         )
+        return out
+
+    def _recompute_postfits(self, sm, residuals, devices):
+        """Postfit = real − h(smoothed state) per measurement step
+        (smooth.rs:164-191, via measure_instantaneous)."""
+        import jax.numpy as jnp
+
+        dev_map = {d.name: d for d in devices}
+        out = []
+        for est, r in zip(sm, residuals):
+            if r is None or r.real_obs is None or r.tracker not in dev_map:
+                out.append(r)
+                continue
+            device = dev_map[r.tracker]
+            h_fn = device.measurement_fn(tuple(r.msr_types))
+            y = jnp.asarray(est.state().to_vector()[0:6])
+            computed = np.asarray(
+                h_fn(jnp.float64(r.epoch.to_tdb_seconds()), y)
+            )
+            out.append(
+                Residual(
+                    r.epoch, r.tracker, r.msr_types, r.prefit,
+                    np.asarray(r.real_obs) - computed, r.ratio, r.rejected,
+                    real_obs=r.real_obs, computed_obs=computed,
+                )
+            )
         return out
 
     # -------------------- statistics (stats.rs) ------------------------

@@ -159,6 +159,66 @@ class TestCkf:
             _pos_err_km(sol.final_estimate, traj) + 1e-12
         )
 
+    def test_gains_and_filter_smoother_consistency(
+        self, two_body_prop, truth_setup, arc, stations
+    ):
+        """Gains recorded per measurement update, scrubbed by the smoother;
+        ODTK filter-smoother consistency ratios within |R|<=3 on a
+        well-modeled arc; postfit recomputed at the smoothed state
+        (solution/mod.rs:82-137, smooth.rs:59-191)."""
+        truth_sc, traj = truth_setup
+        rng = np.random.default_rng(3)
+        initial_estimate, _ = _dispersed_estimate(truth_sc, rng)
+        od = KalmanODProcess(
+            two_body_prop,
+            variant=KalmanVariant.DeviationTracking,
+            resid_rejection_sigmas=None,
+        )
+        sol = od.process_arc(initial_estimate, arc, stations)
+        # every measurement update carries a [9, T] gain; the initial
+        # record (no update) carries None
+        msr_gains = [
+            g for r, g in zip(sol.residuals, sol.gains) if r is not None
+        ]
+        assert len(msr_gains) == len(arc)
+        assert all(g is not None and g.shape[0] == 9 for g in msr_gains)
+        assert sol.gains[0] is None
+        # residuals keep the raw observations for the smoother
+        r0 = next(r for r in sol.residuals if r is not None)
+        assert r0.real_obs is not None and r0.computed_obs is not None
+        np.testing.assert_allclose(
+            r0.prefit,
+            r0.real_obs - r0.computed_obs,
+            atol=1e-6,  # prefit also subtracts H @ dev (small here)
+        )
+
+        smoothed = sol.smooth(devices=stations)
+        # gains scrubbed (smooth.rs note 1)
+        assert all(g is None for g in smoothed.gains)
+        # consistency ratios exist for every smoothed step and are within
+        # the ODTK 3-sigma acceptance on this well-modeled arc
+        ratios = [
+            f for f in smoothed.filter_smoother_ratios if f is not None
+        ]
+        assert len(ratios) == len(sol) - 1
+        finite = np.concatenate([f[np.isfinite(f)] for f in ratios])
+        assert finite.size > 0
+        assert np.percentile(np.abs(finite), 99) <= 3.0, (
+            np.abs(finite).max()
+        )
+        # postfits recomputed at the smoothed state: early postfits shrink
+        n = len(sol)
+        mid = slice(1, n // 2)
+        filt_post = np.concatenate([
+            r.postfit for r in sol.residuals[mid] if r is not None
+        ])
+        sm_post = np.concatenate([
+            r.postfit for r in smoothed.residuals[mid] if r is not None
+        ])
+        assert np.sqrt(np.mean(sm_post**2)) <= np.sqrt(
+            np.mean(filt_post**2)
+        ) * 1.5
+
 
 class TestEkf:
     """EKF relinearizes, so it tolerates large dispersions
@@ -818,6 +878,35 @@ class TestSolutionIO:
         fig2.savefig(tmp_path / "gt.png")
         fig3 = plots.plot_traj(traj, step=1800.0, show=False)
         fig3.savefig(tmp_path / "traj3d.png")
+        fig4 = plots.plot_ric_diff(traj, traj, step=1800.0, show=False)
+        fig4.savefig(tmp_path / "ric.png")
+
+    def test_od_plots_render(self, two_body_prop, truth_setup, arc, stations,
+                             tmp_path):
+        """Gain/consistency/element-uncertainty/autocorr OD plot helpers
+        (plots/od.py parity) render from a real solution."""
+        from nyx_tpu import plots
+
+        truth_sc, _ = truth_setup
+        rng = np.random.default_rng(9)
+        est0, _ = _dispersed_estimate(truth_sc, rng)
+        od = KalmanODProcess(
+            two_body_prop,
+            variant=KalmanVariant.DeviationTracking,
+            resid_rejection_sigmas=None,
+        )
+        sol = od.process_arc(est0, arc, stations)
+        plots.plot_kalman_gains(sol, show=False).savefig(tmp_path / "k.png")
+        plots.plot_orbital_element_uncertainty(sol, show=False).savefig(
+            tmp_path / "elems_unc.png"
+        )
+        plots.plot_residual_autocorr(sol, show=False).savefig(
+            tmp_path / "ac.png"
+        )
+        sm = sol.smooth(devices=stations)
+        plots.plot_filter_smoother_ratios(sm, show=False).savefig(
+            tmp_path / "fs.png"
+        )
 
     def test_scan_filter_ensemble(self, two_body_prop, truth_setup, arc, stations):
         """vmapped ensemble of filters: each member matches its own
