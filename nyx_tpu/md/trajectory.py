@@ -166,6 +166,16 @@ class Trajectory:
         ys = np.stack([self.interpolate(t) for t in ts])
         return Trajectory(self.epoch0, ts, ys, self.template)
 
+    def rebuild(self, epochs) -> "Trajectory":
+        """New trajectory whose nodes sit exactly at `epochs`
+        (traj.rs:388 rebuild): arbitrary — possibly non-uniform — epochs,
+        each interpolated from this trajectory."""
+        ts = np.asarray(
+            [(e - self.epoch0).to_seconds() for e in epochs], dtype=np.float64
+        )
+        ys = np.stack([self.interpolate(float(t)) for t in ts])
+        return Trajectory(self.epoch0, ts, ys, self.template)
+
     def filter_by_epoch(self, start: Epoch, end: Epoch) -> "Trajectory":
         """Sub-trajectory whose nodes fall in [start, end]
         (traj.rs filter_by_epoch)."""

@@ -381,7 +381,19 @@ class ODSolution:
         iu = np.triu_indices(STATE_DIM)
         for a, b in zip(*iu):
             rows[f"covar_{labels[a]}_{labels[b]}"] = []
-        for est, res in zip(self.estimates, self.residuals):
+        # filter gain norms per state block and filter-smoother consistency
+        # ratios (export.rs:304-340 gain / fs-ratio columns)
+        has_gains = any(g is not None for g in self.gains)
+        has_fs = any(f is not None for f in self.filter_smoother_ratios)
+        if has_gains:
+            rows["gain_pos_norm"] = []
+            rows["gain_vel_norm"] = []
+        if has_fs:
+            for lbl in labels:
+                rows[f"fs_ratio_{lbl}"] = []
+        gains = self._aligned(self.gains)
+        fs = self._aligned(self.filter_smoother_ratios)
+        for est, res, g, f in zip(self.estimates, self.residuals, gains, fs):
             rows["epoch_tai_s"].append(est.epoch.to_tai_seconds())
             rows["predicted"].append(est.predicted)
             vec = est.state().to_vector()
@@ -398,6 +410,18 @@ class ODSolution:
                 rows[f"covar_{labels[a]}_{labels[b]}"].append(float(est.covar[a, b]))
             rows["ratio"].append(res.ratio if res else np.nan)
             rows["rejected"].append(bool(res.rejected) if res else False)
+            if has_gains:
+                rows["gain_pos_norm"].append(
+                    float(np.linalg.norm(g[0:3])) if g is not None else np.nan
+                )
+                rows["gain_vel_norm"].append(
+                    float(np.linalg.norm(g[3:6])) if g is not None else np.nan
+                )
+            if has_fs:
+                for i, lbl in enumerate(labels):
+                    rows[f"fs_ratio_{lbl}"].append(
+                        float(f[i]) if f is not None else np.nan
+                    )
         table = pa.table(rows).replace_schema_metadata({b"generator": b"nyx_tpu"})
         pq.write_table(table, str(path), compression="zstd")
         return str(path)
@@ -433,6 +457,18 @@ class ODSolution:
                 predicted=bool(table["predicted"][k].as_py()),
             )
             sol.append(est, None)
+        # filter-smoother consistency ratios round-trip when present
+        if "fs_ratio_x" in table.column_names:
+            fs_cols = np.stack(
+                [
+                    np.asarray(table[f"fs_ratio_{lbl}"], dtype=np.float64)
+                    for lbl in labels
+                ],
+                axis=-1,
+            )
+            sol.filter_smoother_ratios = [
+                None if np.all(np.isnan(row)) else row for row in fs_cols
+            ]
         return sol
 
     def __str__(self):

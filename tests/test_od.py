@@ -865,6 +865,44 @@ class TestSolutionIO:
             back.final_estimate.covar, sol.final_estimate.covar,
             rtol=0, atol=1e-15,
         )
+        # gain-norm columns present on a filtered (unsmoothed) solution
+        import pyarrow.parquet as pq
+
+        cols = pq.read_table(str(path)).column_names
+        assert "gain_pos_norm" in cols and "gain_vel_norm" in cols
+        # smoothed export round-trips the filter-smoother ratios
+        smoothed = sol.smooth()
+        path2 = tmp_path / "smoothed.parquet"
+        smoothed.to_parquet(path2)
+        back2 = ODSolution.from_parquet(path2, truth_sc)
+        orig = [
+            f for f in smoothed.filter_smoother_ratios if f is not None
+        ]
+        got = [f for f in back2.filter_smoother_ratios if f is not None]
+        assert len(got) == len(orig)
+        np.testing.assert_allclose(
+            np.nan_to_num(np.stack(got), posinf=0, neginf=0),
+            np.nan_to_num(np.stack(orig), posinf=0, neginf=0),
+            rtol=1e-12,
+        )
+
+    def test_trajectory_rebuild(self, truth_setup):
+        """rebuild() places nodes exactly at the requested (non-uniform)
+        epochs (traj.rs:388)."""
+        _, traj = truth_setup
+        epochs = [
+            traj.epoch0 + 100.0,
+            traj.epoch0 + 1234.5,
+            traj.epoch0 + 7200.0,
+        ]
+        rb = traj.rebuild(epochs)
+        assert len(rb.ts) == 3
+        for e in epochs:
+            np.testing.assert_allclose(
+                rb.at(e).to_vector()[:6],
+                traj.at(e).to_vector()[:6],
+                rtol=0, atol=1e-9,
+            )
 
     def test_plots_render(self, two_body_prop, truth_setup, tmp_path):
         """The matplotlib helpers produce figures without erroring."""
