@@ -99,7 +99,10 @@ def _pines_kernel(r_ref, tab_ref, acc_ref, rms_ref, ims_ref, *,
     rm1 = jnp.concatenate([zrow, r_ms[:-1, :]], axis=0)
     im1 = jnp.concatenate([zrow, i_ms[:-1, :]], axis=0)
 
-    m_f = jax.lax.broadcasted_iota(f32, (W_pad, 1), 0)
+    # Mosaic's tpu.iota only produces integer vectors; make the float
+    # m-index by converting an int32 iota (a float-dtype broadcasted_iota
+    # fails verification on real TPU lowering)
+    m_f = jax.lax.broadcasted_iota(jnp.int32, (W_pad, 1), 0).astype(f32)
 
     # ---- seed rows (degree 0 and 1 of the normalized Legendre A-rows,
     # matching gravity.py row0/row1: A00=1, row1 = [u*sqrt3, diag[1]]) ----
