@@ -142,9 +142,13 @@ def main():
     # NYX_BENCH_MODE=encke: float32 deviation propagation around one f64
     # reference (mc/encke.py) — sub-10 m ensemble accuracy, f32-rate lanes
     if os.environ.get("NYX_BENCH_MODE") == "encke":
-        mc.run_until_epoch_encke(prop, alm, end, B)  # compile + reference
+        ekw = dict(
+            step_mode=os.environ.get("NYX_BENCH_ENCKE_STEP", "fixed"),
+            dt_s=float(os.environ.get("NYX_BENCH_ENCKE_DT", 150.0)),
+        )
+        mc.run_until_epoch_encke(prop, alm, end, B, **ekw)  # compile + ref
         t0 = time.time()
-        results = mc.run_until_epoch_encke(prop, alm, end, B)
+        results = mc.run_until_epoch_encke(prop, alm, end, B, **ekw)
         wall = time.time() - t0
         ok = results.n_ok
         rate = ok / wall

@@ -178,6 +178,123 @@ def _lagrange6_p32(ref: EnckeReference, t_rel):
     return out
 
 
+def propagate_fixed(dyn, ref: EnckeReference, y0_dev, duration_s, ctx, p,
+                    method, dt_s: float = 150.0):
+    """Synchronized fixed-step deviation propagation: one `lax.scan` where
+    EVERY lane shares the same scalar stage times.
+
+    The adaptive deviation path (`make_encke_eom` + the while-loop kernel)
+    lets each lane carry its own epoch, so every stage pays per-lane
+    [B,3,3] f64 frame rotations and per-lane gathers from the reference
+    tables — measured SLOWER than the full-state path at B=10k on TPU
+    despite the f32 lanes. Here the step grid is global, so everything
+    time-dependent collapses to per-STAGE scalars precomputed in one shot
+    before the scan:
+
+      * (r_ref, v_ref) at all n_steps x S stage times — one vectorized
+        quintic Hermite evaluation (f64);
+      * the reference's f32 perturbation at those exact points — one
+        batched call of the same f32 perturbation stack the lanes use, so
+        the smooth part of the f32 evaluation error cancels exactly (the
+        common-mode trick of the adaptive mode's p32 table, but with zero
+        interpolation error);
+      * the frame DCM trig inside the lanes' own perturbation call runs
+        once per stage (scalar t), broadcast across lanes.
+
+    The hot loop is then pure elementwise VPU work: the f32 perturbation
+    recursion on [B,3] plus a ~10-op f64 Encke two-body core. RK89 at
+    dt=150 s holds the deviation local error at mm-level (|delta| ~ 1e2 km,
+    (h*omega)^9 ~ 1e-7), validated in tests/test_monte_carlo.py.
+
+    Returns the final [B, 9] f32 deviations.
+    """
+    S = method.stages
+    a_tab = np.asarray(method.a_matrix)
+    b_tab = np.asarray(method.b)
+    c_tab = np.asarray(method.c)
+    n_steps = max(1, int(np.ceil(duration_s / dt_s)))
+    dt = float(duration_s) / n_steps  # land exactly on the end epoch
+
+    pert = make_perturbation_fn(dyn)
+
+    # ---- per-stage reference data, [n_steps, S, 3] ----------------------
+    t_base = dt * jnp.arange(n_steps, dtype=jnp.float64)
+    t_stage = t_base[:, None] + jnp.asarray(c_tab) * dt  # [n, S]
+    flat_t = t_stage.ravel()
+    r_ref, v_ref = _quintic(ref, flat_t)  # [n*S, 3] f64
+    sc32_ref = dict(
+        cr=jnp.float32(p.get("cr_ref", 1.8)),
+        cd=jnp.float32(p.get("cd_ref", 2.2)),
+        srp_area_m2=jnp.float32(p["srp_area_m2"]),
+        drag_area_m2=jnp.float32(p["drag_area_m2"]),
+        mass_kg=jnp.float32(p.get("mass_ref_kg", p["dry_mass_kg"])),
+    )
+    t_tdb_flat = ctx.epoch0_tdb + flat_t
+    p32_ref = pert(
+        ctx, t_tdb_flat, r_ref.astype(jnp.float32),
+        v_ref.astype(jnp.float32), sc32_ref,
+    )  # [n*S, 3] f32
+    xs = (
+        t_stage,
+        r_ref.reshape(n_steps, S, 3),
+        v_ref.reshape(n_steps, S, 3),
+        p32_ref.reshape(n_steps, S, 3),
+    )
+
+    mu = ctx.frame.mu
+    dt32 = jnp.float32(dt)
+
+    def stage_accel(t_rel_s, y, r_ref_i, v_ref_i, p32_i, sc32):
+        """[B, 9] deviation derivative at one shared stage time."""
+        dr32, dv32 = y[..., 0:3], y[..., 3:6]
+        dr = dr32.astype(jnp.float64)
+        r_full = r_ref_i + dr  # broadcast [3] + [B,3]
+        rr2 = jnp.sum(r_ref_i * r_ref_i)  # scalar f64
+        q = jnp.sum(dr * (dr + 2.0 * r_ref_i), axis=-1, keepdims=True) / rr2
+        fq = 1.0 - (1.0 + q) ** (-1.5)
+        rr3 = rr2 * jnp.sqrt(rr2)
+        da_2b = (-mu / rr3) * (dr - fq * r_full)
+        r32 = r_full.astype(jnp.float32)
+        v32 = (v_ref_i + dv32.astype(jnp.float64)).astype(jnp.float32)
+        dp = pert(ctx, ctx.epoch0_tdb + t_rel_s, r32, v32, sc32) - p32_i
+        ddv = da_2b.astype(jnp.float32) + dp
+        zeros = jnp.zeros_like(y[..., 6:9])
+        return jnp.concatenate([dv32, ddv, zeros], axis=-1)
+
+    def body(carry, x):
+        y, comp = carry
+        t_s, r_s, v_s, p32_s = x
+        mass = p["dry_mass_kg"] + y[..., 8]
+        sc32 = dict(
+            cr=y[..., 6], cd=y[..., 7],
+            srp_area_m2=jnp.float32(p["srp_area_m2"]),
+            drag_area_m2=jnp.float32(p["drag_area_m2"]),
+            mass_kg=mass,
+        )
+        k = [stage_accel(t_s[0], y, r_s[0], v_s[0], p32_s[0], sc32)]
+        for i in range(1, S):
+            wi = float(a_tab[i, 0]) * k[0]
+            for j in range(1, i):
+                if a_tab[i, j] != 0.0:
+                    wi = wi + float(a_tab[i, j]) * k[j]
+            yi = y + dt32 * wi
+            k.append(stage_accel(t_s[i], yi, r_s[i], v_s[i], p32_s[i], sc32))
+        acc = float(b_tab[0]) * k[0]
+        for i in range(1, S):
+            if b_tab[i] != 0.0:
+                acc = acc + float(b_tab[i]) * k[i]
+        # Kahan-compensated update (f32 deviations, ~700 steps/day)
+        inc_eff = dt32 * acc + comp
+        y_new = y + inc_eff
+        comp_new = inc_eff - (y_new - y)
+        return (y_new, comp_new), None
+
+    y0_dev = jnp.asarray(y0_dev, jnp.float32)
+    comp0 = jnp.zeros_like(y0_dev)
+    (y_fin, _), _ = jax.lax.scan(body, (y0_dev, comp0), xs)
+    return y_fin, n_steps
+
+
 def make_encke_eom(dyn, ref: EnckeReference):
     """Deviation EOM `(t_rel [B], y [B, 9] f32, ctx, p) -> [B, 9] f32`.
 

@@ -260,11 +260,18 @@ def _mc_run_encke(
     skip: int = 0,
     stride_s: float = 60.0,
     tolerance: float = 1e-6,
+    step_mode: str = "fixed",
+    dt_s: float = 150.0,
 ) -> Results:
     """Encke mode (mc/encke.py): the nominal propagates once at full
-    quality; the ensemble advances as float32 DEVIATIONS around it, with
-    the adaptive tolerance relative to the deviation magnitude. 2-5x the
-    full-state throughput on TPU at sub-10 m ensemble accuracy over a day.
+    quality; the ensemble advances as float32 DEVIATIONS around it.
+
+    `step_mode="fixed"` (default) is the synchronized fixed-step scan:
+    every lane shares the same scalar stage times, so the reference state,
+    the frame rotation trig, and the reference perturbation are
+    precomputed per STAGE instead of per lane — the TPU-fast path (see
+    encke.propagate_fixed). `step_mode="adaptive"` keeps per-lane adaptive
+    steps with `tolerance` relative to the deviation magnitude.
 
     Restrictions: no guidance/thrust, no trajectory capture, no mesh
     sharding (add when needed); statistics come from recombined finals.
@@ -279,7 +286,8 @@ def _mc_run_encke(
     if prop.dynamics.has_guidance:
         raise NotImplementedError("encke mode does not support guidance")
 
-    key = (id(prop), epoch0.to_tai_seconds(), duration_s, stride_s, tolerance)
+    key = (id(prop), epoch0.to_tai_seconds(), duration_s, stride_s,
+           tolerance, step_mode, dt_s)
     hit = getattr(self, "_encke_cache", None)
     if hit is not None and hit[0] == key and hit[1] is prop:
         _, _, ref, y_ref_final, run, ctx = hit
@@ -290,20 +298,46 @@ def _mc_run_encke(
         inst = prop.with_state(template, almanac)
         y_ref_final = inst.for_duration(duration_s).to_vector()
         ctx = prop.dynamics.build_context(epoch0, duration_s, almanac)
-        eom = enc.make_encke_eom(prop.dynamics, ref)
-        opts = replace(
-            prop.opts,
-            tolerance=tolerance,
-            stage_mode=prop.opts.stage_mode,
-        )
         method = prop.method
+        if step_mode == "fixed":
+            dyn = prop.dynamics
 
-        @jax.jit
-        def run(y0_dev, dur, ctx_, p_):
-            return integrator.propagate(
-                eom, y0_dev, dur, opts, method,
-                state_dtype=jnp.float32, eom_args=(ctx_, p_),
+            @jax.jit
+            def run(y0_dev, dur, ctx_, p_):
+                y_fin, n_steps = enc.propagate_fixed(
+                    dyn, ref, y0_dev, duration_s, ctx_, p_, method,
+                    dt_s=dt_s,
+                )
+                B = y_fin.shape[0]
+                return integrator.PropResult(
+                    t=jnp.full((B,), duration_s),
+                    y=y_fin,
+                    status=jnp.where(
+                        jnp.all(jnp.isfinite(y_fin), axis=-1),
+                        integrator.DONE, integrator.FAILED_NAN,
+                    ).astype(jnp.int32),
+                    n_accepted=jnp.full((B,), n_steps, dtype=jnp.int32),
+                    n_rejected=jnp.zeros((B,), dtype=jnp.int32),
+                    error=jnp.zeros((B,)),
+                    step=jnp.full((B,), dt_s),
+                    traj_t=jnp.zeros((B, 1)),
+                    traj_y=jnp.zeros((B, 1, 9), dtype=jnp.float32),
+                    traj_len=jnp.zeros((B,), dtype=jnp.int32),
+                )
+        else:
+            eom = enc.make_encke_eom(prop.dynamics, ref)
+            opts = replace(
+                prop.opts,
+                tolerance=tolerance,
+                stage_mode=prop.opts.stage_mode,
             )
+
+            @jax.jit
+            def run(y0_dev, dur, ctx_, p_):
+                return integrator.propagate(
+                    eom, y0_dev, dur, opts, method,
+                    state_dtype=jnp.float32, eom_args=(ctx_, p_),
+                )
 
         self._encke_cache = (key, prop, ref, y_ref_final, run, ctx)
 
@@ -316,6 +350,10 @@ def _mc_run_encke(
         dry_mass_kg=template.dry_mass_kg,
         srp_area_m2=template.srp_area_m2,
         drag_area_m2=template.drag_area_m2,
+        # reference-lane parameters for the fixed-mode per-stage p32 table
+        cr_ref=template.cr,
+        cd_ref=template.cd,
+        mass_ref_kg=template.total_mass_kg,
     )
     res = run(jnp.asarray(y0_dev), duration_s, ctx, sc_params)
     dev = np.asarray(res.y, np.float64)

@@ -255,17 +255,22 @@ def test_encke_deviation_mode():
     end = epoch + 10_000.0
 
     full = MonteCarlo(mvn, seed=42).run_until_epoch(prop_h, alm, end, B)
-    enc = MonteCarlo(mvn, seed=42).run_until_epoch_encke(
-        prop_h, alm, end, B
-    )
-    assert enc.n_ok == B
-    err = np.linalg.norm(enc.y_final[:, :3] - full.y_final[:, :3], axis=1)
     spread = np.linalg.norm(
         full.y_final[:, :3] - full.y_final[:, :3].mean(0), axis=1
     ).max()
     assert spread > 10.0  # km — deviations really grew
-    assert err.max() < 2e-3, f"encke vs full max err {err.max()*1e3:.1f} m"
-    # ensemble statistics match to a tiny fraction of the dispersion
     std_full = np.std(full.y_final[:, :3], axis=0)
-    std_enc = np.std(enc.y_final[:, :3], axis=0)
-    np.testing.assert_allclose(std_enc, std_full, rtol=1e-3)
+    # both deviation integrators: the synchronized fixed-step scan (the
+    # TPU-fast default) and the per-lane adaptive while-loop
+    for step_mode in ("fixed", "adaptive"):
+        enc = MonteCarlo(mvn, seed=42).run_until_epoch_encke(
+            prop_h, alm, end, B, step_mode=step_mode
+        )
+        assert enc.n_ok == B
+        err = np.linalg.norm(enc.y_final[:, :3] - full.y_final[:, :3], axis=1)
+        assert err.max() < 2e-3, (
+            f"encke[{step_mode}] vs full max err {err.max()*1e3:.1f} m"
+        )
+        # ensemble statistics match to a tiny fraction of the dispersion
+        std_enc = np.std(enc.y_final[:, :3], axis=0)
+        np.testing.assert_allclose(std_enc, std_full, rtol=1e-3)
