@@ -145,6 +145,7 @@ def main():
         ekw = dict(
             step_mode=os.environ.get("NYX_BENCH_ENCKE_STEP", "fixed"),
             dt_s=float(os.environ.get("NYX_BENCH_ENCKE_DT", 150.0)),
+            integ=os.environ.get("NYX_BENCH_ENCKE_INTEG", "rk"),
         )
         mc.run_until_epoch_encke(prop, alm, end, B, **ekw)  # compile + ref
         t0 = time.time()

@@ -36,6 +36,8 @@ run bench_spi4         $B env NYX_BENCH_STEPS_PER_ITER=4 python bench.py
 run bench_encke        $B env NYX_BENCH_MODE=encke python bench.py
 run bench_encke_adapt  $B env NYX_BENCH_MODE=encke NYX_BENCH_ENCKE_STEP=adaptive python bench.py
 run bench_encke_dt300  $B env NYX_BENCH_MODE=encke NYX_BENCH_ENCKE_DT=300 python bench.py
+run bench_encke_abm    $B env NYX_BENCH_MODE=encke NYX_BENCH_ENCKE_INTEG=abm python bench.py
+run bench_encke_abm75  $B env NYX_BENCH_MODE=encke NYX_BENCH_ENCKE_INTEG=abm NYX_BENCH_ENCKE_DT=75 python bench.py
 run bench_encke_pallas $B env NYX_BENCH_MODE=encke NYX_BENCH_GRAV_BACKEND=pallas python bench.py
 run od_only            python bench.py --od-only
 run example04          env NYX_EX04_DEGREE=50 python examples/04_lro_od.py

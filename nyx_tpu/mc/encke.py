@@ -178,8 +178,41 @@ def _lagrange6_p32(ref: EnckeReference, t_rel):
     return out
 
 
+def _adams_coefficients(k: int):
+    """Exact Adams-Bashforth (k-step) and Adams-Moulton (k-step, order
+    k+1 used PECE) weights, derived by integrating the Lagrange basis
+    with `fractions.Fraction` — no transcribed tables to get wrong.
+
+    Returns (beta[k], gamma[k+1]) as float64 arrays; beta pairs with
+    f-history nodes s = 0, -1, ..., -(k-1) (newest first) and gamma with
+    s = +1, 0, -1, ..., -(k-1)."""
+    from fractions import Fraction
+
+    def weights(nodes):
+        out = []
+        for j, sj in enumerate(nodes):
+            # polynomial Π_{i≠j} (s - s_i) / (s_j - s_i), coeffs low->high
+            poly = [Fraction(1)]
+            denom = Fraction(1)
+            for i, si in enumerate(nodes):
+                if i == j:
+                    continue
+                denom *= sj - si
+                poly = [Fraction(0)] + poly  # * s
+                for d in range(len(poly) - 1):
+                    poly[d] -= si * poly[d + 1]
+            # ∫_0^1 poly ds
+            integ = sum(c / (d + 1) for d, c in enumerate(poly))
+            out.append(float(integ / denom))
+        return np.asarray(out)
+
+    ab_nodes = [Fraction(-i) for i in range(k)]
+    am_nodes = [Fraction(1)] + ab_nodes
+    return weights(ab_nodes), weights(am_nodes)
+
+
 def propagate_fixed(dyn, ref: EnckeReference, y0_dev, duration_s, ctx, p,
-                    method, dt_s: float = 150.0):
+                    method, dt_s: float = 150.0, integ: str = "rk"):
     """Synchronized fixed-step deviation propagation: one `lax.scan` where
     EVERY lane shares the same scalar stage times.
 
@@ -216,12 +249,9 @@ def propagate_fixed(dyn, ref: EnckeReference, y0_dev, duration_s, ctx, p,
     dt = float(duration_s) / n_steps  # land exactly on the end epoch
 
     pert = make_perturbation_fn(dyn)
+    mu = ctx.frame.mu
+    dt32 = jnp.float32(dt)
 
-    # ---- per-stage reference data, [n_steps, S, 3] ----------------------
-    t_base = dt * jnp.arange(n_steps, dtype=jnp.float64)
-    t_stage = t_base[:, None] + jnp.asarray(c_tab) * dt  # [n, S]
-    flat_t = t_stage.ravel()
-    r_ref, v_ref = _quintic(ref, flat_t)  # [n*S, 3] f64
     sc32_ref = dict(
         cr=jnp.float32(p.get("cr_ref", 1.8)),
         cd=jnp.float32(p.get("cd_ref", 2.2)),
@@ -229,20 +259,15 @@ def propagate_fixed(dyn, ref: EnckeReference, y0_dev, duration_s, ctx, p,
         drag_area_m2=jnp.float32(p["drag_area_m2"]),
         mass_kg=jnp.float32(p.get("mass_ref_kg", p["dry_mass_kg"])),
     )
-    t_tdb_flat = ctx.epoch0_tdb + flat_t
-    p32_ref = pert(
-        ctx, t_tdb_flat, r_ref.astype(jnp.float32),
-        v_ref.astype(jnp.float32), sc32_ref,
-    )  # [n*S, 3] f32
-    xs = (
-        t_stage,
-        r_ref.reshape(n_steps, S, 3),
-        v_ref.reshape(n_steps, S, 3),
-        p32_ref.reshape(n_steps, S, 3),
-    )
 
-    mu = ctx.frame.mu
-    dt32 = jnp.float32(dt)
+    def ref_tables(flat_t):
+        """(r_ref f64, v_ref f64, p32_ref f32) at shared times [T]."""
+        r_ref, v_ref = _quintic(ref, flat_t)
+        p32_ref = pert(
+            ctx, ctx.epoch0_tdb + flat_t, r_ref.astype(jnp.float32),
+            v_ref.astype(jnp.float32), sc32_ref,
+        )
+        return r_ref, v_ref, p32_ref
 
     def stage_accel(t_rel_s, y, r_ref_i, v_ref_i, p32_i, sc32):
         """[B, 9] deviation derivative at one shared stage time."""
@@ -261,16 +286,19 @@ def propagate_fixed(dyn, ref: EnckeReference, y0_dev, duration_s, ctx, p,
         zeros = jnp.zeros_like(y[..., 6:9])
         return jnp.concatenate([dv32, ddv, zeros], axis=-1)
 
-    def body(carry, x):
-        y, comp = carry
-        t_s, r_s, v_s, p32_s = x
-        mass = p["dry_mass_kg"] + y[..., 8]
-        sc32 = dict(
-            cr=y[..., 6], cd=y[..., 7],
-            srp_area_m2=jnp.float32(p["srp_area_m2"]),
-            drag_area_m2=jnp.float32(p["drag_area_m2"]),
-            mass_kg=mass,
-        )
+    y0_dev = jnp.asarray(y0_dev, jnp.float32)
+    comp0 = jnp.zeros_like(y0_dev)
+    # the parameter columns (cr, cd, prop mass) never change in this mode
+    # (no thrust), so the per-lane spacecraft dict is loop-invariant
+    sc32 = dict(
+        cr=y0_dev[..., 6], cd=y0_dev[..., 7],
+        srp_area_m2=jnp.float32(p["srp_area_m2"]),
+        drag_area_m2=jnp.float32(p["drag_area_m2"]),
+        mass_kg=p["dry_mass_kg"] + y0_dev[..., 8],
+    )
+
+    def rk_step(y, comp, t_s, r_s, v_s, p32_s):
+        """One S-stage RK step with a Kahan-compensated update."""
         k = [stage_accel(t_s[0], y, r_s[0], v_s[0], p32_s[0], sc32)]
         for i in range(1, S):
             wi = float(a_tab[i, 0]) * k[0]
@@ -283,16 +311,116 @@ def propagate_fixed(dyn, ref: EnckeReference, y0_dev, duration_s, ctx, p,
         for i in range(1, S):
             if b_tab[i] != 0.0:
                 acc = acc + float(b_tab[i]) * k[i]
-        # Kahan-compensated update (f32 deviations, ~700 steps/day)
         inc_eff = dt32 * acc + comp
         y_new = y + inc_eff
         comp_new = inc_eff - (y_new - y)
+        return y_new, comp_new
+
+    if integ == "abm" and n_steps >= 2 * _ABM_K:
+        return _propagate_abm(
+            ref_tables, stage_accel, rk_step, sc32, y0_dev, comp0,
+            n_steps, dt, dt32, c_tab,
+        ), n_steps
+
+    # ---- classic per-step RK scan: stage tables for every step ----------
+    t_base = dt * jnp.arange(n_steps, dtype=jnp.float64)
+    t_stage = t_base[:, None] + jnp.asarray(c_tab) * dt  # [n, S]
+    r_ref, v_ref, p32_ref = ref_tables(t_stage.ravel())
+    xs = (
+        t_stage,
+        r_ref.reshape(n_steps, S, 3),
+        v_ref.reshape(n_steps, S, 3),
+        p32_ref.reshape(n_steps, S, 3),
+    )
+
+    def body(carry, x):
+        y, comp = carry
+        t_s, r_s, v_s, p32_s = x
+        y_new, comp_new = rk_step(y, comp, t_s, r_s, v_s, p32_s)
         return (y_new, comp_new), None
 
-    y0_dev = jnp.asarray(y0_dev, jnp.float32)
-    comp0 = jnp.zeros_like(y0_dev)
     (y_fin, _), _ = jax.lax.scan(body, (y0_dev, comp0), xs)
     return y_fin, n_steps
+
+
+_ABM_K = 8  # Adams history length (AB8 predictor, AM corrector, PECE)
+
+
+def _propagate_abm(ref_tables, stage_accel, rk_step, sc32, y0_dev, comp0,
+                   n_steps, dt, dt32, c_tab):
+    """Adams-Bashforth-Moulton PECE main loop for the fixed-step Encke
+    path: TWO perturbation evaluations per step (predict + correct)
+    instead of the S=16 of an RK89 step — the classical fixed-step orbit
+    propagation economics (cf. GMAT's ABM integrators), applied to the
+    deviation dynamics where the smoothness assumption is safest (the
+    differential perturbation is tiny and slowly varying; the only
+    discontinuities are shadow crossings whose Encke differential is
+    ~1e-10 km/s^2, integrating to sub-micron ringing).
+
+    Startup: k-1 RK steps seed the f-history at the first k grid nodes —
+    run as their own small `lax.scan` so the RK stage graph compiles ONCE
+    (unrolling it k-1 times made XLA compile the force model ~120 times).
+    Coefficients are derived exactly at trace time (_adams_coefficients).
+    """
+    k_hist = _ABM_K
+    beta, gamma = _adams_coefficients(k_hist)
+    beta32 = [jnp.float32(b) for b in beta]
+    gamma32 = [jnp.float32(g) for g in gamma]
+    S = len(c_tab)
+
+    # node tables at every grid point 0..n_steps, [n+1]
+    t_nodes = dt * jnp.arange(n_steps + 1, dtype=jnp.float64)
+    rN, vN, pN = ref_tables(t_nodes)
+    # startup stage tables for steps 0..k-2, [k-1, S]
+    t_base = dt * jnp.arange(k_hist - 1, dtype=jnp.float64)
+    t_stage = t_base[:, None] + jnp.asarray(c_tab) * dt
+    rS, vS, pS = ref_tables(t_stage.ravel())
+    su_xs = (
+        t_stage,
+        rS.reshape(k_hist - 1, S, 3),
+        vS.reshape(k_hist - 1, S, 3),
+        pS.reshape(k_hist - 1, S, 3),
+        t_nodes[1:k_hist], rN[1:k_hist], vN[1:k_hist], pN[1:k_hist],
+    )
+
+    def su_body(carry, x):
+        y, comp = carry
+        t_s, r_s, v_s, p32_s, t1, r1, v1, p1 = x
+        y_new, comp_new = rk_step(y, comp, t_s, r_s, v_s, p32_s)
+        f1 = stage_accel(t1, y_new, r1, v1, p1, sc32)
+        return (y_new, comp_new), f1
+
+    (y, comp), f_rest = jax.lax.scan(su_body, (y0_dev, comp0), su_xs)
+    f0 = stage_accel(t_nodes[0], y0_dev, rN[0], vN[0], pN[0], sc32)
+    # [k, B, 9], newest first: nodes k-1, k-2, ..., 1, 0
+    fhist = jnp.concatenate([f_rest[::-1], f0[None]], axis=0)
+
+    xs = (t_nodes[k_hist:], rN[k_hist:], vN[k_hist:], pN[k_hist:])
+
+    def body(carry, x):
+        y, comp, fhist = carry
+        t1, r1, v1, p1 = x
+        # P: AB8 predictor
+        acc_p = beta32[0] * fhist[0]
+        for j in range(1, k_hist):
+            acc_p = acc_p + beta32[j] * fhist[j]
+        y_p = y + dt32 * acc_p
+        # E at the predicted point
+        f_p = stage_accel(t1, y_p, r1, v1, p1, sc32)
+        # C: AM corrector (Kahan-compensated, it defines the solution)
+        acc_c = gamma32[0] * f_p
+        for j in range(1, k_hist + 1):
+            acc_c = acc_c + gamma32[j] * fhist[j - 1]
+        inc_eff = dt32 * acc_c + comp
+        y_new = y + inc_eff
+        comp_new = inc_eff - (y_new - y)
+        # E at the corrected point -> becomes the stored history value
+        f_c = stage_accel(t1, y_new, r1, v1, p1, sc32)
+        fhist_new = jnp.concatenate([f_c[None], fhist[:-1]], axis=0)
+        return (y_new, comp_new, fhist_new), None
+
+    (y_fin, _, _), _ = jax.lax.scan(body, (y, comp, fhist), xs)
+    return y_fin
 
 
 def make_encke_eom(dyn, ref: EnckeReference):

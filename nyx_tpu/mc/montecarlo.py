@@ -262,6 +262,7 @@ def _mc_run_encke(
     tolerance: float = 1e-6,
     step_mode: str = "fixed",
     dt_s: float = 150.0,
+    integ: str = "rk",
 ) -> Results:
     """Encke mode (mc/encke.py): the nominal propagates once at full
     quality; the ensemble advances as float32 DEVIATIONS around it.
@@ -272,6 +273,10 @@ def _mc_run_encke(
     precomputed per STAGE instead of per lane — the TPU-fast path (see
     encke.propagate_fixed). `step_mode="adaptive"` keeps per-lane adaptive
     steps with `tolerance` relative to the deviation magnitude.
+
+    `integ` (fixed mode only): "rk" advances with the propagator's own
+    tableau; "abm" runs the AB8/AM PECE multistep main loop — two force
+    evaluations per step instead of S (encke._propagate_abm).
 
     Restrictions: no guidance/thrust, no trajectory capture, no mesh
     sharding (add when needed); statistics come from recombined finals.
@@ -287,7 +292,7 @@ def _mc_run_encke(
         raise NotImplementedError("encke mode does not support guidance")
 
     key = (id(prop), epoch0.to_tai_seconds(), duration_s, stride_s,
-           tolerance, step_mode, dt_s)
+           tolerance, step_mode, dt_s, integ)
     hit = getattr(self, "_encke_cache", None)
     if hit is not None and hit[0] == key and hit[1] is prop:
         _, _, ref, y_ref_final, run, ctx = hit
@@ -306,7 +311,7 @@ def _mc_run_encke(
             def run(y0_dev, dur, ctx_, p_):
                 y_fin, n_steps = enc.propagate_fixed(
                     dyn, ref, y0_dev, duration_s, ctx_, p_, method,
-                    dt_s=dt_s,
+                    dt_s=dt_s, integ=integ,
                 )
                 B = y_fin.shape[0]
                 return integrator.PropResult(

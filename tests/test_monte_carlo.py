@@ -260,16 +260,18 @@ def test_encke_deviation_mode():
     ).max()
     assert spread > 10.0  # km — deviations really grew
     std_full = np.std(full.y_final[:, :3], axis=0)
-    # both deviation integrators: the synchronized fixed-step scan (the
-    # TPU-fast default) and the per-lane adaptive while-loop
-    for step_mode in ("fixed", "adaptive"):
+    # all three deviation integrators: the synchronized fixed-step RK scan
+    # (the TPU-fast default), the AB8/AM PECE multistep (2 force evals per
+    # step), and the per-lane adaptive while-loop
+    for step_mode, integ in (("fixed", "rk"), ("fixed", "abm"),
+                             ("adaptive", "rk")):
         enc = MonteCarlo(mvn, seed=42).run_until_epoch_encke(
-            prop_h, alm, end, B, step_mode=step_mode
+            prop_h, alm, end, B, step_mode=step_mode, integ=integ
         )
         assert enc.n_ok == B
         err = np.linalg.norm(enc.y_final[:, :3] - full.y_final[:, :3], axis=1)
         assert err.max() < 2e-3, (
-            f"encke[{step_mode}] vs full max err {err.max()*1e3:.1f} m"
+            f"encke[{step_mode}/{integ}] vs full max err {err.max()*1e3:.1f} m"
         )
         # ensemble statistics match to a tiny fraction of the dispersion
         std_enc = np.std(enc.y_final[:, :3], axis=0)
