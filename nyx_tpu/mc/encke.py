@@ -212,7 +212,8 @@ def _adams_coefficients(k: int):
 
 
 def propagate_fixed(dyn, ref: EnckeReference, y0_dev, duration_s, ctx, p,
-                    method, dt_s: float = 150.0, integ: str = "rk"):
+                    method, dt_s: float = 150.0, integ: str = "rk",
+                    capture_every: int = 0):
     """Synchronized fixed-step deviation propagation: one `lax.scan` where
     EVERY lane shares the same scalar stage times.
 
@@ -239,13 +240,23 @@ def propagate_fixed(dyn, ref: EnckeReference, y0_dev, duration_s, ctx, p,
     dt=150 s holds the deviation local error at mm-level (|delta| ~ 1e2 km,
     (h*omega)^9 ~ 1e-7), validated in tests/test_monte_carlo.py.
 
-    Returns the final [B, 9] f32 deviations.
+    With `capture_every` = k > 0, the deviation state is also captured
+    every k-th grid node (the scan runs in k-step chunks, emitting once
+    per chunk — no [n_steps, B] buffer ever exists), and the return value
+    grows capture arrays: (y_fin, n_steps, cap_t [K] f64 relative
+    seconds, cap_y [K, B, 9] f32). Without capture, cap_t/cap_y are None.
     """
     S = method.stages
     a_tab = np.asarray(method.a_matrix)
     b_tab = np.asarray(method.b)
     c_tab = np.asarray(method.c)
     n_steps = max(1, int(np.ceil(duration_s / dt_s)))
+    ce = int(capture_every)
+    use_abm = integ == "abm" and n_steps >= 2 * _ABM_K
+    if ce > 0:
+        # align the grid so capture chunks tile the main loop exactly
+        start = _ABM_K - 1 if use_abm else 0
+        n_steps = start + ce * max(1, int(np.ceil((n_steps - start) / ce)))
     dt = float(duration_s) / n_steps  # land exactly on the end epoch
 
     pert = make_perturbation_fn(dyn)
@@ -316,11 +327,12 @@ def propagate_fixed(dyn, ref: EnckeReference, y0_dev, duration_s, ctx, p,
         comp_new = inc_eff - (y_new - y)
         return y_new, comp_new
 
-    if integ == "abm" and n_steps >= 2 * _ABM_K:
-        return _propagate_abm(
+    if use_abm:
+        y_fin, cap_t, cap_y = _propagate_abm(
             ref_tables, stage_accel, rk_step, sc32, y0_dev, comp0,
-            n_steps, dt, dt32, c_tab,
-        ), n_steps
+            n_steps, dt, dt32, c_tab, ce,
+        )
+        return y_fin, n_steps, cap_t, cap_y
 
     # ---- classic per-step RK scan: stage tables for every step ----------
     t_base = dt * jnp.arange(n_steps, dtype=jnp.float64)
@@ -339,15 +351,30 @@ def propagate_fixed(dyn, ref: EnckeReference, y0_dev, duration_s, ctx, p,
         y_new, comp_new = rk_step(y, comp, t_s, r_s, v_s, p32_s)
         return (y_new, comp_new), None
 
+    if ce > 0:
+        n_outer = n_steps // ce
+        xs_c = jax.tree.map(
+            lambda a: a.reshape((n_outer, ce) + a.shape[1:]), xs
+        )
+
+        def outer(carry, xc):
+            carry, _ = jax.lax.scan(body, carry, xc)
+            return carry, carry[0]
+
+        (y_fin, _), caps = jax.lax.scan(outer, (y0_dev, comp0), xs_c)
+        cap_t = dt * ce * jnp.arange(n_outer + 1, dtype=jnp.float64)
+        cap_y = jnp.concatenate([y0_dev[None], caps], axis=0)
+        return y_fin, n_steps, cap_t, cap_y
+
     (y_fin, _), _ = jax.lax.scan(body, (y0_dev, comp0), xs)
-    return y_fin, n_steps
+    return y_fin, n_steps, None, None
 
 
 _ABM_K = 8  # Adams history length (AB8 predictor, AM corrector, PECE)
 
 
 def _propagate_abm(ref_tables, stage_accel, rk_step, sc32, y0_dev, comp0,
-                   n_steps, dt, dt32, c_tab):
+                   n_steps, dt, dt32, c_tab, capture_every=0):
     """Adams-Bashforth-Moulton PECE main loop for the fixed-step Encke
     path: TWO perturbation evaluations per step (predict + correct)
     instead of the S=16 of an RK89 step — the classical fixed-step orbit
@@ -388,9 +415,9 @@ def _propagate_abm(ref_tables, stage_accel, rk_step, sc32, y0_dev, comp0,
         t_s, r_s, v_s, p32_s, t1, r1, v1, p1 = x
         y_new, comp_new = rk_step(y, comp, t_s, r_s, v_s, p32_s)
         f1 = stage_accel(t1, y_new, r1, v1, p1, sc32)
-        return (y_new, comp_new), f1
+        return (y_new, comp_new), (f1, y_new)
 
-    (y, comp), f_rest = jax.lax.scan(su_body, (y0_dev, comp0), su_xs)
+    (y, comp), (f_rest, y_su) = jax.lax.scan(su_body, (y0_dev, comp0), su_xs)
     f0 = stage_accel(t_nodes[0], y0_dev, rN[0], vN[0], pN[0], sc32)
     # [k, B, 9], newest first: nodes k-1, k-2, ..., 1, 0
     fhist = jnp.concatenate([f_rest[::-1], f0[None]], axis=0)
@@ -419,8 +446,31 @@ def _propagate_abm(ref_tables, stage_accel, rk_step, sc32, y0_dev, comp0,
         fhist_new = jnp.concatenate([f_c[None], fhist[:-1]], axis=0)
         return (y_new, comp_new, fhist_new), None
 
+    if capture_every > 0:
+        ce = capture_every
+        n_main = n_steps - (k_hist - 1)
+        n_outer = n_main // ce
+        xs_c = jax.tree.map(
+            lambda a: a.reshape((n_outer, ce) + a.shape[1:]), xs
+        )
+
+        def outer(carry, xc):
+            carry, _ = jax.lax.scan(body, carry, xc)
+            return carry, carry[0]
+
+        (y_fin, _, _), caps = jax.lax.scan(outer, (y, comp, fhist), xs_c)
+        # capture nodes: 0, 1..k-1 (startup, every node), then chunk ends
+        cap_t = jnp.concatenate([
+            t_nodes[:k_hist],
+            t_nodes[k_hist - 1] + dt * ce * jnp.arange(
+                1, n_outer + 1, dtype=jnp.float64
+            ),
+        ])
+        cap_y = jnp.concatenate([y0_dev[None], y_su, caps], axis=0)
+        return y_fin, cap_t, cap_y
+
     (y_fin, _, _), _ = jax.lax.scan(body, (y, comp, fhist), xs)
-    return y_fin
+    return y_fin, None, None
 
 
 def make_encke_eom(dyn, ref: EnckeReference):

@@ -170,6 +170,7 @@ class MonteCarlo:
                     self._results(
                         epoch0, end_epoch, template, res, take, n_capture,
                         y0_all[k * max_lanes_per_call:(k + 1) * max_lanes_per_call],
+                        interp_j2=self._interp_j2(prop),
                     )
                 )
                 progress.step(k, f"{(k + 1) * max_lanes_per_call} lanes")
@@ -195,10 +196,46 @@ class MonteCarlo:
         )
         run = self._compiled(prop, mesh, n_capture, capture_stride)
         res = run(y0, duration_s, ctx, sc_params)
-        return self._results(epoch0, end_epoch, template, res, n, n_capture, y0)
+        return self._results(epoch0, end_epoch, template, res, n, n_capture,
+                             y0, interp_j2=self._interp_j2(prop))
 
     @staticmethod
-    def _results(epoch0, end_epoch, template, res, take, n_capture, y0=None):
+    def _interp_j2(prop):
+        """(j2, radius_km) of the central body's harmonics model, fed to
+        the capture interpolant as end-acceleration data (0, 0) without
+        one."""
+        try:
+            for m in prop.dynamics.orbital_dyn.models:
+                j2 = getattr(m, "j2", None)
+                if j2:
+                    return float(j2), float(m.radius_km)
+        except AttributeError:
+            pass
+        return 0.0, 0.0
+
+    @staticmethod
+    def _results(epoch0, end_epoch, template, res, take, n_capture, y0=None,
+                 interp_j2=(0.0, 0.0)):
+        traj_t = traj_y = traj_len = None
+        y_initial = np.asarray(y0)[:take] if y0 is not None else None
+        if n_capture:
+            traj_t = np.asarray(res.traj_t)[:take]
+            traj_y = np.asarray(res.traj_y)[:take]
+            traj_len = np.asarray(res.traj_len)[:take]
+            if y_initial is not None:
+                # the integrator captures ACCEPTED steps, so the buffers
+                # start at the first step, not t=0 — queries at/near t=0
+                # would clamp to it (measured 1,300 km of error on a LEO
+                # arc). Prepend the initial state as sample 0.
+                B, K, N = traj_y.shape
+                traj_t = np.concatenate(
+                    [np.zeros((B, 1)), traj_t], axis=1
+                )
+                traj_y = np.concatenate(
+                    [y_initial[:, None, :N].astype(traj_y.dtype), traj_y],
+                    axis=1,
+                )
+                traj_len = traj_len + 1
         return Results(
             epoch0=epoch0,
             end_epoch=end_epoch,
@@ -207,10 +244,12 @@ class MonteCarlo:
             status=np.asarray(res.status)[:take],
             n_accepted=np.asarray(res.n_accepted)[:take],
             n_rejected=np.asarray(res.n_rejected)[:take],
-            traj_t=np.asarray(res.traj_t)[:take] if n_capture else None,
-            traj_y=np.asarray(res.traj_y)[:take] if n_capture else None,
-            traj_len=np.asarray(res.traj_len)[:take] if n_capture else None,
-            y_initial=np.asarray(y0)[:take] if y0 is not None else None,
+            traj_t=traj_t,
+            traj_y=traj_y,
+            traj_len=traj_len,
+            y_initial=y_initial,
+            interp_j2=interp_j2[0],
+            interp_re_km=interp_j2[1],
         )
 
     # reference alias
@@ -263,6 +302,7 @@ def _mc_run_encke(
     step_mode: str = "fixed",
     dt_s: float = 150.0,
     integ: str = "rk",
+    n_capture: int = 0,
 ) -> Results:
     """Encke mode (mc/encke.py): the nominal propagates once at full
     quality; the ensemble advances as float32 DEVIATIONS around it.
@@ -278,8 +318,13 @@ def _mc_run_encke(
     tableau; "abm" runs the AB8/AM PECE multistep main loop — two force
     evaluations per step instead of S (encke._propagate_abm).
 
-    Restrictions: no guidance/thrust, no trajectory capture, no mesh
-    sharding (add when needed); statistics come from recombined finals.
+    `n_capture` > 0 (fixed mode only) retains ~n_capture trajectory
+    samples per run (grid nodes, recombined with the f64 reference on
+    device), enabling every_value_of / locate_nth_event / ensemble
+    export at deviation-mode speed.
+
+    Restrictions: no guidance/thrust, no mesh sharding (add when
+    needed); statistics come from recombined finals.
     """
     from dataclasses import replace
 
@@ -291,8 +336,12 @@ def _mc_run_encke(
     if prop.dynamics.has_guidance:
         raise NotImplementedError("encke mode does not support guidance")
 
+    if n_capture > 0 and step_mode != "fixed":
+        raise NotImplementedError(
+            "encke trajectory capture requires step_mode='fixed'"
+        )
     key = (id(prop), epoch0.to_tai_seconds(), duration_s, stride_s,
-           tolerance, step_mode, dt_s, integ)
+           tolerance, step_mode, dt_s, integ, n_capture)
     hit = getattr(self, "_encke_cache", None)
     if hit is not None and hit[0] == key and hit[1] is prop:
         _, _, ref, y_ref_final, run, ctx = hit
@@ -306,14 +355,35 @@ def _mc_run_encke(
         method = prop.method
         if step_mode == "fixed":
             dyn = prop.dynamics
+            capture_every = 0
+            if n_capture > 0:
+                n_est = max(1, int(np.ceil(duration_s / dt_s)))
+                capture_every = max(1, n_est // n_capture)
 
             @jax.jit
             def run(y0_dev, dur, ctx_, p_):
-                y_fin, n_steps = enc.propagate_fixed(
+                y_fin, n_steps, cap_t, cap_y = enc.propagate_fixed(
                     dyn, ref, y0_dev, duration_s, ctx_, p_, method,
-                    dt_s=dt_s, integ=integ,
+                    dt_s=dt_s, integ=integ, capture_every=capture_every,
                 )
                 B = y_fin.shape[0]
+                if cap_t is not None:
+                    # recombine with the f64 reference on device:
+                    # [K, 6] reference + [K, B, 6] deviations -> [B, K, 9]
+                    r_ref, v_ref = enc._quintic(ref, cap_t)
+                    ref6 = jnp.concatenate([r_ref, v_ref], axis=-1)
+                    dev64 = cap_y.astype(jnp.float64)
+                    full6 = ref6[:, None, :] + dev64[..., 0:6]
+                    traj_y = jnp.concatenate(
+                        [full6, dev64[..., 6:9]], axis=-1
+                    ).transpose(1, 0, 2)
+                    K = cap_t.shape[0]
+                    traj_t = jnp.broadcast_to(cap_t[None], (B, K))
+                    traj_len = jnp.full((B,), K, dtype=jnp.int32)
+                else:
+                    traj_t = jnp.zeros((B, 1))
+                    traj_y = jnp.zeros((B, 1, 9), dtype=jnp.float32)
+                    traj_len = jnp.zeros((B,), dtype=jnp.int32)
                 return integrator.PropResult(
                     t=jnp.full((B,), duration_s),
                     y=y_fin,
@@ -325,9 +395,9 @@ def _mc_run_encke(
                     n_rejected=jnp.zeros((B,), dtype=jnp.int32),
                     error=jnp.zeros((B,)),
                     step=jnp.full((B,), dt_s),
-                    traj_t=jnp.zeros((B, 1)),
-                    traj_y=jnp.zeros((B, 1, 9), dtype=jnp.float32),
-                    traj_len=jnp.zeros((B,), dtype=jnp.int32),
+                    traj_t=traj_t,
+                    traj_y=traj_y,
+                    traj_len=traj_len,
                 )
         else:
             eom = enc.make_encke_eom(prop.dynamics, ref)
@@ -365,6 +435,8 @@ def _mc_run_encke(
     y_final = np.concatenate(
         [y_ref_final[None, 0:6] + dev[:, 0:6], dev[:, 6:9]], axis=1
     )
+    has_traj = n_capture > 0
+    j2, re = MonteCarlo._interp_j2(prop)
     return Results(
         epoch0=epoch0,
         end_epoch=end_epoch,
@@ -374,6 +446,11 @@ def _mc_run_encke(
         n_accepted=np.asarray(res.n_accepted),
         n_rejected=np.asarray(res.n_rejected),
         y_initial=y0,
+        traj_t=np.asarray(res.traj_t) if has_traj else None,
+        traj_y=np.asarray(res.traj_y) if has_traj else None,
+        traj_len=np.asarray(res.traj_len) if has_traj else None,
+        interp_j2=j2,
+        interp_re_km=re,
     )
 
 

@@ -18,25 +18,75 @@ from ..time import Epoch
 from ..errors import MonteCarloError
 
 
-def _hermite_cubic(t0, t1, y0, y1, t):
-    """Two-point cubic Hermite on captured steps: y = [.., r(3), v(3), ..];
-    interpolates position with matching end velocities, velocity with the
-    cubic's derivative, everything else linearly. Shapes broadcast over
-    leading axes; t in [t0, t1]."""
+def _two_body_j2_accel(r, mu, j2, re):
+    """[.., 3] end-node acceleration for the quintic interpolant: two-body
+    plus the J2 zonal term about the inertial z-axis (the true pole is
+    within ~0.003 rad of z in EME2000; the residual is third-order here).
+    Vallado Eq. 8-30 form."""
+    rm = np.maximum(np.linalg.norm(r, axis=-1, keepdims=True), 1e-12)
+    a = (-mu / rm**3) * r
+    if j2 > 0.0 and re > 0.0:
+        z2_r2 = (r[..., 2:3] / rm) ** 2
+        k = -1.5 * j2 * mu * re**2 / rm**5
+        fac = np.concatenate(
+            [1.0 - 5.0 * z2_r2, 1.0 - 5.0 * z2_r2, 3.0 - 5.0 * z2_r2],
+            axis=-1,
+        )
+        a = a + k * fac * r
+    return a
+
+
+def _hermite_cubic(t0, t1, y0, y1, t, mu: float = 0.0, j2: float = 0.0,
+                   re: float = 0.0):
+    """Two-point Hermite on captured steps: y = [.., r(3), v(3), ..];
+    QUINTIC on position when `mu` > 0, using the end velocities and the
+    analytic two-body accelerations a = -mu r/|r|^3 as end data (the
+    neglected perturbation is ~1e-3 of a, cutting interpolation error
+    ~1000x vs the plain cubic — km-level sma wiggle between 150 s capture
+    nodes becomes metre-level). Velocity is the quintic's derivative;
+    everything else is linear. mu = 0 keeps the original cubic. Shapes
+    broadcast over leading axes; t in [t0, t1]."""
     h = np.maximum(t1 - t0, 1e-12)
     s = np.clip((t - t0) / h, 0.0, 1.0)[..., None]
-    h00 = 2 * s**3 - 3 * s**2 + 1
-    h10 = s**3 - 2 * s**2 + s
-    h01 = -2 * s**3 + 3 * s**2
-    h11 = s**3 - s**2
-    d00 = (6 * s**2 - 6 * s) / h[..., None]
-    d10 = (3 * s**2 - 4 * s + 1)
-    d01 = (-6 * s**2 + 6 * s) / h[..., None]
-    d11 = (3 * s**2 - 2 * s)
     r0, v0 = y0[..., 0:3], y0[..., 3:6]
     r1, v1 = y1[..., 0:3], y1[..., 3:6]
     hN = h[..., None]
     out = y0 + (y1 - y0) * s  # linear for mass/Cr/Cd columns
+    s2 = s * s
+    s3 = s2 * s
+    if mu > 0.0:
+        a0 = _two_body_j2_accel(r0, mu, j2, re)
+        a1 = _two_body_j2_accel(r1, mu, j2, re)
+        s4 = s3 * s
+        s5 = s4 * s
+        h00 = 1 - 10 * s3 + 15 * s4 - 6 * s5
+        h10 = s - 6 * s3 + 8 * s4 - 3 * s5
+        h20 = 0.5 * s2 - 1.5 * s3 + 1.5 * s4 - 0.5 * s5
+        h01 = 10 * s3 - 15 * s4 + 6 * s5
+        h11 = -4 * s3 + 7 * s4 - 3 * s5
+        h21 = 0.5 * s3 - s4 + 0.5 * s5
+        out[..., 0:3] = (
+            h00 * r0 + h10 * hN * v0 + h20 * hN**2 * a0
+            + h01 * r1 + h11 * hN * v1 + h21 * hN**2 * a1
+        )
+        d00 = (-30 * s2 + 60 * s3 - 30 * s4) / hN
+        d10 = 1 - 18 * s2 + 32 * s3 - 15 * s4
+        d20 = (s - 4.5 * s2 + 6 * s3 - 2.5 * s4) * hN
+        d01 = (30 * s2 - 60 * s3 + 30 * s4) / hN
+        d11 = -12 * s2 + 28 * s3 - 15 * s4
+        d21 = (1.5 * s2 - 4 * s3 + 2.5 * s4) * hN
+        out[..., 3:6] = (
+            d00 * r0 + d10 * v0 + d20 * a0 + d01 * r1 + d11 * v1 + d21 * a1
+        )
+        return out
+    h00 = 2 * s3 - 3 * s2 + 1
+    h10 = s3 - 2 * s2 + s
+    h01 = -2 * s3 + 3 * s2
+    h11 = s3 - s2
+    d00 = (6 * s2 - 6 * s) / hN
+    d10 = (3 * s2 - 4 * s + 1)
+    d01 = (-6 * s2 + 6 * s) / hN
+    d11 = (3 * s2 - 2 * s)
     out[..., 0:3] = h00 * r0 + h10 * hN * v0 + h01 * r1 + h11 * hN * v1
     out[..., 3:6] = d00 * r0 + d10 * v0 + d01 * r1 + d11 * v1
     return out
@@ -61,6 +111,10 @@ class Results:
     event_found: Optional[np.ndarray] = None  # [B] bool
     #: dispersed initial states (for first_values_of; mc/results.rs:117-137)
     y_initial: Optional[np.ndarray] = None  # [B, 9]
+    #: J2/radius of the propagation's central body, used as end-node
+    #: acceleration data by the quintic capture interpolant (0 = two-body)
+    interp_j2: float = 0.0
+    interp_re_km: float = 0.0
 
     @property
     def n_runs(self) -> int:
@@ -116,7 +170,7 @@ class Results:
         from ..md.trajectory import Trajectory
 
         k = int(self.traj_len[index])
-        # prepend the initial sample if the first captured step is not t=0
+        # sample 0 is the initial state (prepended in MonteCarlo._results)
         ts = self.traj_t[index, :k]
         ys = self.traj_y[index, :k]
         return Trajectory.from_capture(self.epoch0, ts, ys, self.template)
@@ -132,8 +186,11 @@ class Results:
         # per-lane Python loop below is the no-toolchain fallback
         from .. import native
 
+        mu = self.template.frame.mu or 0.0
+        j2, re = self.interp_j2, self.interp_re_km
         nat = native.hermite_interp_ensemble(
-            self.traj_t, self.traj_y, self.traj_len, np.asarray(t_rel)
+            self.traj_t, self.traj_y, self.traj_len, np.asarray(t_rel),
+            mu, j2, re,
         )
         if nat is not None:
             return nat
@@ -144,7 +201,7 @@ class Results:
             ys = self.traj_y[b, :k]
             idx = np.clip(np.searchsorted(ts, t_rel), 1, k - 1)
             out[b] = _hermite_cubic(
-                ts[idx - 1], ts[idx], ys[idx - 1], ys[idx], t_rel
+                ts[idx - 1], ts[idx], ys[idx - 1], ys[idx], t_rel, mu, j2, re
             )
         return out
 
@@ -204,16 +261,17 @@ class Results:
         # vectorized bisection on the Hermite segment (all lanes at once)
         a, b = t_lo.copy(), t_hi.copy()
         g_lo = g[lanes, seg]
+        j2, re = self.interp_j2, self.interp_re_km
         for _ in range(40):
             mid = 0.5 * (a + b)
-            y_mid = _hermite_cubic(t_lo, t_hi, y_lo, y_hi, mid)
+            y_mid = _hermite_cubic(t_lo, t_hi, y_lo, y_hi, mid, mu, j2, re)
             g_mid = np.asarray(event.g(jnp.asarray(y_mid[:, :9]), mu, radius))
             left = g_lo * g_mid > 0.0
             a = np.where(left, mid, a)
             g_lo = np.where(left, g_mid, g_lo)
             b = np.where(left, b, mid)
         t_ev = 0.5 * (a + b)
-        y_ev = _hermite_cubic(t_lo, t_hi, y_lo, y_hi, t_ev)
+        y_ev = _hermite_cubic(t_lo, t_hi, y_lo, y_hi, t_ev, mu, j2, re)
         self.event_t = np.where(found, t_ev, self.traj_t[lanes, np.maximum(self.traj_len - 1, 0)])
         self.event_y = np.where(found[:, None], y_ev, self.y_final)
         self.event_found = found
@@ -234,6 +292,7 @@ class Results:
             self.n_accepted[:n], self.n_rejected[:n],
             sl(self.traj_t), sl(self.traj_y), sl(self.traj_len),
             sl(self.event_t), sl(self.event_y), sl(self.event_found),
+            sl(self.y_initial), self.interp_j2, self.interp_re_km,
         )
 
     @classmethod
@@ -250,7 +309,7 @@ class Results:
             cat("y_final"), cat("status"), cat("n_accepted"), cat("n_rejected"),
             cat("traj_t"), cat("traj_y"), cat("traj_len"),
             cat("event_t"), cat("event_y"), cat("event_found"),
-            cat("y_initial"),
+            cat("y_initial"), first.interp_j2, first.interp_re_km,
         )
 
     def to_parquet(

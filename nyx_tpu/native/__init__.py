@@ -60,14 +60,17 @@ def lib() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_double),
                 ctypes.POINTER(ctypes.c_double),
+                ctypes.c_double, ctypes.c_double, ctypes.c_double,
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ]
             _LIB.hermite_interp_ensemble.restype = None
     return _LIB
 
 
-def hermite_interp_ensemble(traj_t, traj_y, traj_len, t_grid):
-    """[B, G, N] ensemble states at grid times, or None if unavailable."""
+def hermite_interp_ensemble(traj_t, traj_y, traj_len, t_grid, mu=0.0,
+                            j2=0.0, re=0.0):
+    """[B, G, N] ensemble states at grid times (quintic Hermite with
+    two-body+J2 end accelerations when mu > 0), or None if unavailable."""
     L = lib()
     if L is None:
         return None
@@ -86,6 +89,6 @@ def hermite_interp_ensemble(traj_t, traj_y, traj_len, t_grid):
     L.hermite_interp_ensemble(
         p(traj_t, ctypes.c_double), p(traj_y, ctypes.c_double),
         p(traj_len, ctypes.c_int32), p(t_grid, ctypes.c_double),
-        p(out, ctypes.c_double), B, K, N, G,
+        p(out, ctypes.c_double), float(mu), float(j2), float(re), B, K, N, G,
     )
     return out

@@ -276,3 +276,67 @@ def test_encke_deviation_mode():
         # ensemble statistics match to a tiny fraction of the dispersion
         std_enc = np.std(enc.y_final[:, :3], axis=0)
         np.testing.assert_allclose(std_enc, std_full, rtol=1e-3)
+
+
+def test_encke_trajectory_capture():
+    """Fixed-step Encke capture (deviations recombined with the f64
+    reference on device): time-history queries and event location agree
+    with the full-state capture path, for both the RK and ABM main loops.
+    Also guards the t=0 sample: both buffers must interpolate the INITIAL
+    state exactly (the full-state capture once clamped t~0 queries to the
+    first accepted step, ~1,300 km of error)."""
+    from nyx_tpu.dynamics import Drag, Harmonics, SolarPressure
+    from nyx_tpu.ephem.almanac import Almanac
+    from nyx_tpu.io.gravity import GravityFieldData
+    from nyx_tpu.md.events import Event
+
+    epoch = Epoch.from_gregorian_utc(2021, 3, 4)
+    orbit = Orbit.keplerian(7136.6, 2e-4, 51.6, 30.0, 65.0, 80.0, epoch,
+                            Frames.EME2000)
+    sc = Spacecraft.new(orbit, 100.0, 0.0, 2.0, 2.0, 1.8, 2.2)
+    stor = GravityFieldData.from_cof(
+        "/root/reference/data/01_planetary/JGM3.cof.gz", 21, 21, True,
+        Frames.IAU_EARTH,
+    )
+    dyn = SpacecraftDynamics(
+        OrbitalDynamics.from_model(
+            Harmonics.from_stor(stor, precision="split"), Frames.EME2000
+        ),
+        (SolarPressure.default(), Drag.earth_exp()),
+    )
+    opts = IntegratorOptions.with_adaptive_step(0.1, 2700.0, 1e-9)
+    prop = Propagator.rk89(dyn, opts)
+    mvn = MvnSpacecraft(sc, [
+        StateDispersion("sma", 0.5), StateDispersion("inc", 0.01),
+    ])
+    alm = Almanac()
+    B = 4
+    end = epoch + 10_000.0
+    full = MonteCarlo(mvn, seed=7).run_until_epoch(
+        prop, alm, end, B, n_capture=256
+    )
+    ts = np.arange(0.0, 10_000.0, 600.0)
+    yf = full._interp_all(ts)
+    # t=0 must reproduce the initial states exactly (prepended sample)
+    np.testing.assert_allclose(yf[:, 0, :6], full.y_initial[:, :6],
+                               rtol=0, atol=1e-9)
+    ev = Event("declination", 0.0)
+    full.locate_nth_event(ev, 1)
+    for integ in ("rk", "abm"):
+        enc = MonteCarlo(mvn, seed=7).run_until_epoch_encke(
+            prop, alm, end, B, integ=integ, n_capture=64
+        )
+        assert enc.has_trajectories
+        ye = enc._interp_all(ts)
+        np.testing.assert_allclose(ye[:, 0, :6], enc.y_initial[:, :6],
+                                   rtol=0, atol=1e-6)
+        d = np.linalg.norm(yf[..., :3] - ye[..., :3], axis=-1)
+        assert d.max() < 0.05, f"[{integ}] pos diff {d.max()*1e3:.1f} m"
+        # sma time history to metre-level of the full path at every grid
+        # time (quintic capture interpolant with two-body+J2 end data)
+        _, sma_f = full.every_value_of("sma", 600.0)
+        _, sma_e = enc.every_value_of("sma", 600.0)
+        assert np.abs(sma_f - sma_e).max() < 0.01
+        enc.locate_nth_event(ev, 1)
+        assert enc.event_found.all()
+        assert np.abs(enc.event_t - full.event_t).max() < 0.5

@@ -13,7 +13,14 @@ def _synthetic_capture(B=17, K=40, N=9, seed=2):
     return traj_t, traj_y, traj_len
 
 
-def test_hermite_native_matches_python():
+@pytest.mark.parametrize("mu,j2,re", [
+    (0.0, 0.0, 0.0),                          # plain cubic
+    (398600.4418, 0.0, 0.0),                  # quintic, two-body ends
+    (398600.4418, 1.08263e-3, 6378.1363),     # quintic, two-body+J2 ends
+])
+def test_hermite_native_matches_python(mu, j2, re):
+    """The cubic (mu=0) and quintic-with-two-body(+J2)-acceleration forms
+    of the native kernel match the numpy fallback exactly."""
     from nyx_tpu import native
     from nyx_tpu.mc.results import _hermite_cubic
 
@@ -21,7 +28,8 @@ def test_hermite_native_matches_python():
         pytest.skip("no native toolchain")
     traj_t, traj_y, traj_len = _synthetic_capture()
     t_grid = np.linspace(-10.0, 3700.0, 97)  # includes out-of-range clamps
-    out = native.hermite_interp_ensemble(traj_t, traj_y, traj_len, t_grid)
+    out = native.hermite_interp_ensemble(traj_t, traj_y, traj_len, t_grid,
+                                         mu, j2, re)
     B, K, N = traj_y.shape
     # reference: the per-lane numpy path from Results._interp_all
     expect = np.empty((B, len(t_grid), N))
@@ -31,7 +39,7 @@ def test_hermite_native_matches_python():
         ys = traj_y[b, :k]
         idx = np.clip(np.searchsorted(ts, t_grid), 1, k - 1)
         expect[b] = _hermite_cubic(ts[idx - 1], ts[idx], ys[idx - 1], ys[idx],
-                                   t_grid)
+                                   t_grid, mu, j2, re)
     np.testing.assert_allclose(out, expect, rtol=1e-12, atol=1e-9)
 
 
