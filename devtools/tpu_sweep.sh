@@ -28,17 +28,16 @@ run() {
 # NYX_BENCH_OD_TIMEOUT_S=1 skips the embedded OD sub-bench (od_only below
 # measures it once); each MC entry then times pure propagation throughput.
 B="env NYX_BENCH_OD_TIMEOUT_S=1"
-run bench_xla          $B python bench.py
-run bench_pallas       $B env NYX_BENCH_GRAV_BACKEND=pallas python bench.py
-run bench_b8192        $B env NYX_BENCH_B=8192 python bench.py
-run bench_spi2         $B env NYX_BENCH_STEPS_PER_ITER=2 python bench.py
-run bench_spi4         $B env NYX_BENCH_STEPS_PER_ITER=4 python bench.py
-run bench_encke        $B env NYX_BENCH_MODE=encke python bench.py
-run bench_encke_adapt  $B env NYX_BENCH_MODE=encke NYX_BENCH_ENCKE_STEP=adaptive python bench.py
-run bench_encke_dt300  $B env NYX_BENCH_MODE=encke NYX_BENCH_ENCKE_DT=300 python bench.py
-run bench_encke_abm    $B env NYX_BENCH_MODE=encke NYX_BENCH_ENCKE_INTEG=abm python bench.py
-run bench_encke_abm75  $B env NYX_BENCH_MODE=encke NYX_BENCH_ENCKE_INTEG=abm NYX_BENCH_ENCKE_DT=75 python bench.py
-run bench_encke_pallas $B env NYX_BENCH_MODE=encke NYX_BENCH_GRAV_BACKEND=pallas python bench.py
+run bench_encke_abm    $B python bench.py   # the default: encke fixed + AB8/AM
+run bench_encke_rk     $B env NYX_BENCH_ENCKE_INTEG=rk python bench.py
+run bench_encke_abm75  $B env NYX_BENCH_ENCKE_DT=75 python bench.py
+run bench_encke_dt300  $B env NYX_BENCH_ENCKE_DT=300 python bench.py
+run bench_encke_adapt  $B env NYX_BENCH_ENCKE_STEP=adaptive python bench.py
+run bench_encke_pallas $B env NYX_BENCH_GRAV_BACKEND=pallas python bench.py
+run bench_full         $B env NYX_BENCH_MODE=full python bench.py
+run bench_full_pallas  $B env NYX_BENCH_MODE=full NYX_BENCH_GRAV_BACKEND=pallas python bench.py
+run bench_full_b8192   $B env NYX_BENCH_MODE=full NYX_BENCH_B=8192 python bench.py
+run bench_full_spi4    $B env NYX_BENCH_MODE=full NYX_BENCH_STEPS_PER_ITER=4 python bench.py
 run od_only            python bench.py --od-only
 run example04          env NYX_EX04_DEGREE=50 python examples/04_lro_od.py
 run example03_drift    env NYX_EX03_TPU=1 python examples/03_geo_analysis.py --drift-bench

@@ -303,6 +303,7 @@ def _mc_run_encke(
     dt_s: float = 150.0,
     integ: str = "rk",
     n_capture: int = 0,
+    mesh=None,
 ) -> Results:
     """Encke mode (mc/encke.py): the nominal propagates once at full
     quality; the ensemble advances as float32 DEVIATIONS around it.
@@ -323,8 +324,13 @@ def _mc_run_encke(
     device), enabling every_value_of / locate_nth_event / ensemble
     export at deviation-mode speed.
 
-    Restrictions: no guidance/thrust, no mesh sharding (add when
-    needed); statistics come from recombined finals.
+    `mesh`: a 1-D ensemble device mesh — the deviation lanes shard over
+    it exactly like the full-state path (the reference tables replicate;
+    the hot loop is elementwise over lanes, so SPMD partitioning needs no
+    communication).
+
+    Restrictions: no guidance/thrust; statistics come from recombined
+    finals.
     """
     from dataclasses import replace
 
@@ -430,8 +436,14 @@ def _mc_run_encke(
         cd_ref=template.cd,
         mass_ref_kg=template.total_mass_kg,
     )
-    res = run(jnp.asarray(y0_dev), duration_s, ctx, sc_params)
-    dev = np.asarray(res.y, np.float64)
+    y0_in = jnp.asarray(y0_dev)
+    if mesh is not None:
+        from ..parallel.mesh import pad_to_multiple, shard_ensemble
+
+        y0_in, _ = pad_to_multiple(y0_in, mesh.devices.size)
+        y0_in = shard_ensemble(y0_in, mesh)
+    res = run(y0_in, duration_s, ctx, sc_params)
+    dev = np.asarray(res.y, np.float64)[:n]
     y_final = np.concatenate(
         [y_ref_final[None, 0:6] + dev[:, 0:6], dev[:, 6:9]], axis=1
     )
@@ -442,13 +454,13 @@ def _mc_run_encke(
         end_epoch=end_epoch,
         template=template,
         y_final=y_final,
-        status=np.asarray(res.status),
-        n_accepted=np.asarray(res.n_accepted),
-        n_rejected=np.asarray(res.n_rejected),
+        status=np.asarray(res.status)[:n],
+        n_accepted=np.asarray(res.n_accepted)[:n],
+        n_rejected=np.asarray(res.n_rejected)[:n],
         y_initial=y0,
-        traj_t=np.asarray(res.traj_t) if has_traj else None,
-        traj_y=np.asarray(res.traj_y) if has_traj else None,
-        traj_len=np.asarray(res.traj_len) if has_traj else None,
+        traj_t=np.asarray(res.traj_t)[:n] if has_traj else None,
+        traj_y=np.asarray(res.traj_y)[:n] if has_traj else None,
+        traj_len=np.asarray(res.traj_len)[:n] if has_traj else None,
         interp_j2=j2,
         interp_re_km=re,
     )

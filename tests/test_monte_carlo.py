@@ -340,3 +340,21 @@ def test_encke_trajectory_capture():
         enc.locate_nth_event(ev, 1)
         assert enc.event_found.all()
         assert np.abs(enc.event_t - full.event_t).max() < 0.5
+
+
+def test_encke_sharded_matches_unsharded(setup):
+    """Fixed-step Encke deviations shard over the ensemble mesh with zero
+    communication: an 8-device run matches the single-device run exactly
+    (including a padding case, B=20 not divisible by 8)."""
+    sc, mvn, prop = setup
+    end = EPOCH + 7200.0
+    plain = MonteCarlo(mvn, seed=13).run_until_epoch_encke(
+        prop, None, end, 20, integ="abm"
+    )
+    mesh = ensemble_mesh()
+    sharded = MonteCarlo(mvn, seed=13).run_until_epoch_encke(
+        prop, None, end, 20, integ="abm", mesh=mesh
+    )
+    assert sharded.n_runs == 20
+    np.testing.assert_allclose(plain.y_final, sharded.y_final,
+                               rtol=0, atol=1e-9)
