@@ -9,6 +9,7 @@ STM, (2) run a 5000-member Monte Carlo through the same dynamics, and
 compare the 3-sigma envelopes.
 """
 
+import os
 import sys
 from pathlib import Path
 
@@ -61,10 +62,22 @@ def main():
     # --- Monte Carlo through the same dynamics (main.rs:133-146) --------
     mvn = MvnSpacecraft.from_covariance(sc, est0.covar)
     mc = MonteCarlo(mvn, seed=2024)
-    n = 5000
-    print(f"running {n}-member Monte Carlo...")
-    res = mc.run_until_epoch(prop, almanac, epoch + 6.5 * 86_400.0, n,
-                             max_lanes_per_call=2048, n_capture=1024)
+    n = int(os.environ.get("NYX_EX02_N", 5000))
+    mode = os.environ.get("NYX_EX02_MODE", "encke")
+    print(f"running {n}-member Monte Carlo ({mode} mode)...")
+    if mode == "encke":
+        # the fast path: f32 deviations around one f64 reference, AB8/AM
+        # fixed-step main loop, trajectory capture recombined on device.
+        # dt=600 s: the orbit is slow (perigee rate ~6.6e-5 rad/s so
+        # h*omega ~ 0.04); validated against the full-state path in
+        # tests/test_monte_carlo.py on a much faster LEO arc.
+        res = mc.run_until_epoch_encke(
+            prop, almanac, epoch + 6.5 * 86_400.0, n,
+            integ="abm", dt_s=600.0, n_capture=1024,
+        )
+    else:
+        res = mc.run_until_epoch(prop, almanac, epoch + 6.5 * 86_400.0, n,
+                                 max_lanes_per_call=2048, n_capture=1024)
     print(f"{res.n_ok}/{res.n_runs} trajectories completed")
     finals = res.y_final[:, :3]
     std = np.std(finals - finals.mean(axis=0), axis=0)

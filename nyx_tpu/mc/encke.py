@@ -73,7 +73,11 @@ def make_perturbation_fn(dyn):
             )
         for fm in force_models:
             a = a + fm.force_per_mass(ctx, t_tdb, r32, v32, sc32)
-        return a
+        # some models promote to f64 (e.g. third-body ephemeris tables);
+        # the deviation lanes and the reference table both evaluate THIS
+        # function, so a trailing cast keeps the common-mode cancellation
+        # while pinning the lane dtype to f32
+        return a.astype(jnp.float32)
 
     return pert
 

@@ -252,11 +252,18 @@ def propagate(
             err = options.error_ctrl(err_vec, next_y, carry.y).astype(
                 jnp.float64
             )
+            # NOTE: a clamped (overshooting) final step is NOT force-
+            # accepted: the reference's "one fixed step of the remainder"
+            # (instance.rs:180-186) is safe there only because h has
+            # already converged by the final step, but here the FIRST step
+            # can overshoot (h grows to max_step after one tiny init step,
+            # so any duration < max_step clamps immediately) — force-
+            # accepting it integrated a whole orbit in one wild RK step.
+            # A rejected clamped step shrinks h and retries like any other.
             accept = (
                 (err <= tol)
                 | (jnp.abs(h_use) <= min_step * (1 + 1e-12))
                 | (carry.attempts >= max_attempts)
-                | overshoot
             )
 
         t_new = carry.t + h_use

@@ -245,3 +245,25 @@ def test_min_lanes_padding_parity():
     _, traj = padded_inst.until_epoch_with_traj(epoch + 9000.0)
     assert abs(traj.at(epoch + 7200.0).orbit.rmag_km
                - plain.orbit.rmag_km) < 5e3  # sanity: same orbit scale
+
+
+def test_short_duration_no_forced_final_step():
+    """Regression: durations SHORTER than the max step must not be
+    integrated in one wild force-accepted clamped step. With init step
+    0.1 s the controller grows h to max_step after the first accepted
+    step; the next step overshoots and is clamped to the full remainder —
+    it must face error control like any other step (a 2,400 s LEO arc
+    once returned rmag 427,000 km). Compare against a 1 s fixed-step RK89
+    integration, independent of the adaptive accept/reject logic."""
+    opts_a = IntegratorOptions.with_adaptive_step(
+        0.1, 2700.0, 1e-9, ErrorControl.RSSCartesianState
+    )
+    opts_f = IntegratorOptions.with_fixed_step(1.0)
+    for dur in (120.0, 1200.0, 2400.0, 2640.0):
+        res_a = propagate(two_body_eom, Y0[None], dur, opts_a,
+                          IntegratorMethod.RK89)
+        res_f = propagate(two_body_eom, Y0[None], dur, opts_f,
+                          IntegratorMethod.RK89)
+        assert int(res_a.status[0]) == DONE
+        err = np.linalg.norm(np.asarray(res_a.y[0, :3]) - res_f.y[0, :3])
+        assert err < 1e-5, f"dur={dur}: {err * 1e3:.3e} m off fixed-step"
