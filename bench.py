@@ -139,18 +139,20 @@ def main():
     chunk = int(os.environ.get("NYX_BENCH_CHUNK", 0))
     kw = dict(max_lanes_per_call=chunk) if chunk else {}
 
-    # Default mode "encke": float32 deviation propagation around one f64
-    # reference with the AB8/AM PECE fixed-step main loop (mc/encke.py) —
-    # the TPU-fast path, validated to sub-10 m ensemble accuracy against
-    # the full-state propagation (tests/test_monte_carlo.py). Any failure
-    # falls back to the full-state adaptive RK89 path below.
-    # NYX_BENCH_MODE=full forces the full-state path directly.
-    if os.environ.get("NYX_BENCH_MODE", "encke") == "encke":
+    # NYX_BENCH_MODE=encke: float32 deviation propagation around one f64
+    # reference with the AB8/AM PECE fixed-step main loop (mc/encke.py),
+    # validated to sub-10 m ensemble accuracy against the full-state
+    # propagation (tests/test_monte_carlo.py). Measured SLOWER than the
+    # full-state path on the real TPU (1,460 vs 3,220 traj/s, 2026-08-17
+    # sweep) — the scan's per-iteration dispatch floor dominates its tiny
+    # per-step compute — so the default is the full-state path below.
+    if os.environ.get("NYX_BENCH_MODE", "full") == "encke":
         ekw = dict(
             step_mode=os.environ.get("NYX_BENCH_ENCKE_STEP", "fixed"),
-            dt_s=float(os.environ.get("NYX_BENCH_ENCKE_DT", 150.0)),
             integ=os.environ.get("NYX_BENCH_ENCKE_INTEG", "abm"),
         )
+        if os.environ.get("NYX_BENCH_ENCKE_DT"):
+            ekw["dt_s"] = float(os.environ["NYX_BENCH_ENCKE_DT"])
         try:
             mc.run_until_epoch_encke(prop, alm, end, B, **ekw)  # compile+ref
             t0 = time.time()

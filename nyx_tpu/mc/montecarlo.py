@@ -300,7 +300,7 @@ def _mc_run_encke(
     stride_s: float = 60.0,
     tolerance: float = 1e-6,
     step_mode: str = "fixed",
-    dt_s: float = 150.0,
+    dt_s: Optional[float] = None,
     integ: str = "rk",
     n_capture: int = 0,
     mesh=None,
@@ -314,6 +314,15 @@ def _mc_run_encke(
     precomputed per STAGE instead of per lane — the TPU-fast path (see
     encke.propagate_fixed). `step_mode="adaptive"` keeps per-lane adaptive
     steps with `tolerance` relative to the deviation magnitude.
+
+    `dt_s` (fixed mode): the shared step. Default None picks it from the
+    template orbit's PERIAPSIS rate w_p = sqrt(mu/rp^3): dt = C/w_p with
+    C = 0.16 for RK and 0.16/(1+e) for ABM, clamped to [30, 2400] s.
+    That reproduces the validated ~150 s LEO setting and tightens
+    automatically with eccentricity — a fixed-step MULTISTEP method loses
+    effective order across a fast perigee pass (its 8-deep f-history
+    spans rapidly changing dynamics; measured 335 m at e=0.72 with
+    C=0.16 vs 27 m at C=0.10, while single-step RK held 10 m).
 
     `integ` (fixed mode only): "rk" advances with the propagator's own
     tableau; "abm" runs the AB8/AM PECE multistep main loop — two force
@@ -346,6 +355,12 @@ def _mc_run_encke(
         raise NotImplementedError(
             "encke trajectory capture requires step_mode='fixed'"
         )
+    if dt_s is None:
+        rp = template.orbit.periapsis_km
+        mu = template.frame.mu
+        w_p = np.sqrt(mu / rp**3)
+        coef = 0.16 if integ != "abm" else 0.16 / (1.0 + template.orbit.ecc)
+        dt_s = float(np.clip(coef / w_p, 30.0, 2400.0))
     key = (id(prop), epoch0.to_tai_seconds(), duration_s, stride_s,
            tolerance, step_mode, dt_s, integ, n_capture)
     hit = getattr(self, "_encke_cache", None)
