@@ -197,6 +197,7 @@ def main():
     # compile hang may lose the MC result (signals cannot interrupt a
     # blocking C-level XLA compile call).
     od_rate = None
+    failures = []
     try:
         import subprocess
 
@@ -211,8 +212,10 @@ def main():
             if line.startswith("OD_STEPS_PER_S="):
                 od_rate = float(line.split("=", 1)[1])
         if od_rate is None:
+            failures.append(f"od bench failed: {r.stderr[-300:]}")
             print(f"# od bench failed: {r.stderr[-400:]}", file=sys.stderr)
     except Exception as exc:  # noqa: BLE001
+        failures.append(f"od bench: {exc}")
         print(f"# od bench skipped: {exc}", file=sys.stderr)
 
     out = {
@@ -227,10 +230,28 @@ def main():
         "platform": os.environ.get("NYX_BENCH_PLATFORM", "unknown"),
         "B": B,
         "duration_s": DURATION_S,
+        # explicit null when the OD leg failed: artifacts must fail loudly
+        # (a silently missing key cost round 2 half the driver metric)
+        "od_filter_steps_per_s": round(od_rate, 1) if od_rate is not None else None,
+        "grav_backend": os.environ.get("NYX_BENCH_GRAV_BACKEND", "xla"),
+        "git_sha": _git_sha(),
     }
-    if od_rate is not None:
-        out["od_filter_steps_per_s"] = round(od_rate, 1)
+    if failures:
+        out["failures"] = failures
     print(json.dumps(out))
+
+
+def _git_sha():
+    try:
+        import subprocess
+
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True,
+            cwd=str(Path(__file__).resolve().parent), timeout=10,
+        ).stdout.strip() or None
+    except Exception:  # noqa: BLE001
+        return None
 
 
 def _od_filter_steps_per_s(epoch, stor):
@@ -294,8 +315,13 @@ def _od_filter_steps_per_s(epoch, stor):
         prop, stations,
         types=(MeasurementType.RANGE_KM, MeasurementType.DOPPLER_KM_S),
         variant="ckf",
+        # AOT executable cache (nyx_tpu/aot.py): the filter program costs
+        # ~6 min of host-side tracing/lowering that jax's persistent
+        # compilation cache cannot skip; round 2 lost the OD metric to
+        # exactly that (BENCH_r02 --od-only timed out at 900 s)
+        aot_dir=str(Path(__file__).resolve().parent / ".jax_cache" / "aot"),
     )
-    scan.process_arc(est0, arc)  # compile
+    scan.process_arc(est0, arc)  # compile (or AOT cache load)
     _stage("filter compiled")
     t0 = time.time()
     scan.process_arc(est0, arc)

@@ -1,9 +1,11 @@
 #!/bin/bash
 # TPU perf sweep: run after the axon tunnel is confirmed up.
 #   bash devtools/tpu_sweep.sh [outdir]
-# Probes the device, then measures: bench.py with the XLA and Pallas
-# gravity backends, the OD-only bench, and the example-04 smoke. Each step
-# is individually time-bounded; results land in $OUT/*.log.
+# Probes the device, then measures: bench.py (full-state default) with the
+# XLA and Pallas gravity backends, batch/steps-per-iter variants, the
+# B=100k north-star config, the Encke opt-in modes, the OD-only bench
+# (twice: AOT-cold and AOT-warm), and the example smokes. Each step is
+# individually time-bounded; results land in $OUT/*.log.
 
 set -u
 cd "$(dirname "$0")/.."
@@ -28,20 +30,18 @@ run() {
 # NYX_BENCH_OD_TIMEOUT_S=1 skips the embedded OD sub-bench (od_only below
 # measures it once); each MC entry then times pure propagation throughput.
 B="env NYX_BENCH_OD_TIMEOUT_S=1"
-run bench_encke_abm    $B python bench.py   # the default: encke fixed + AB8/AM
-run bench_encke_rk     $B env NYX_BENCH_ENCKE_INTEG=rk python bench.py
-run bench_encke_abm75  $B env NYX_BENCH_ENCKE_DT=75 python bench.py
-run bench_encke_dt300  $B env NYX_BENCH_ENCKE_DT=300 python bench.py
-run bench_encke_adapt  $B env NYX_BENCH_ENCKE_STEP=adaptive python bench.py
-run bench_encke_pallas $B env NYX_BENCH_GRAV_BACKEND=pallas python bench.py
-run bench_full         $B env NYX_BENCH_MODE=full python bench.py
-run bench_full_pallas  $B env NYX_BENCH_MODE=full NYX_BENCH_GRAV_BACKEND=pallas python bench.py
-run bench_full_b8192   $B env NYX_BENCH_MODE=full NYX_BENCH_B=8192 python bench.py
-run bench_full_spi4    $B env NYX_BENCH_MODE=full NYX_BENCH_STEPS_PER_ITER=4 python bench.py
-run od_only            python bench.py --od-only
+run bench_full         $B python bench.py   # the default: full-state RK89
+run bench_full_pallas  $B env NYX_BENCH_GRAV_BACKEND=pallas python bench.py
+run bench_full_b8192   $B env NYX_BENCH_B=8192 python bench.py
+run bench_full_spi4    $B env NYX_BENCH_STEPS_PER_ITER=4 python bench.py
+run bench_full_b100k   $B env NYX_BENCH_B=100000 python bench.py  # north star
+run bench_encke_abm    $B env NYX_BENCH_MODE=encke python bench.py
+run bench_encke_rk     $B env NYX_BENCH_MODE=encke NYX_BENCH_ENCKE_INTEG=rk python bench.py
+run od_only_cold       python bench.py --od-only
+run od_only_warm       python bench.py --od-only
 run example04          env NYX_EX04_DEGREE=50 python examples/04_lro_od.py
 run example03_drift    env NYX_EX03_TPU=1 python examples/03_geo_analysis.py --drift-bench
 run example01_tpu      env NYX_EX01_TPU=1 python examples/01_orbit_prop.py
 
 echo "== summary =="
-grep -h '"metric"\|OD_STEPS_PER_S\|traj/s' "$OUT"/*.log | tail -10
+grep -h '"metric"\|OD_STEPS_PER_S\|traj/s' "$OUT"/*.log | tail -12

@@ -122,6 +122,7 @@ class ScanKalmanOD:
         substeps: int = 1,
         max_gap_s: Optional[float] = None,
         filter_mode: str = "auto",
+        aot_dir: Optional[str] = None,
     ):
         """`prop_mode`:
 
@@ -206,6 +207,13 @@ class ScanKalmanOD:
                     rvar[i, j] = max(n.covariance(), 1e-32)
         self._rvar = jnp.asarray(rvar)
         self._compiled = {}
+        # AOT executable cache dir (nyx_tpu/aot.py): skips the ~minutes of
+        # host-side tracing/lowering of the big filter program on repeat
+        # runs in fresh processes. Opt-in because the cache key must cover
+        # everything closed over by the traced program; aot.py hashes all
+        # package code plus the per-instance fingerprint below.
+        self.aot_dir = aot_dir
+        self._aot_loaded = {}
 
     # ------------------------------------------------------------------
     def _snc_q(self, dt_s, y_ref):
@@ -799,6 +807,33 @@ class ScanKalmanOD:
         epoch0_tdb = jnp.float64(epoch0.to_tdb_seconds())
         return self._compiled[key], args, ctx, sc_params, epoch0_tdb, real
 
+    def _aot(self, jitted, example_args):
+        """AOT-cache the compiled filter executable (nyx_tpu/aot.py): a
+        fresh process skips the ~minutes of tracing/lowering. The
+        fingerprint covers every closure constant of the traced program:
+        propagator config, dynamics (incl. gravity tables), station
+        tables, filter settings."""
+        from .. import aot
+
+        cfg = aot.deep_fingerprint((
+            repr(self.prop.opts), repr(self.prop.method),
+            self.prop.dynamics,
+            self.types, self.variant, self.prop_mode, self.filter_mode,
+            self.substeps, self.max_gap_s, self.resid_rejection_sigmas,
+            self.process_noise,
+            self._lat, self._lon, self._hgt, self._lt, self._rvar,
+        ))
+        memo_key = (cfg, tuple(
+            (str(getattr(a, "dtype", "")), getattr(a, "shape", ()))
+            for a in jax.tree_util.tree_leaves(example_args)
+        ))
+        if memo_key not in self._aot_loaded:
+            self._aot_loaded[memo_key] = aot.get_or_compile(
+                self.aot_dir, "scanod", jitted, example_args,
+                config_fingerprint=cfg,
+            )
+        return self._aot_loaded[memo_key]
+
     def process_arc(self, initial_estimate, arc: TrackingDataArc) -> ScanODResult:
         """Run the compiled scan filter over the arc. `initial_estimate`
         is a KfEstimate whose nominal epoch precedes the first measurement."""
@@ -808,7 +843,10 @@ class ScanKalmanOD:
             (run, _), args, ctx, sc_params, epoch0_tdb, real = self._setup(
                 initial_estimate, arc
             )
-            out = run(*args, y0, p0, ctx, sc_params, epoch0_tdb)
+            all_args = (*args, y0, p0, ctx, sc_params, epoch0_tdb)
+            if self.aot_dir is not None:
+                run = self._aot(run, all_args)
+            out = run(*all_args)
             if len(out) == 7:  # batch mode ships n_valid back
                 *out, n_valid = out
                 if self._capture_saturated(n_valid):
