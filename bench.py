@@ -97,12 +97,14 @@ def main():
         # dispersed ensemble the split-vs-mixed spread is 0.46 m median /
         # 2.6 m max. 1.76x faster than "mixed" on TPU (f32 VPU rate for the
         # whole recursion instead of emulated f64 low degrees).
-        # NYX_BENCH_GRAV_BACKEND=pallas swaps the XLA recursion for the
-        # VMEM-resident Pallas kernel (gravity_pallas.py) in the f32 part.
+        # backend="auto" resolves to the VMEM-resident Pallas kernel
+        # (gravity_pallas.py) for the f32 part on a real TPU — measured
+        # 4,548 vs 3,277 traj/s over the XLA recursion (2026-08-19) — and
+        # to the XLA recursion elsewhere; NYX_BENCH_GRAV_BACKEND overrides.
         OrbitalDynamics.from_model(
             Harmonics.from_stor(
                 stor, precision="split",
-                backend=os.environ.get("NYX_BENCH_GRAV_BACKEND", "xla"),
+                backend=os.environ.get("NYX_BENCH_GRAV_BACKEND", "auto"),
             ),
             Frames.EME2000,
         ),
@@ -233,7 +235,7 @@ def main():
         # explicit null when the OD leg failed: artifacts must fail loudly
         # (a silently missing key cost round 2 half the driver metric)
         "od_filter_steps_per_s": round(od_rate, 1) if od_rate is not None else None,
-        "grav_backend": os.environ.get("NYX_BENCH_GRAV_BACKEND", "xla"),
+        "grav_backend": os.environ.get("NYX_BENCH_GRAV_BACKEND", "auto"),
         "git_sha": _git_sha(),
     }
     if failures:

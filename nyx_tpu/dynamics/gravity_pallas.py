@@ -176,13 +176,19 @@ def pines_accel_pallas(r_bf, tab, gate, *, W, mu, radius, diag1,
         kernel,
         out_shape=jax.ShapeDtypeStruct((3, B_pad), jnp.float32),
         grid=(B_pad // tile_b,),
+        # index maps: derive every constant coordinate from the i32 grid
+        # index (0 * i) — a bare Python 0 traces as i64 under x64 mode and
+        # the mixed (i64, i32) index tuple fails Mosaic legalization on
+        # real-TPU lowering ("failed to legalize operation 'func.return'";
+        # interpret mode doesn't lower and never caught it)
         in_specs=[
-            pl.BlockSpec((3, tile_b), lambda i: (0, i),
+            pl.BlockSpec((3, tile_b), lambda i: (0 * i, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_steps, 8, W_pad), lambda i: (0, 0, 0),
+            pl.BlockSpec((n_steps, 8, W_pad),
+                         lambda i: (0 * i, 0 * i, 0 * i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((3, tile_b), lambda i: (0, i),
+        out_specs=pl.BlockSpec((3, tile_b), lambda i: (0 * i, i),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((W_pad, tile_b), jnp.float32),
