@@ -285,7 +285,39 @@ class Harmonics:
 
     def _accel_pallas(self, r_bf, q_lo: int = 0, q_hi: int = 0):
         """VMEM-resident Pines kernel (gravity_pallas.py); f32 only. Falls
-        back to interpret mode off-TPU so numerics tests run anywhere."""
+        back to interpret mode off-TPU so numerics tests run anywhere.
+
+        Differentiable: `pallas_call` has no JVP rule, so the kernel is
+        wrapped in a `custom_jvp` whose tangent runs through the XLA
+        recursion (same math bit-for-bit at f32) — STM propagation, the
+        OD filter's `jax.linearize` H-matrices, and AD targeters all work
+        with the fast primal."""
+        cache = self.__dict__.setdefault("_pallas_jvp_cache", {})
+        key = (q_lo, q_hi)
+        if key not in cache:
+
+            @jax.custom_jvp
+            def accel(r):
+                return self._pallas_primal(r, q_lo, q_hi)
+
+            @accel.defjvp
+            def _accel_jvp(primals, tangents):
+                (r,), (dr,) = primals, tangents
+                primal = self._pallas_primal(r, q_lo, q_hi)
+                xla_fn = (
+                    self._accel_unrolled
+                    if self.max_degree <= self.UNROLL_MAX_DEGREE
+                    else self._accel_scan
+                )
+                _, tangent = jax.jvp(
+                    lambda rr: xla_fn(rr, q_lo, q_hi), (r,), (dr,)
+                )
+                return primal, tangent
+
+            cache[key] = accel
+        return cache[key](r_bf)
+
+    def _pallas_primal(self, r_bf, q_lo: int = 0, q_hi: int = 0):
         from . import gravity_pallas as gp
 
         xs, diag, N, M = self._tables

@@ -381,17 +381,26 @@ def _mc_run_encke(
                 n_est = max(1, int(np.ceil(duration_s / dt_s)))
                 capture_every = max(1, n_est // n_capture)
 
+            # `ref` MUST be a traced argument, not a closure constant:
+            # constant reference tables let XLA fold the whole stage-table
+            # chain (quintic interp + f32 perturbation at the constant
+            # stage times) with its HloEvaluator, whose f32 results differ
+            # from the runtime kernels the lanes run — which breaks the
+            # Encke common-mode cancellation by up to full-perturbation
+            # magnitude (measured 360-660 m at table sizes under XLA's
+            # folding threshold; grids one step longer were unaffected,
+            # which masqueraded as a step-size "resonance" in round 2).
             @jax.jit
-            def run(y0_dev, dur, ctx_, p_):
+            def run(y0_dev, dur, ctx_, p_, ref_):
                 y_fin, n_steps, cap_t, cap_y = enc.propagate_fixed(
-                    dyn, ref, y0_dev, duration_s, ctx_, p_, method,
+                    dyn, ref_, y0_dev, duration_s, ctx_, p_, method,
                     dt_s=dt_s, integ=integ, capture_every=capture_every,
                 )
                 B = y_fin.shape[0]
                 if cap_t is not None:
                     # recombine with the f64 reference on device:
                     # [K, 6] reference + [K, B, 6] deviations -> [B, K, 9]
-                    r_ref, v_ref = enc._quintic(ref, cap_t)
+                    r_ref, v_ref = enc._quintic(ref_, cap_t)
                     ref6 = jnp.concatenate([r_ref, v_ref], axis=-1)
                     dev64 = cap_y.astype(jnp.float64)
                     full6 = ref6[:, None, :] + dev64[..., 0:6]
@@ -429,7 +438,9 @@ def _mc_run_encke(
             )
 
             @jax.jit
-            def run(y0_dev, dur, ctx_, p_):
+            def run(y0_dev, dur, ctx_, p_, ref_=None):
+                # adaptive mode: per-lane traced epochs already prevent
+                # any constant folding of the table chain; ref_ unused
                 return integrator.propagate(
                     eom, y0_dev, dur, opts, method,
                     state_dtype=jnp.float32, eom_args=(ctx_, p_),
@@ -457,7 +468,7 @@ def _mc_run_encke(
 
         y0_in, _ = pad_to_multiple(y0_in, mesh.devices.size)
         y0_in = shard_ensemble(y0_in, mesh)
-    res = run(y0_in, duration_s, ctx, sc_params)
+    res = run(y0_in, duration_s, ctx, sc_params, ref)
     dev = np.asarray(res.y, np.float64)[:n]
     y_final = np.concatenate(
         [y_ref_final[None, 0:6] + dev[:, 0:6], dev[:, 6:9]], axis=1
