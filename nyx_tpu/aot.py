@@ -92,6 +92,12 @@ def deep_fingerprint(obj: Any) -> bytes:
             h.update(np.ascontiguousarray(a).tobytes())
         elif isinstance(x, (str, bytes, int, float, bool, type(None))):
             h.update(repr(x).encode())
+        elif callable(x) and hasattr(x, "__qualname__"):
+            # functions/classes by qualified name — their repr embeds a
+            # memory address, which changes every process
+            h.update(
+                f"{getattr(x, '__module__', '')}.{x.__qualname__}".encode()
+            )
         elif isinstance(x, dict):
             for k in sorted(x, key=repr):
                 h.update(repr(k).encode())
@@ -116,8 +122,10 @@ def deep_fingerprint(obj: Any) -> bytes:
             d = getattr(x, "__dict__", None)
             if d:
                 walk(d, depth + 1)
-            else:
-                h.update(repr(x)[:400].encode())
+            # no __dict__: type name only — a repr here would embed the
+            # instance's memory address and make the key differ in every
+            # process (observed: identical configs producing a fresh
+            # 750 MB cache entry per run)
 
     walk(obj)
     return h.digest()
@@ -180,6 +188,22 @@ def get_or_compile(
         tmp = path.with_suffix(".tmp")
         tmp.write_bytes(pickle.dumps((blob, in_tree, out_tree)))
         tmp.replace(path)
+        _prune(cache_dir, name, keep=2)
     except Exception:  # noqa: BLE001 — executable not serializable: still
         pass  # return the freshly compiled one
     return compiled
+
+
+def _prune(cache_dir: Path, name: str, keep: int = 2):
+    """Drop all but the newest `keep` entries for `name` — executables are
+    ~750 MB each and stale keys (old code revisions) never hit again."""
+    entries = sorted(
+        cache_dir.glob(f"{name}-*.aot"),
+        key=lambda p: p.stat().st_mtime,
+        reverse=True,
+    )
+    for old in entries[keep:]:
+        try:
+            old.unlink()
+        except OSError:
+            pass

@@ -65,6 +65,11 @@ class KalmanODProcess:
         """
         key = (id(device), types)
         if key not in self._h_cache:
+            h_rv = device.measurement_fn(types)
+
+            def h_inst(t_tdb_s, y9, y6_tm):
+                return h_rv(t_tdb_s, y9[0:6])
+
             if device.integration_time_s:
                 h2 = device.two_way_fn(types)
 
@@ -72,16 +77,43 @@ class KalmanODProcess:
                     return h2(t_tdb_s, y9[0:6], y6_tm)
 
             else:
-                h_rv = device.measurement_fn(types)
+                h = h_inst
 
-                def h(t_tdb_s, y9, y6_tm):
-                    return h_rv(t_tdb_s, y9[0:6])
-
+            # H-tilde is the FULL instantaneous partial at the measurement
+            # epoch even for two-way devices (sensitivity.rs:120-200 uses
+            # the one-way analytic rows); differentiating the averaged
+            # observation would halve H and mis-scale the gain (a CKF then
+            # diverges on two-way arcs — measured 2.4 km final error).
             self._h_cache[key] = (
                 jax.jit(h),
-                jax.jit(jax.jacfwd(h, argnums=1)),
+                jax.jit(jax.jacfwd(h_inst, argnums=1)),
             )
         return self._h_cache[key]
+
+    def _chunked_time_updates(self, kf, instance, epoch: Epoch, sol=None):
+        """Advance toward `epoch` in <= max_step_s chunks, applying a
+        filter TIME UPDATE at each intermediate chunk. The reference
+        advances every SNC's prev_epoch at each chunk
+        (od/process/mod.rs:215-241, snc.rs prev_epoch), so process noise
+        accumulates piecewise through measurement gaps — one Q(gap) shot
+        both over-weights the dt^4 position block and defeats the
+        disable-time gate's purpose. The final <= max_step remainder is
+        left for the measurement update's own time update.
+
+        Each intermediate predicted estimate is appended to the solution
+        (the reference streams them too), which is also what keeps the RTS
+        smoother exact: every stored STM spans exactly one chunk."""
+        while True:
+            rem = (epoch - instance.state.epoch).to_seconds()
+            if rem <= self.max_step_s + 1e-9:
+                return
+            nominal, stm, dt = self._propagate_stm(
+                instance, instance.state.epoch + self.max_step_s
+            )
+            est = kf.time_update(nominal, stm, dt)
+            if sol is not None:
+                sol.append(est, None)
+            instance.state = nominal.with_stm()
 
     def _propagate_stm(self, instance, epoch: Epoch):
         """Advance the PropInstance (STM enabled) to `epoch`; returns
@@ -140,6 +172,7 @@ class KalmanODProcess:
             y6_tm = jnp.zeros(6)
             stm_pre = np.eye(STATE_DIM)
             dt_pre = 0.0
+            self._chunked_time_updates(kf, instance, msr.epoch, sol)
             if device.integration_time_s:
                 mid, stm_pre, dt_pre = self._propagate_stm(
                     instance, msr.epoch - float(device.integration_time_s)

@@ -152,19 +152,27 @@ class ScanKalmanOD:
           while_loop per measurement.
 
         `filter_mode` (batch mode only): "scan" (sequential 9×9 scan,
-        supports sigma rejection), "parallel" (associative scan, rejection
-        unsupported), or "auto" (parallel when rejection is off).
+        exact sigma-rejection semantics), "parallel" (associative scan;
+        sigma rejection via an iterated two-pass gate — converges to the
+        sequential accept/reject set except for rows right at the
+        threshold), or "auto" (parallel when rejection is off, sequential
+        scan when it is on — both exact).
         """
         self.prop = prop
         self.devices = list(devices)
         self.types = tuple(types or devices[0].measurement_types)
         self.variant = variant
-        # accept the KalmanODProcess convention of a sequence of SNCs; the
-        # scan filter applies one (the first) — chronological switchover
-        # would need the switch epoch in the scan carry
-        if isinstance(process_noise, (tuple, list)):
-            process_noise = process_noise[0] if process_noise else None
-        self.process_noise = process_noise
+        # full KalmanODProcess SNC semantics: a chronological sequence of
+        # ProcessNoise entries — the LAST whose start epoch has passed is
+        # active (snc.rs switchover), with optional exponential decay and
+        # RIC/VNC local frames; resolved per row on device from static
+        # tables (no carry needed: activation is a pure function of the
+        # row epoch)
+        if process_noise is None:
+            process_noise = ()
+        elif not isinstance(process_noise, (tuple, list)):
+            process_noise = (process_noise,)
+        self.process_noise = tuple(process_noise)
         self.resid_rejection_sigmas = resid_rejection_sigmas
         self.almanac = almanac
         if prop_mode == "batch" and variant != "ckf":
@@ -198,6 +206,22 @@ class ScanKalmanOD:
             [1.0 if getattr(d, "light_time_correction", False) else 0.0
              for d in devices]
         )
+        # two-way integration times (0 = instantaneous one-way); handled
+        # in the batched pipeline by a second reference interpolation at
+        # t - T_int (the "rolling dense-output window" of SURVEY §7),
+        # mirroring the host path's averaged observation with partials at
+        # the measurement epoch (trk_device.rs:49-138; process.py _h_fns)
+        self._tint = jnp.asarray(
+            [float(getattr(d, "integration_time_s", None) or 0.0)
+             for d in devices]
+        )
+        self._any_two_way = bool(np.any(np.asarray(self._tint) > 0.0))
+        if self._any_two_way and self.prop_mode != "batch":
+            raise ConfigError(
+                "two-way devices need the batched pipeline "
+                "(prop_mode='batch', CKF): the t - T_int reference state "
+                "comes from the dense reference interpolant"
+            )
         big = 1e30
         rvar = np.full((len(devices), len(self.types)), big)
         for i, d in enumerate(devices):
@@ -216,25 +240,54 @@ class ScanKalmanOD:
         self._aot_loaded = {}
 
     # ------------------------------------------------------------------
-    def _snc_q(self, dt_s, y_ref):
-        pn = self.process_noise
-        if pn is None:
+    def _snc_q(self, dt_s, y_ref, t_tai, t0_tai):
+        """Per-row 9x9 process noise: chronological SNC switchover
+        (last ProcessNoise whose start epoch <= row epoch wins), optional
+        exponential decay anchored at the active SNC's start (or the first
+        row for start-less SNCs), optional RIC/VNC frame (kalman.py
+        _snc_q / snc.rs:210 parity, vectorized)."""
+        sncs = self.process_noise
+        if not sncs:
             return jnp.zeros((STATE_DIM, STATE_DIM))
-        qd = jnp.asarray(pn.q_diag_km2_s4)
+        qd_tab = jnp.asarray([s.q_diag_km2_s4 for s in sncs])  # [K, 3]
+        dis_tab = jnp.asarray([s.disable_time_s for s in sncs])
+        tau_tab = jnp.asarray([
+            np.asarray(s.decay_tau_s, dtype=np.float64)
+            if s.decay_tau_s is not None else np.full(3, np.inf)
+            for s in sncs
+        ])
+        start_tab = jnp.asarray([
+            s.start_epoch_tai_s if s.start_epoch_tai_s is not None
+            else -np.inf
+            for s in sncs
+        ])
+        code_tab = jnp.asarray([
+            0 if s.local_frame is None
+            else (1 if s.local_frame.lower() == "ric" else 2)
+            for s in sncs
+        ], dtype=jnp.int32)
+
+        started = start_tab <= t_tai  # [K]
+        any_active = jnp.any(started)
+        k_idx = jnp.argmax(
+            jnp.where(started, jnp.arange(len(sncs)), -1)
+        )
+        anchor = jnp.where(
+            jnp.isfinite(start_tab[k_idx]), start_tab[k_idx], t0_tai
+        )
+        elapsed = jnp.maximum(t_tai - anchor, 0.0)
+        qd = qd_tab[k_idx] * jnp.exp(-elapsed / tau_tab[k_idx])
         q3 = jnp.diag(qd)
-        if pn.local_frame is not None:
-            dcm = (
-                ric_dcm(y_ref[0:3], y_ref[3:6])
-                if pn.local_frame.lower() == "ric"
-                else vnc_dcm(y_ref[0:3], y_ref[3:6])
-            )
-            q3 = dcm.T @ q3 @ dcm
+        dcm_ric = ric_dcm(y_ref[0:3], y_ref[3:6])
+        dcm_vnc = vnc_dcm(y_ref[0:3], y_ref[3:6])
+        dcm = jnp.stack([jnp.eye(3), dcm_ric, dcm_vnc])[code_tab[k_idx]]
+        q3 = dcm.T @ q3 @ dcm
         q = jnp.zeros((STATE_DIM, STATE_DIM))
         q = q.at[0:3, 0:3].set(q3 * dt_s**4 / 4.0)
         q = q.at[0:3, 3:6].set(q3 * dt_s**3 / 2.0)
         q = q.at[3:6, 0:3].set(q3 * dt_s**3 / 2.0)
         q = q.at[3:6, 3:6].set(q3 * dt_s**2)
-        gate = (dt_s > 0.0) & (dt_s <= pn.disable_time_s)
+        gate = (dt_s > 0.0) & (dt_s <= dis_tab[k_idx]) & any_active
         return jnp.where(gate, q, jnp.zeros_like(q))
 
     def _build(self, m: int):
@@ -298,7 +351,7 @@ class ScanKalmanOD:
 
         prop_gap = prop_fixed if self.prop_mode == "fixed" else prop_adaptive
 
-        def step(carry, x, ctx, sc_params, epoch0_tdb):
+        def step(carry, x, ctx, sc_params, epoch0_tdb, epoch0_tai, t0_tai):
             t_prev, y_ref, dev, p_mat = carry
             t_rel, trk, obs, avail = x
             dt = t_rel - t_prev
@@ -306,7 +359,10 @@ class ScanKalmanOD:
             # 1. propagate reference + STM across the gap
             y_bar, phi = prop_gap(y_ref, t_prev, dt, ctx, sc_params)
 
-            p_bar = phi @ p_mat @ phi.T + self._snc_q(dt, y_ref)
+            # SNC frame/DCM from the state at the ROW epoch (the host
+            # path hands time_update the nominal at the measurement epoch)
+            p_bar = phi @ p_mat @ phi.T + self._snc_q(
+                dt, y_bar, epoch0_tai + t_rel, t0_tai)
             dev_bar = phi @ dev
 
             # 2. computed obs + H by forward AD at the reference
@@ -356,10 +412,12 @@ class ScanKalmanOD:
             return (t_rel, y_out, dev_out, p_new), outputs
 
         def run_one(t_rel, trk, obs, avail, y0, p0, ctx, sc_params,
-                    epoch0_tdb):
+                    epoch0_tdb, epoch0_tai):
             carry0 = (jnp.float64(0.0), y0, jnp.zeros(STATE_DIM), p0)
+            t0_tai = epoch0_tai + t_rel[0]
             _, out = jax.lax.scan(
-                lambda c, x: step(c, x, ctx, sc_params, epoch0_tdb),
+                lambda c, x: step(c, x, ctx, sc_params, epoch0_tdb,
+                                  epoch0_tai, t0_tai),
                 carry0,
                 (t_rel, trk, obs, avail),
             )
@@ -372,7 +430,8 @@ class ScanKalmanOD:
         run_batch = jax.jit(
             jax.vmap(
                 run_one,
-                in_axes=(None, None, None, None, 0, 0, None, None, None),
+                in_axes=(None, None, None, None, 0, 0, None, None, None,
+                         None),
             )
         )
         return run, run_batch
@@ -409,6 +468,8 @@ class ScanKalmanOD:
         frame = self.station_frame
         lat, lon, hgt, rvar = self._lat, self._lon, self._hgt, self._rvar
         lt_flags = self._lt
+        tint = self._tint
+        any_two_way = self._any_two_way
         rej_sigmas = self.resid_rejection_sigmas
         substeps = max(1, self.substeps)
         a_tab = method.a_matrix
@@ -506,7 +567,17 @@ class ScanKalmanOD:
             10-12): each row becomes a 5-tuple (A, b, C, η, J); composition
             is associative, so `lax.associative_scan` yields every filtered
             (deviation, covariance) in O(log M) sequential steps. Exact for
-            the linearized CKF (initial deviation mean is zero)."""
+            the linearized CKF (initial deviation mean is zero).
+
+            Sigma rejection runs as an iterated two-pass gate: filter
+            without rejection, flag rows whose whitened ratio exceeds the
+            threshold, re-run with those rows' R inflated to the masked
+            value, and repeat until the reject set stabilizes (3 passes).
+            Each pass re-rates EVERY row against the current filtered
+            past, so a clear outlier converges to the sequential scan's
+            accept/reject set; only marginal rows right at the threshold
+            can differ (the sequential filter rates them against a
+            past that saw rejections applied strictly in order)."""
             eye = jnp.eye(STATE_DIM)
 
             def make_element(phi_i, q_i, h_i, z_i, r_i):
@@ -523,7 +594,9 @@ class ScanKalmanOD:
                 j_i = hs.T @ (h_i @ phi_i)
                 return a_i, b_i, c_i, eta_i, 0.5 * (j_i + j_i.T)
 
-            elems = jax.vmap(make_element)(phi, q_all, h_all, z_all, r_all)
+            def make_elems(r_elem):
+                return jax.vmap(make_element)(phi, q_all, h_all, z_all,
+                                              r_elem)
 
             def compose(left, right):
                 a1, b1, c1, e1, j1 = left
@@ -579,56 +652,79 @@ class ScanKalmanOD:
             def pad_id(e, idv):
                 return jnp.concatenate([e, idv], axis=0)
 
-            a_e, b_e, c_e, eta_e, j_e = elems
-            # identity element (A=I, rest 0): composing it on the right is
-            # a no-op, so padded rows pass the carry through untouched
-            a_e = pad_id(a_e, eye_b)
-            b_e = pad_id(b_e, jnp.zeros((pad, STATE_DIM)))
-            c_e = pad_id(c_e, jnp.zeros((pad, STATE_DIM, STATE_DIM)))
-            eta_e = pad_id(eta_e, jnp.zeros((pad, STATE_DIM)))
-            j_e = pad_id(j_e, jnp.zeros((pad, STATE_DIM, STATE_DIM)))
-            blk = tuple(
-                e.reshape((n_blocks, block) + e.shape[1:])
-                for e in (a_e, b_e, c_e, eta_e, j_e)
-            )
-
-            def outer(carry, be):
-                dev_c, p_c = carry
-                cum = jax.lax.associative_scan(compose, be)
-                prior = (
-                    jnp.zeros((STATE_DIM, STATE_DIM)), dev_c, p_c,
-                    jnp.zeros(STATE_DIM),
-                    jnp.zeros((STATE_DIM, STATE_DIM)),
+            def one_pass(elems):
+                a_e, b_e, c_e, eta_e, j_e = elems
+                # identity element (A=I, rest 0): composing it on the right
+                # is a no-op, so padded rows pass the carry through
+                a_e = pad_id(a_e, eye_b)
+                b_e = pad_id(b_e, jnp.zeros((pad, STATE_DIM)))
+                c_e = pad_id(c_e, jnp.zeros((pad, STATE_DIM, STATE_DIM)))
+                eta_e = pad_id(eta_e, jnp.zeros((pad, STATE_DIM)))
+                j_e = pad_id(j_e, jnp.zeros((pad, STATE_DIM, STATE_DIM)))
+                blk = tuple(
+                    e.reshape((n_blocks, block) + e.shape[1:])
+                    for e in (a_e, b_e, c_e, eta_e, j_e)
                 )
-                res = jax.vmap(lambda *r: compose(prior, r))(*cum)
-                dev_b, p_b = res[1], res[2]
-                return (dev_b[-1], p_b[-1]), (dev_b, p_b)
 
-            (_, _), (dev_blocks, p_blocks) = jax.lax.scan(
-                outer, (jnp.zeros(STATE_DIM), p0), blk
-            )
-            dev_all = dev_blocks.reshape(-1, STATE_DIM)[:m_rows]  # [M, 9]
-            p_all = p_blocks.reshape(-1, STATE_DIM, STATE_DIM)[:m_rows]
-            dev_prev = jnp.concatenate(
-                [jnp.zeros((1, STATE_DIM)), dev_all[:-1]]
-            )
-            p_prev = jnp.concatenate([p0[None], p_all[:-1]])
-            dev_bar = (phi @ dev_prev[..., None])[..., 0]
-            prefit = jnp.where(avail, z_all - (h_all @ dev_bar[..., None])[..., 0], 0.0)
-            postfit = jnp.where(avail, z_all - (h_all @ dev_all[..., None])[..., 0], 0.0)
-            p_bar = phi @ p_prev @ phi.swapaxes(-1, -2) + q_all
-            s_all = h_all @ p_bar @ h_all.swapaxes(-1, -2) + jax.vmap(jnp.diag)(r_all)
-            white = gauss_solve(s_all, prefit[..., None])[..., 0]
-            m_eff = jnp.maximum(jnp.sum(avail, axis=-1), 1)
-            ratio = jnp.sqrt(
-                jnp.maximum(jnp.einsum("mt,mt->m", prefit, white), 0.0)
-                / m_eff.astype(jnp.float64)
-            )
-            rejected = jnp.zeros(ratio.shape, dtype=bool)
+                def outer(carry, be):
+                    dev_c, p_c = carry
+                    cum = jax.lax.associative_scan(compose, be)
+                    prior = (
+                        jnp.zeros((STATE_DIM, STATE_DIM)), dev_c, p_c,
+                        jnp.zeros(STATE_DIM),
+                        jnp.zeros((STATE_DIM, STATE_DIM)),
+                    )
+                    res = jax.vmap(lambda *r: compose(prior, r))(*cum)
+                    dev_b, p_b = res[1], res[2]
+                    return (dev_b[-1], p_b[-1]), (dev_b, p_b)
+
+                (_, _), (dev_blocks, p_blocks) = jax.lax.scan(
+                    outer, (jnp.zeros(STATE_DIM), p0), blk
+                )
+                dev_all = dev_blocks.reshape(-1, STATE_DIM)[:m_rows]
+                p_all = p_blocks.reshape(-1, STATE_DIM, STATE_DIM)[:m_rows]
+                return dev_all, p_all
+
+            def rate(dev_all, p_all):
+                """Post-hoc residuals/ratios against the ORIGINAL R."""
+                dev_prev = jnp.concatenate(
+                    [jnp.zeros((1, STATE_DIM)), dev_all[:-1]]
+                )
+                p_prev = jnp.concatenate([p0[None], p_all[:-1]])
+                dev_bar = (phi @ dev_prev[..., None])[..., 0]
+                prefit = jnp.where(
+                    avail, z_all - (h_all @ dev_bar[..., None])[..., 0], 0.0
+                )
+                postfit = jnp.where(
+                    avail, z_all - (h_all @ dev_all[..., None])[..., 0], 0.0
+                )
+                p_bar = phi @ p_prev @ phi.swapaxes(-1, -2) + q_all
+                s_all = h_all @ p_bar @ h_all.swapaxes(-1, -2) + jax.vmap(
+                    jnp.diag
+                )(r_all)
+                white = gauss_solve(s_all, prefit[..., None])[..., 0]
+                m_eff = jnp.maximum(jnp.sum(avail, axis=-1), 1)
+                ratio = jnp.sqrt(
+                    jnp.maximum(jnp.einsum("mt,mt->m", prefit, white), 0.0)
+                    / m_eff.astype(jnp.float64)
+                )
+                return prefit, postfit, ratio
+
+            dev_all, p_all = one_pass(make_elems(r_all))
+            prefit, postfit, ratio = rate(dev_all, p_all)
+            if rej_sigmas is None:
+                rejected = jnp.zeros(ratio.shape, dtype=bool)
+            else:
+                for _pass in range(3):
+                    rej = ratio > rej_sigmas
+                    r_gated = jnp.where(rej[:, None], 1e30, r_all)
+                    dev_all, p_all = one_pass(make_elems(r_gated))
+                    prefit, postfit, ratio = rate(dev_all, p_all)
+                rejected = ratio > rej_sigmas
             return dev_all, p_all, prefit, postfit, ratio, rejected
 
         def run_one(t_rel, trk, obs, avail, y0, p0, ctx, sc_params,
-                    epoch0_tdb):
+                    epoch0_tdb, epoch0_tai):
             # ---- stage 1: single-lane reference with dense capture ----
             arc_span = t_rel[-1]
             res = integrator.propagate(
@@ -674,22 +770,64 @@ class ScanKalmanOD:
 
             # ---- stage 3: batched measurement models + partials ----
             t_tdb = epoch0_tdb + t_rel
+            if any_two_way:
+                # two-way rows: the spacecraft state at the START of the
+                # integration interval comes from the dense reference
+                # interpolant (SURVEY §7's "rolling dense-output window");
+                # it is held fixed in the partials, so H is taken at the
+                # measurement epoch exactly like the host path
+                # (process.py _h_fns, trk_device.rs:49-138)
+                y_tm = interp_quintic(
+                    ts_n, ys_n, acc_n, n_valid,
+                    jnp.maximum(t_rel - tint[trk], 0.0),
+                )
 
-            def one_obs(t_i, y_i, trk_i):
-                def h_of_y(y9):
-                    return _station_obs(
-                        t_i, y9[0:6], lat[trk_i], lon[trk_i], hgt[trk_i],
-                        frame, types, lt=lt_flags[trk_i],
+                def one_obs(t_i, y_i, y_tm_i, trk_i):
+                    tint_i = tint[trk_i]
+
+                    def v1_of_y(y9):
+                        return _station_obs(
+                            t_i, y9[0:6], lat[trk_i], lon[trk_i],
+                            hgt[trk_i], frame, types, lt=lt_flags[trk_i],
+                        )
+
+                    # H is the FULL instantaneous partial at the
+                    # measurement epoch (sensitivity.rs:120-200 parity;
+                    # differentiating the average would halve the gain)
+                    v1, h_jvp = jax.linearize(v1_of_y, y_i)
+                    h_mat = jax.vmap(h_jvp)(jnp.eye(STATE_DIM)).T
+                    v0 = _station_obs(
+                        t_i - tint_i, y_tm_i[0:6], lat[trk_i],
+                        lon[trk_i], hgt[trk_i], frame, types,
+                        lt=lt_flags[trk_i],
                     )
+                    computed = jnp.where(
+                        tint_i > 0.0, 0.5 * (v0 + v1), v1
+                    )
+                    return computed, h_mat
 
-                computed, h_jvp = jax.linearize(h_of_y, y_i)
-                h_mat = jax.vmap(h_jvp)(jnp.eye(STATE_DIM)).T
-                return computed, h_mat
+                computed, h_all = jax.vmap(one_obs)(t_tdb, y_bar, y_tm, trk)
+            else:
 
-            computed, h_all = jax.vmap(one_obs)(t_tdb, y_bar, trk)
+                def one_obs(t_i, y_i, trk_i):
+                    def h_of_y(y9):
+                        return _station_obs(
+                            t_i, y9[0:6], lat[trk_i], lon[trk_i],
+                            hgt[trk_i], frame, types, lt=lt_flags[trk_i],
+                        )
+
+                    computed, h_jvp = jax.linearize(h_of_y, y_i)
+                    h_mat = jax.vmap(h_jvp)(jnp.eye(STATE_DIM)).T
+                    return computed, h_mat
+
+                computed, h_all = jax.vmap(one_obs)(t_tdb, y_bar, trk)
             z_all = jnp.where(avail, obs - computed, 0.0)
             r_all = jnp.where(avail, rvar[trk], 1e30)
-            q_all = jax.vmap(self._snc_q)(dt, y_prev)
+            t0_tai = epoch0_tai + t_rel[0]
+            # SNC frame/DCM from the state at the ROW epoch (host parity)
+            q_all = jax.vmap(
+                lambda d, y, tt: self._snc_q(d, y, tt, t0_tai)
+            )(dt, y_bar, epoch0_tai + t_rel)
 
             # ---- stage 4: the filter (only 9×9 algebra left) ----
             ffn = filter_parallel if use_parallel else filter_scan
@@ -705,7 +843,8 @@ class ScanKalmanOD:
         run_batch = jax.jit(
             jax.vmap(
                 run_one,
-                in_axes=(None, None, None, None, 0, 0, None, None, None),
+                in_axes=(None, None, None, None, 0, 0, None, None, None,
+                         None),
             )
         )
         return run, run_batch
@@ -742,9 +881,15 @@ class ScanKalmanOD:
         for i in range(m):
             gap = t_rel[i] - prev
             if gap > gap_max:
+                # stride-based fillers (prev + k*gap_max, remainder last),
+                # matching the host loop's <= max_step chunking
+                # (od/process/mod.rs:215-241) so the piecewise SNC Q
+                # accumulates over the SAME sub-intervals as the host
+                # filter (an even split changes Q by O(dt^2) per gap,
+                # measured ~10 m over a day arc at q=4e-17)
                 n_fill = int(np.ceil(gap / gap_max)) - 1
                 for k in range(1, n_fill + 1):
-                    rows_t.append(prev + gap * k / (n_fill + 1))
+                    rows_t.append(prev + k * gap_max)
                     rows_trk.append(0)
                     rows_obs.append(np.zeros(len(self.types)))
                     rows_avail.append(np.zeros(len(self.types), dtype=bool))
@@ -805,7 +950,9 @@ class ScanKalmanOD:
             jnp.asarray(avail),
         )
         epoch0_tdb = jnp.float64(epoch0.to_tdb_seconds())
-        return self._compiled[key], args, ctx, sc_params, epoch0_tdb, real
+        epoch0_tai = jnp.float64(epoch0.to_tai_seconds())
+        return (self._compiled[key], args, ctx, sc_params,
+                (epoch0_tdb, epoch0_tai), real)
 
     def _aot(self, jitted, example_args):
         """AOT-cache the compiled filter executable (nyx_tpu/aot.py): a
@@ -816,7 +963,7 @@ class ScanKalmanOD:
         from .. import aot
 
         cfg = aot.deep_fingerprint((
-            repr(self.prop.opts), repr(self.prop.method),
+            self.prop.opts, repr(self.prop.method),
             self.prop.dynamics,
             self.types, self.variant, self.prop_mode, self.filter_mode,
             self.substeps, self.max_gap_s, self.resid_rejection_sigmas,
@@ -840,10 +987,10 @@ class ScanKalmanOD:
         y0 = jnp.asarray(initial_estimate.nominal.to_vector())
         p0 = jnp.asarray(initial_estimate.covar)
         for _attempt in range(4):
-            (run, _), args, ctx, sc_params, epoch0_tdb, real = self._setup(
+            (run, _), args, ctx, sc_params, epochs0, real = self._setup(
                 initial_estimate, arc
             )
-            all_args = (*args, y0, p0, ctx, sc_params, epoch0_tdb)
+            all_args = (*args, y0, p0, ctx, sc_params, *epochs0)
             if self.aot_dir is not None:
                 run = self._aot(run, all_args)
             out = run(*all_args)
@@ -896,10 +1043,10 @@ class ScanKalmanOD:
         y0s = jnp.asarray(np.stack([e.nominal.to_vector() for e in initial_estimates]))
         p0s = jnp.asarray(np.stack([e.covar for e in initial_estimates]))
         for _attempt in range(4):
-            (_, run_batch), args, ctx, sc_params, epoch0_tdb, real = (
+            (_, run_batch), args, ctx, sc_params, epochs0, real = (
                 self._setup(first, arc)
             )
-            outs = run_batch(*args, y0s, p0s, ctx, sc_params, epoch0_tdb)
+            outs = run_batch(*args, y0s, p0s, ctx, sc_params, *epochs0)
             if len(outs) == 7:  # batch mode ships n_valid back
                 *outs, n_valid = outs
                 if self._capture_saturated(n_valid):

@@ -446,6 +446,148 @@ class TestTwoWay:
         # range: postfit residuals stay at the noise scale
         assert sol.postfit_rms(MeasurementType.RANGE_KM) < 0.05
 
+    def test_parallel_rejection_matches_sequential(self, two_body_prop,
+                                                   truth_setup, arc,
+                                                   stations):
+        """Sigma rejection in the O(log M) associative-scan mode: the
+        iterated two-pass gate must flag the same outliers as the exact
+        sequential scan (VERDICT r2 item 8; filtering.rs:186-202)."""
+        from dataclasses import replace as _replace
+
+        from nyx_tpu.od.scan_filter import ScanKalmanOD
+
+        truth_sc, traj = truth_setup
+        rng = np.random.default_rng(42)
+        initial_estimate, _ = _dispersed_estimate(truth_sc, rng)
+        # corrupt ~3% of the range values by +5 km (gross outliers)
+        vals = np.array(arc.values)
+        col = arc.types.index(MeasurementType.RANGE_KM)
+        bad_rows = rng.choice(len(arc), size=len(arc) // 33, replace=False)
+        vals[bad_rows, col] += 5.0
+        bad_arc = _replace(arc, values=vals)
+
+        results = {}
+        for mode in ("scan", "parallel"):
+            scan = ScanKalmanOD(
+                two_body_prop, stations,
+                types=(MeasurementType.RANGE_KM,
+                       MeasurementType.DOPPLER_KM_S),
+                variant="ckf", resid_rejection_sigmas=4.0,
+                filter_mode=mode,
+            )
+            results[mode] = scan.process_arc(initial_estimate, bad_arc)
+        seq, par = results["scan"], results["parallel"]
+        # every corrupted row is rejected, in both modes
+        assert seq.rejected[bad_rows].all()
+        assert par.rejected[bad_rows].all()
+        # identical accept/reject sets
+        np.testing.assert_array_equal(seq.rejected, par.rejected)
+        # and both still recover the truth despite the outliers
+        truth_fin = traj.at(
+            Epoch.from_tai_seconds_j2000(arc.epochs_tai_s[-1])
+        ).to_vector()
+        for res in (seq, par):
+            err = np.linalg.norm(res.final_state()[:3] - truth_fin[:3])
+            assert err < 0.02, f"{err*1e3:.1f} m"
+
+    def test_multi_snc_scan_matches_host_ckf(self, two_body_prop,
+                                             truth_setup, arc, stations):
+        """Chronological SNC switchover (snc.rs:210) on device: two
+        ProcessNoise entries, the second starting mid-arc in the RIC
+        frame, must reproduce the host loop (VERDICT r2 item 7)."""
+        from nyx_tpu.od.scan_filter import ScanKalmanOD
+
+        truth_sc, traj = truth_setup
+        rng = np.random.default_rng(42)
+        initial_estimate, _ = _dispersed_estimate(truth_sc, rng)
+        mid_tai = initial_estimate.epoch.to_tai_seconds() + 43_200.0
+        snc1 = ProcessNoise.from_diag([1e-18] * 3, disable_time_s=3600.0)
+        snc2 = ProcessNoise.from_diag([4e-17] * 3, disable_time_s=3600.0)
+        snc2.local_frame = "ric"
+        snc2.start_epoch_tai_s = mid_tai
+        sncs = (snc1, snc2)
+
+        od = KalmanODProcess(
+            two_body_prop,
+            process_noise=sncs,
+            variant=KalmanVariant.DeviationTracking,
+            resid_rejection_sigmas=None,
+        )
+        host = od.process_arc(initial_estimate, arc, stations)
+
+        # max_gap 60 s = the host loop's max_step default, so the
+        # piecewise Q accumulates over identical sub-intervals
+        scan = ScanKalmanOD(
+            two_body_prop, stations,
+            types=(MeasurementType.RANGE_KM, MeasurementType.DOPPLER_KM_S),
+            variant="ckf", process_noise=sncs, max_gap_s=60.0,
+        )
+        res = scan.process_arc(initial_estimate, arc)
+        host_y = host.final_estimate.state().to_vector()
+        diff_pos = np.linalg.norm(host_y[:3] - res.final_state()[:3])
+        assert diff_pos < 1e-3, f"multi-SNC scan vs host {diff_pos*1e3:.2f} m"
+        assert np.abs(
+            res.final_covar() - host.final_estimate.covar
+        ).max() < 1e-9
+        # the switchover really fired: covariance with the stronger second
+        # SNC exceeds the single-SNC run's
+        scan1 = ScanKalmanOD(
+            two_body_prop, stations,
+            types=(MeasurementType.RANGE_KM, MeasurementType.DOPPLER_KM_S),
+            variant="ckf", process_noise=snc1, max_gap_s=60.0,
+        )
+        res1 = scan1.process_arc(initial_estimate, arc)
+        assert np.trace(res.final_covar()[:3, :3]) > np.trace(
+            res1.final_covar()[:3, :3]
+        )
+
+    def test_two_way_scan_matches_host_ckf(self, two_body_prop, truth_setup):
+        """The batched scan filter's two-way path (reference interpolated
+        at t - T_int, partials at the measurement epoch) must reproduce
+        the host loop to filter-math precision (VERDICT r2 item 4)."""
+        from dataclasses import replace as _replace
+
+        from nyx_tpu.od.scan_filter import ScanKalmanOD
+
+        truth_sc, traj = truth_setup
+        stations = []
+        for gs in (GroundStation.dss65_madrid(10.0),
+                   GroundStation.dss34_canberra(10.0)):
+            gs.integration_time_s = 60.0
+            stations.append(_white_only(gs))
+        cfg = TrkConfig(sampling_s=120.0, scheduler=Scheduler(min_samples=5))
+        sim = TrackingArcSim.with_seed(
+            stations, traj, {g.name: cfg for g in stations}, seed=21
+        )
+        arc = sim.generate_measurements()
+        assert len(arc) > 100
+
+        rng = np.random.default_rng(17)
+        initial_estimate, init_err_km = _dispersed_estimate(truth_sc, rng)
+        od = KalmanODProcess(
+            two_body_prop,
+            variant=KalmanVariant.DeviationTracking,
+            resid_rejection_sigmas=None,
+        )
+        host = od.process_arc(initial_estimate, arc, stations)
+
+        scan = ScanKalmanOD(
+            two_body_prop, stations,
+            types=(MeasurementType.RANGE_KM, MeasurementType.DOPPLER_KM_S),
+            variant="ckf",
+        )
+        res = scan.process_arc(initial_estimate, arc)
+        host_y = host.final_estimate.state().to_vector()
+        diff_pos = np.linalg.norm(host_y[:3] - res.final_state()[:3])
+        assert diff_pos < 1e-3, f"scan vs host two-way {diff_pos*1e3:.2f} m"
+        assert np.abs(
+            res.final_covar() - host.final_estimate.covar
+        ).max() < 1e-9
+        # and it recovers the truth
+        truth_fin = traj.at(host.final_estimate.epoch).to_vector()
+        err = np.linalg.norm(res.final_state()[:3] - truth_fin[:3])
+        assert err < 0.02 and err < init_err_km / 5.0
+
     def test_tdm_roundtrip(self, arc, tmp_path):
         """CCSDS TDM write/read roundtrip (io_ccsds_tdm.rs parity), one-way
         and two-way PATH scaling."""
@@ -1094,8 +1236,12 @@ def test_scalar_od_matches_vector_closely(two_body_prop, truth_setup, stations):
         resid_rejection_sigmas=None,
     )
     sol = scalar.process_arc(est0, arc, stations)
-    # twice the rows of the 2-type arc were processed
-    assert len(sol.estimates) == 2 * len(arc) + 1
+    # twice the rows of the 2-type arc carry measurement updates; the
+    # estimate stream additionally holds the initial estimate and the
+    # chunked <= max_step time updates through tracking gaps
+    # (od/process/mod.rs:215-241 streams those too)
+    assert len(sol.drop_time_updates()) == 2 * len(arc)
+    assert len(sol.estimates) >= 2 * len(arc) + 1
     final_err = _pos_err_km(sol.final_estimate, traj)
     assert final_err < 0.02, f"final error {final_err*1e3:.1f} m"
     assert final_err < init_err / 3.0
