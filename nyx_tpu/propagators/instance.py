@@ -37,6 +37,10 @@ class PropInstance:
         self.almanac = almanac
         self._eom_cache = {}
         self._jit_cache = {}
+        #: optional EomContext override (fault-injection / ephemeris
+        #: sensitivity studies — tests/test_ephem_envelope.py); None uses
+        #: the context built from the almanac per propagation
+        self.ctx_override = None
         # IntegratorOptions.integration_frame: transform the state into the
         # requested frame once, up front, and propagate there — the
         # reference's behavior (instance.rs:119-142); results stay in the
@@ -127,7 +131,9 @@ class PropInstance:
         from ..tracing import logger as _log
 
         with_stm = self.state.stm is not None
-        ctx = self.dynamics.build_context(self.state.epoch, duration_s, self.almanac)
+        ctx = self.ctx_override or self.dynamics.build_context(
+            self.state.epoch, duration_s, self.almanac
+        )
         y0 = self._pack(with_stm)
         # Pad the single lane to opts.min_lanes identical copies (axon TPU
         # workaround, see IntegratorOptions.min_lanes); lane 0 is read back.
