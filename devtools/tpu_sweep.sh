@@ -40,7 +40,7 @@ run bench_encke_rk     $B env NYX_BENCH_MODE=encke NYX_BENCH_ENCKE_INTEG=rk pyth
 run od_only_cold       python bench.py --od-only
 run od_only_warm       python bench.py --od-only
 run example04          env NYX_EX04_DEGREE=50 python examples/04_lro_od.py
-run example03_drift    env NYX_EX03_TPU=1 python examples/03_geo_analysis.py --drift-bench
+run example03_drift    python examples/03_geo_analysis.py --drift-bench
 run example01_tpu      env NYX_EX01_TPU=1 python examples/01_orbit_prop.py
 
 echo "== summary =="

@@ -12,18 +12,33 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+import json
 import os
+import time
 
 import numpy as np
 import jax
 
-# Long guidance-loop propagations fault the tunneled axon TPU runtime
-# (see examples/04); default to CPU, set NYX_EX03_TPU=1 to try the TPU.
-if not os.environ.get("NYX_EX03_TPU"):
+# TPU by default; the round-2 axon faults on very long single device calls
+# are avoided by chunking the drift into ~90-day calls (host re-dispatch
+# between chunks — the integrator state carries over exactly).
+# Set NYX_EX03_CPU=1 to force the CPU platform.
+if os.environ.get("NYX_EX03_CPU"):
     jax.config.update("jax_platforms", "cpu")
 else:
     os.environ.setdefault("NYX_MIN_LANES", "8")
 jax.config.update("jax_enable_x64", True)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    str(Path(__file__).resolve().parent.parent / ".jax_cache"),
+)
+
+
+def _write_artifact(name, payload):
+    art_dir = Path(__file__).resolve().parent / "artifacts"
+    art_dir.mkdir(exist_ok=True)
+    (art_dir / name).write_text(json.dumps(payload, indent=1) + "\n")
+    print(f"artifact: {art_dir / name}")
 
 from nyx_tpu import Epoch, Frames, Orbit, Spacecraft
 from nyx_tpu.cosmic.eclipse import ShadowModel
@@ -67,6 +82,7 @@ def drift_bench():
         (SolarPressure((NAIF.EARTH, NAIF.MOON)),),
     )
     days = float(os.environ.get("NYX_EX03_DAYS", 1095.0))
+    chunk_days = float(os.environ.get("NYX_EX03_CHUNK_DAYS", 90.0))
     prop = Propagator.rk89(
         dyn, IntegratorOptions.with_adaptive_step(0.1, 2700.0, 1e-9)
     )
@@ -74,14 +90,30 @@ def drift_bench():
     # warm the jit cache on a short arc so the timed region is propagation
     prop.with_state(sc, almanac).for_duration(600.0)
     t0 = time.time()
-    final = inst.for_duration(days * 86_400.0)
+    remaining = days * 86_400.0
+    while remaining > 0.0:
+        step = min(remaining, chunk_days * 86_400.0)
+        final = inst.for_duration(step)
+        remaining -= step
     wall = time.time() - t0
+    rate = days / (wall / 60.0)
     print(
         f"GEO drift {days:.0f} d in {wall:.1f} s wall -> "
-        f"{days / (wall / 60.0):.0f} propagated days/min "
+        f"{rate:.0f} propagated days/min "
         f"(reference: ~560 d/min, 1095 d in 115 s)"
     )
     print(f"final sma {final.orbit.sma_km:.1f} km ecc {final.orbit.ecc:.6f}")
+    _write_artifact(f"ex03_drift_{jax.default_backend()}.json", {
+        "example": "03_geo_analysis drift bench",
+        "platform": jax.default_backend(),
+        "days": days,
+        "wall_s": round(wall, 1),
+        "propagated_days_per_min": round(rate, 1),
+        "reference_days_per_min": 560.0,
+        "reference_wall_s_1095d": 115.66,
+        "final_sma_km": round(float(final.orbit.sma_km), 3),
+        "final_ecc": float(final.orbit.ecc),
+    })
 
 
 def main():
@@ -104,9 +136,15 @@ def main():
     prop = Propagator.rk89(dyn, IntegratorOptions(max_step_s=300.0))
     inst = prop.with_state(sc, almanac)
     print("raising toward GEO with Ruggiero (up to 5 days)...")
-    final = inst.for_duration(5.0 * 86_400.0)
+    t0 = time.time()
+    # chunked dispatch (1-day device calls): long guidance-loop arcs in a
+    # single call faulted the tunneled axon runtime in round 2
+    for _day in range(5):
+        final = inst.for_duration(86_400.0)
+    raise_wall = time.time() - t0
     print(f"final sma {final.orbit.sma_km:.1f} km, ecc {final.orbit.ecc:.5f}, "
-          f"prop used {sc.prop_mass_kg - final.prop_mass_kg:.2f} kg")
+          f"prop used {sc.prop_mass_kg - final.prop_mass_kg:.2f} kg "
+          f"({raise_wall:.0f}s wall)")
     for line in law.status(final):
         print("  " + line)
 
@@ -123,6 +161,16 @@ def main():
     events = model.find_eclipse_events(traj, step_s=300.0)
     for when, kind in events[:4]:
         print(f"  eclipse {kind} at {when}")
+    _write_artifact(f"ex03_raise_{jax.default_backend()}.json", {
+        "example": "03_geo_analysis Ruggiero raise + eclipse scan",
+        "platform": jax.default_backend(),
+        "raise_days": 5.0,
+        "raise_wall_s": round(raise_wall, 1),
+        "final_sma_km": round(float(final.orbit.sma_km), 2),
+        "final_ecc": float(final.orbit.ecc),
+        "prop_used_kg": round(float(sc.prop_mass_kg - final.prop_mass_kg), 3),
+        "eclipse_fraction_pct": round(100 * frac, 2),
+    })
 
 
 if __name__ == "__main__":
