@@ -90,6 +90,11 @@ class ScanODResult:
     ratio: np.ndarray  # [M]
     rejected: np.ndarray  # [M] bool
     types: Tuple[str, ...] = ()
+    # estimate_biases=True: per-row Gauss-Markov bias estimates and their
+    # variances, one column per estimated (device, type) lane
+    bias_est: Optional[np.ndarray] = None  # [M, nb]
+    bias_var: Optional[np.ndarray] = None  # [M, nb]
+    bias_lanes: Tuple[Tuple[str, str], ...] = ()  # (device name, type)
 
     @property
     def accepted(self) -> int:
@@ -123,6 +128,7 @@ class ScanKalmanOD:
         max_gap_s: Optional[float] = None,
         filter_mode: str = "auto",
         aot_dir: Optional[str] = None,
+        estimate_biases: bool = False,
     ):
         """`prop_mode`:
 
@@ -229,6 +235,43 @@ class ScanKalmanOD:
                 n = d.stochastic_noises.get(t)
                 if n is not None and t in d.measurement_types:
                     rvar[i, j] = max(n.covariance(), 1e-32)
+        # Estimated Gauss-Markov measurement biases (VERDICT r2 item 7,
+        # reference semantics: gauss_markov.rs:52 biases feed the SIMULATED
+        # measurements via StochasticNoise — the reference never estimates
+        # them; here they can be carried as extra filter state lanes, the
+        # classic DSN bias-estimation formulation): one lane per
+        # (device, type) whose StochasticNoise carries a GaussMarkov bias.
+        # The lane propagates with phi = exp(-dt/tau) and
+        # q = sigma_ss^2 (1 - exp(-2 dt/tau)); its H entry is 1 for that
+        # device/type row; R then uses the WHITE-only variance (the bias
+        # is modeled, not noise).
+        self.estimate_biases = bool(estimate_biases)
+        lane_dev, lane_type, lane_tau, lane_sig2 = [], [], [], []
+        if self.estimate_biases:
+            for i, d in enumerate(devices):
+                for j, t in enumerate(self.types):
+                    n = d.stochastic_noises.get(t)
+                    if (n is not None and getattr(n, "bias", None) is not None
+                            and t in d.measurement_types):
+                        lane_dev.append(i)
+                        lane_type.append(j)
+                        lane_tau.append(float(n.bias.tau_s))
+                        lane_sig2.append(float(n.bias.covariance()))
+                        rvar[i, j] = max(
+                            n.white_noise.covariance()
+                            if n.white_noise is not None else 1e-32,
+                            1e-32,
+                        )
+            if prop_mode != "batch":
+                raise ConfigError(
+                    "estimate_biases needs the batched pipeline "
+                    "(prop_mode='batch')"
+                )
+        self.n_bias = len(lane_dev)
+        self._lane_dev = jnp.asarray(lane_dev, dtype=jnp.int32)
+        self._lane_type = jnp.asarray(lane_type, dtype=jnp.int32)
+        self._lane_tau = jnp.asarray(np.asarray(lane_tau, dtype=np.float64))
+        self._lane_sig2 = jnp.asarray(np.asarray(lane_sig2, dtype=np.float64))
         self._rvar = jnp.asarray(rvar)
         self._compiled = {}
         # AOT executable cache dir (nyx_tpu/aot.py): skips the ~minutes of
@@ -477,6 +520,9 @@ class ScanKalmanOD:
         use_parallel = self.filter_mode == "parallel" or (
             self.filter_mode == "auto" and rej_sigmas is None
         )
+        n_bias = self.n_bias
+        lane_dev, lane_type = self._lane_dev, self._lane_type
+        lane_tau, lane_sig2 = self._lane_tau, self._lane_sig2
 
         def interp_quintic(ts_n, ys_n, acc_n, n_valid, tq):
             """Quintic Hermite (pos/vel/acc endpoints) at query times
@@ -522,8 +568,9 @@ class ScanKalmanOD:
             return jnp.concatenate([r, v, rest], axis=-1)  # [M, 9]
 
         def filter_scan(phi, q_all, h_all, z_all, r_all, avail, p0):
-            """Sequential 9×9 CKF over precomputed rows (sigma rejection
-            supported)."""
+            """Sequential DxD CKF over precomputed rows (sigma rejection
+            supported). D = 9 (+ estimated bias lanes)."""
+            d_dim = p0.shape[-1]
 
             def step(carry, x):
                 dev, p_mat = carry
@@ -549,14 +596,14 @@ class ScanKalmanOD:
                 k_gain = jnp.where(rejected, 0.0, k_t.T)
                 dev_new = dev_bar + k_gain @ prefit
                 postfit = jnp.where(av_i, z_i - h_i @ dev_new, 0.0)
-                ikh = jnp.eye(STATE_DIM) - k_gain @ h_i
+                ikh = jnp.eye(d_dim) - k_gain @ h_i
                 p_new = ikh @ p_bar @ ikh.T + k_gain @ jnp.diag(r_i) @ k_gain.T
                 p_new = 0.5 * (p_new + p_new.T)
                 return (dev_new, p_new), (
                     dev_new, p_new, prefit, postfit, ratio, rejected
                 )
 
-            carry0 = (jnp.zeros(STATE_DIM), p0)
+            carry0 = (jnp.zeros(d_dim), p0)
             _, out = jax.lax.scan(
                 step, carry0, (phi, q_all, h_all, z_all, r_all, avail)
             )
@@ -578,7 +625,8 @@ class ScanKalmanOD:
             accept/reject set; only marginal rows right at the threshold
             can differ (the sequential filter rates them against a
             past that saw rejections applied strictly in order)."""
-            eye = jnp.eye(STATE_DIM)
+            d_dim = p0.shape[-1]
+            eye = jnp.eye(d_dim)
 
             def make_element(phi_i, q_i, h_i, z_i, r_i):
                 s_i = h_i @ q_i @ h_i.T + jnp.diag(r_i)
@@ -606,7 +654,7 @@ class ScanKalmanOD:
                 # batched elimination serves t_mat and u_mat (no f64 LU on
                 # TPU — see xmath.gauss_solve)
                 sol = gauss_solve(
-                    jnp.eye(STATE_DIM) + j2 @ c1,
+                    jnp.eye(d_dim) + j2 @ c1,
                     jnp.concatenate(
                         [
                             a2.swapaxes(-1, -2),
@@ -616,9 +664,9 @@ class ScanKalmanOD:
                         -1,
                     ),
                 )
-                t_mat = sol[..., :STATE_DIM].swapaxes(-1, -2)
-                ue = sol[..., STATE_DIM]
-                uja = sol[..., STATE_DIM + 1 :]
+                t_mat = sol[..., :d_dim].swapaxes(-1, -2)
+                ue = sol[..., d_dim]
+                uja = sol[..., d_dim + 1 :]
                 a_new = t_mat @ a1
                 b_new = (
                     t_mat @ (b1[..., None] + c1 @ e2[..., None])
@@ -647,7 +695,7 @@ class ScanKalmanOD:
             block = min(128, m_rows)
             n_blocks = -(-m_rows // block)
             pad = n_blocks * block - m_rows
-            eye_b = jnp.broadcast_to(jnp.eye(STATE_DIM), (pad, STATE_DIM, STATE_DIM))
+            eye_b = jnp.broadcast_to(jnp.eye(d_dim), (pad, d_dim, d_dim))
 
             def pad_id(e, idv):
                 return jnp.concatenate([e, idv], axis=0)
@@ -657,10 +705,10 @@ class ScanKalmanOD:
                 # identity element (A=I, rest 0): composing it on the right
                 # is a no-op, so padded rows pass the carry through
                 a_e = pad_id(a_e, eye_b)
-                b_e = pad_id(b_e, jnp.zeros((pad, STATE_DIM)))
-                c_e = pad_id(c_e, jnp.zeros((pad, STATE_DIM, STATE_DIM)))
-                eta_e = pad_id(eta_e, jnp.zeros((pad, STATE_DIM)))
-                j_e = pad_id(j_e, jnp.zeros((pad, STATE_DIM, STATE_DIM)))
+                b_e = pad_id(b_e, jnp.zeros((pad, d_dim)))
+                c_e = pad_id(c_e, jnp.zeros((pad, d_dim, d_dim)))
+                eta_e = pad_id(eta_e, jnp.zeros((pad, d_dim)))
+                j_e = pad_id(j_e, jnp.zeros((pad, d_dim, d_dim)))
                 blk = tuple(
                     e.reshape((n_blocks, block) + e.shape[1:])
                     for e in (a_e, b_e, c_e, eta_e, j_e)
@@ -670,25 +718,25 @@ class ScanKalmanOD:
                     dev_c, p_c = carry
                     cum = jax.lax.associative_scan(compose, be)
                     prior = (
-                        jnp.zeros((STATE_DIM, STATE_DIM)), dev_c, p_c,
-                        jnp.zeros(STATE_DIM),
-                        jnp.zeros((STATE_DIM, STATE_DIM)),
+                        jnp.zeros((d_dim, d_dim)), dev_c, p_c,
+                        jnp.zeros(d_dim),
+                        jnp.zeros((d_dim, d_dim)),
                     )
                     res = jax.vmap(lambda *r: compose(prior, r))(*cum)
                     dev_b, p_b = res[1], res[2]
                     return (dev_b[-1], p_b[-1]), (dev_b, p_b)
 
                 (_, _), (dev_blocks, p_blocks) = jax.lax.scan(
-                    outer, (jnp.zeros(STATE_DIM), p0), blk
+                    outer, (jnp.zeros(d_dim), p0), blk
                 )
-                dev_all = dev_blocks.reshape(-1, STATE_DIM)[:m_rows]
-                p_all = p_blocks.reshape(-1, STATE_DIM, STATE_DIM)[:m_rows]
+                dev_all = dev_blocks.reshape(-1, d_dim)[:m_rows]
+                p_all = p_blocks.reshape(-1, d_dim, d_dim)[:m_rows]
                 return dev_all, p_all
 
             def rate(dev_all, p_all):
                 """Post-hoc residuals/ratios against the ORIGINAL R."""
                 dev_prev = jnp.concatenate(
-                    [jnp.zeros((1, STATE_DIM)), dev_all[:-1]]
+                    [jnp.zeros((1, d_dim)), dev_all[:-1]]
                 )
                 p_prev = jnp.concatenate([p0[None], p_all[:-1]])
                 dev_bar = (phi @ dev_prev[..., None])[..., 0]
@@ -722,6 +770,8 @@ class ScanKalmanOD:
                     prefit, postfit, ratio = rate(dev_all, p_all)
                 rejected = ratio > rej_sigmas
             return dev_all, p_all, prefit, postfit, ratio, rejected
+
+        ffn_sel = filter_parallel if use_parallel else filter_scan
 
         def run_one(t_rel, trk, obs, avail, y0, p0, ctx, sc_params,
                     epoch0_tdb, epoch0_tai):
@@ -829,12 +879,50 @@ class ScanKalmanOD:
                 lambda d, y, tt: self._snc_q(d, y, tt, t0_tai)
             )(dt, y_bar, epoch0_tai + t_rel)
 
-            # ---- stage 4: the filter (only 9×9 algebra left) ----
-            ffn = filter_parallel if use_parallel else filter_scan
-            dev_all, p_all, prefit, postfit, ratio, rejected = ffn(
-                phi, q_all, h_all, z_all, r_all, avail, p0
-            )
-            y_est = y_bar + dev_all
+            # ---- stage 4: the filter (only DxD algebra left) ----
+            if n_bias:
+                # Augment with Gauss-Markov measurement-bias lanes:
+                # phi_b = exp(-dt/tau), q_b = sigma_ss^2 (1 - phi_b^2)
+                # (the exact discrete GM transition, gauss_markov.rs:52);
+                # H gets a 1 in the bias column when this row's tracker
+                # owns the lane; the initial covariance block is the GM
+                # steady state (zero-mean prior).
+                phi_b = jnp.exp(-dt[:, None] / lane_tau[None, :])  # [M, nb]
+                q_b = lane_sig2[None, :] * (1.0 - phi_b**2)
+                d_dim = STATE_DIM + n_bias
+
+                def aug_mat(m9, diag_b):
+                    out = jnp.zeros(m9.shape[:-2] + (d_dim, d_dim))
+                    out = out.at[..., :STATE_DIM, :STATE_DIM].set(m9)
+                    idx = jnp.arange(STATE_DIM, d_dim)
+                    return out.at[..., idx, idx].set(diag_b)
+
+                phi_a = aug_mat(phi, phi_b)
+                q_a = aug_mat(q_all, q_b)
+                # bias column selector: row m, type t gets lane k iff the
+                # lane belongs to (trk[m], t) and the type is observed
+                sel = (
+                    (lane_dev[None, None, :] == trk[:, None, None])
+                    & (lane_type[None, None, :]
+                       == jnp.arange(len(types))[None, :, None])
+                    & avail[:, :, None]
+                )
+                h_a = jnp.concatenate(
+                    [h_all, sel.astype(h_all.dtype)], axis=-1
+                )
+                p0_a = aug_mat(p0, jnp.broadcast_to(lane_sig2, (n_bias,)))
+                dev_all, p_all, prefit, postfit, ratio, rejected = ffn_sel(
+                    phi_a, q_a, h_a, z_all, r_all, avail, p0_a
+                )
+                y_est = jnp.concatenate(
+                    [y_bar + dev_all[:, :STATE_DIM], dev_all[:, STATE_DIM:]],
+                    axis=-1,
+                )  # [M, 9 + nb]; the host splits state and bias estimates
+            else:
+                dev_all, p_all, prefit, postfit, ratio, rejected = ffn_sel(
+                    phi, q_all, h_all, z_all, r_all, avail, p0
+                )
+                y_est = y_bar + dev_all
             # n_valid ships back so the host can detect capture-buffer
             # saturation (writes clamp silently on device)
             return y_est, p_all, prefit, postfit, ratio, rejected, n_valid
@@ -969,6 +1057,8 @@ class ScanKalmanOD:
             self.substeps, self.max_gap_s, self.resid_rejection_sigmas,
             self.process_noise,
             self._lat, self._lon, self._hgt, self._lt, self._rvar,
+            self.estimate_biases, self._lane_dev, self._lane_type,
+            self._lane_tau, self._lane_sig2, self._tint,
         ))
         memo_key = (cfg, tuple(
             (str(getattr(a, "dtype", "")), getattr(a, "shape", ()))
@@ -1006,15 +1096,36 @@ class ScanKalmanOD:
         else:
             self._check_capture(n_valid)  # raises
         y_est, covar, prefit, postfit, ratio, rejected = out
+        return self._result(arc, real, y_est, covar, prefit, postfit,
+                            ratio, rejected)
+
+    def _result(self, arc, real, y_est, covar, prefit, postfit, ratio,
+                rejected):
+        y_est, covar = np.asarray(y_est), np.asarray(covar)
+        bias_est = bias_var = None
+        lanes = ()
+        if self.n_bias:
+            bias_est = y_est[real, STATE_DIM:]
+            idx = np.arange(STATE_DIM, STATE_DIM + self.n_bias)
+            bias_var = covar[real][:, idx, idx]
+            y_est = y_est[:, :STATE_DIM]
+            covar = covar[:, :STATE_DIM, :STATE_DIM]
+            lanes = tuple(
+                (self.devices[int(i)].name, self.types[int(j)])
+                for i, j in zip(self._lane_dev, self._lane_type)
+            )
         return ScanODResult(
             epochs_tai_s=np.asarray(arc.epochs_tai_s),
-            y_est=np.asarray(y_est)[real],
-            covar=np.asarray(covar)[real],
+            y_est=y_est[real],
+            covar=covar[real],
             prefit=np.asarray(prefit)[real],
             postfit=np.asarray(postfit)[real],
             ratio=np.asarray(ratio)[real],
             rejected=np.asarray(rejected)[real],
             types=self.types,
+            bias_est=bias_est,
+            bias_var=bias_var,
+            bias_lanes=lanes,
         )
 
     def _capture_saturated(self, n_valid) -> bool:
@@ -1056,18 +1167,8 @@ class ScanKalmanOD:
         else:
             self._check_capture(n_valid)  # raises
         y_est, covar, prefit, postfit, ratio, rejected = outs
-        out = []
-        for k in range(len(initial_estimates)):
-            out.append(
-                ScanODResult(
-                    epochs_tai_s=np.asarray(arc.epochs_tai_s),
-                    y_est=np.asarray(y_est[k])[real],
-                    covar=np.asarray(covar[k])[real],
-                    prefit=np.asarray(prefit[k])[real],
-                    postfit=np.asarray(postfit[k])[real],
-                    ratio=np.asarray(ratio[k])[real],
-                    rejected=np.asarray(rejected[k])[real],
-                    types=self.types,
-                )
-            )
-        return out
+        return [
+            self._result(arc, real, y_est[k], covar[k], prefit[k],
+                         postfit[k], ratio[k], rejected[k])
+            for k in range(len(initial_estimates))
+        ]
