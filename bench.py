@@ -286,8 +286,19 @@ def _od_filter_steps_per_s(epoch, stor):
               flush=True)
 
     _T0 = time.time()
+    from dataclasses import replace as _replace
+
+    # Truth propagation runs UNROLLED stages: at B=1 the stage-scan pays
+    # the axon per-iteration floor 15x per RK step, and the unrolled
+    # 21x21-with-Pallas body is cheap to compile (measured 2026-08-19:
+    # 0.27 s run + ~80 s compile vs 15 s run in loop mode). The filter
+    # itself is built on default (loop-mode) options — only its internal
+    # reference propagation unrolls, which ScanKalmanOD already forces.
     prop = Propagator.rk89(dyn, IntegratorOptions())
-    _, traj = prop.with_state(truth).for_duration_with_traj(86_400.0)
+    truth_prop = Propagator.rk89(
+        dyn, _replace(IntegratorOptions(), stage_mode="unroll")
+    )
+    _, traj = truth_prop.with_state(truth).for_duration_with_traj(86_400.0)
     _stage("truth traj done")
 
     def white(gs):
@@ -326,8 +337,21 @@ def _od_filter_steps_per_s(epoch, stor):
     scan.process_arc(est0, arc)  # compile (or AOT cache load)
     _stage("filter compiled")
     t0 = time.time()
-    scan.process_arc(est0, arc)
-    return len(arc) / (time.time() - t0)
+    sol = scan.process_arc(est0, arc)
+    rate = len(arc) / (time.time() - t0)
+    # guard against silent TPU numerics regressions (f64 demotion class):
+    # the converged filter must track the truth to well under a meter on
+    # this perfect-measurement-model arc
+    truth_fin = traj.at(
+        Epoch.from_tai_seconds_j2000(sol.epochs_tai_s[-1])
+    ).to_vector()
+    err_m = float(np.linalg.norm(sol.final_state()[:3] - truth_fin[:3])) * 1e3
+    _stage(f"final position error {err_m:.2f} m")
+    if not err_m < 100.0:
+        raise RuntimeError(
+            f"OD bench filter diverged: {err_m:.1f} m final error"
+        )
+    return rate
 
 
 if __name__ == "__main__":

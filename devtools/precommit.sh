@@ -27,5 +27,5 @@ exec python -m pytest -x -q \
     tests/test_propagators_gmat.py \
     tests/test_monte_carlo.py \
     tests/test_dynamics.py \
-    tests/test_od.py::test_scan_matches_host_ckf \
+    "tests/test_od.py::TestScanFilter" \
     tests/test_orbit.py

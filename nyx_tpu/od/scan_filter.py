@@ -354,14 +354,21 @@ class ScanKalmanOD:
 
         def prop_fixed(y_ref, t_prev, dt, ctx, sc_params):
             """substeps fixed RK steps spanning [t_prev, t_prev+dt] on the
-            [1, 90] reference+STM row; dt == 0 degenerates exactly to the
-            identity update."""
-            y = jnp.concatenate([y_ref, jnp.eye(STATE_DIM).ravel()])[None, :]
-            h = jnp.asarray([dt / substeps])
+            reference+STM row; dt == 0 degenerates exactly to the identity
+            update. The single lane is padded to the 8-wide VPU sublane:
+            f64 elementwise chains at sublane 1 inside this scan body
+            evaluate at ~f32 on the axon TPU (integrator.propagate guard,
+            measured 2026-08-19)."""
+            lanes = 8 if jax.default_backend() in ("tpu", "axon") else 1
+            y = jnp.tile(
+                jnp.concatenate([y_ref, jnp.eye(STATE_DIM).ravel()])[None, :],
+                (lanes, 1),
+            )
+            h = jnp.full((lanes,), dt / substeps)
             eom2 = lambda t, yy: eom(t, yy, ctx, sc_params)
             fin2 = lambda t, yy: finally_fn(t, yy, ctx, sc_params)
             for k in range(substeps):
-                t = jnp.asarray([t_prev + k * (dt / substeps)])
+                t = jnp.full((lanes,), t_prev + k * (dt / substeps))
                 inc, _ = integrator._rk_stages(
                     eom2, a_tab, b_tab, bs_tab, c_tab, t, y, h
                 )

@@ -107,16 +107,25 @@ def _rk_stages_looped(eom, a, b, b_star, c, t, y, h, unroll: int = 1):
     c_j = jnp.asarray(c)
     k_buf = jnp.zeros((stages, B, N), dtype=y.dtype).at[0].set(eom(t, y))
 
+    # The stage combinations are broadcast-multiply + sum, NOT einsum/dot:
+    # XLA on the (axon) TPU lowers a float64 contraction at small batch to
+    # an MXU dot that silently degrades to ~f32 (measured 2026-08-19:
+    # err-estimate norm 4.6e-7 vs 5.3e-11 at B=1, correct at B=8), which
+    # collapsed adaptive steps 50x. Elementwise ops keep the proper f64
+    # emulation on every shape.
+    def wsum(w, kb):
+        return jnp.sum(w[:, None, None] * kb, axis=0)
+
     def step(kb, i):
-        wi = jnp.einsum("s,sbn->bn", a_j[i], kb)
+        wi = wsum(a_j[i], kb)
         ki = eom(t + c_j[i] * h, y + hb * wi)
         return kb.at[i].set(ki), None
 
     k_buf, _ = jax.lax.scan(
         step, k_buf, jnp.arange(1, stages), unroll=min(unroll, stages - 1)
     )
-    acc = jnp.einsum("s,sbn->bn", jnp.asarray(b, dtype=y.dtype), k_buf)
-    err = jnp.einsum("s,sbn->bn", jnp.asarray(b - b_star, dtype=y.dtype), k_buf)
+    acc = wsum(jnp.asarray(b, dtype=y.dtype), k_buf)
+    err = wsum(jnp.asarray(b - b_star, dtype=y.dtype), k_buf)
     return hb * acc, hb * err
 
 
@@ -183,6 +192,25 @@ def propagate(
         if t0 is None
         else jnp.broadcast_to(jnp.asarray(t0, dtype=jnp.float64), (B,))
     )
+    # axon/TPU f64 SOUNDNESS GUARD (measured 2026-08-19): float64
+    # elementwise chains whose second-minor dim is 1 evaluate at ~f32
+    # precision inside lax loop bodies (the emulation's low word is
+    # dropped on sub-sublane shapes) — a B=1 adaptive propagation then
+    # sees f32-level error estimates and collapses its steps 50x
+    # (12,211 vs 238 accepted steps on the OD bench arc). Padding the
+    # batch to the 8-wide VPU sublane is numerically exact and free;
+    # padded lanes duplicate lane 0 and are sliced off the result.
+    b_real = B
+    if B < 8 and state_dtype == jnp.float64 and jax.default_backend() in (
+        "tpu", "axon",
+    ):
+        pad = 8 - B
+        y0 = jnp.concatenate([y0, jnp.broadcast_to(y0[:1], (pad, N))], 0)
+        dur = jnp.concatenate([dur, jnp.broadcast_to(dur[:1], (pad,))])
+        t_start = jnp.concatenate(
+            [t_start, jnp.broadcast_to(t_start[:1], (pad,))]
+        )
+        B = 8
     t_stop = t_start + dur
     sgn = jnp.where(dur < 0, -1.0, 1.0)
 
@@ -347,15 +375,16 @@ def propagate(
         return carry
 
     final = jax.lax.while_loop(cond, body, init)
+    s = slice(0, b_real)  # drop the axon f64 sublane padding, if any
     return PropResult(
-        t=final.t,
-        y=final.y,
-        status=final.status,
-        n_accepted=final.n_accepted,
-        n_rejected=final.n_rejected,
-        error=final.error,
-        step=final.h,
-        traj_t=final.traj_t,
-        traj_y=final.traj_y,
-        traj_len=final.traj_len,
+        t=final.t[s],
+        y=final.y[s],
+        status=final.status[s],
+        n_accepted=final.n_accepted[s],
+        n_rejected=final.n_rejected[s],
+        error=final.error[s],
+        step=final.h[s],
+        traj_t=final.traj_t[s],
+        traj_y=final.traj_y[s],
+        traj_len=final.traj_len[s],
     )
