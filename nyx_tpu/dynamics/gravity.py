@@ -125,11 +125,24 @@ class Harmonics:
     #: Applies to f32 evaluations only (f64/mixed calls always take the
     #: XLA paths).
     backend: str = "auto"
+    #: precision="mixed": degrees <= split_degree evaluate in f64, the rest
+    #: in f32 (Pallas on TPU). 3 suits Earth (J2 dominates); bodies with
+    #: large low-degree sectorials (the Moon's C22) want ~8.
+    split_degree: int = 3
+    #: If set, gradients (jacfwd/jvp/linearize) differentiate a field
+    #: TRUNCATED to this degree while the primal keeps the full field —
+    #: the classic reduced-order variational-equations trick (the
+    #: reference's hyperdual STM always carries the full field,
+    #: gravity_field.rs:273-431, which is exact but pays the full
+    #: recursion 9x per STM stage; degree >~ 8 partials are far below
+    #: filter-gain relevance). None = exact AD through the full field.
+    jvp_degree: int = None
     MIXED_SPLIT_DEGREE = 3
 
     @classmethod
     def from_stor(cls, stor: GravityFieldData, precision: str = "f64",
-                  backend: str = "auto") -> "Harmonics":
+                  backend: str = "auto", split_degree: int = 3,
+                  jvp_degree: int = None) -> "Harmonics":
         N, M = stor.max_degree, stor.max_order
         b_nm, c_nm, vr01, vr11, diag = _precompute(N, M)
         W = M + 2
@@ -186,6 +199,8 @@ class Harmonics:
             frame=stor.frame,
             precision=precision,
             backend=backend,
+            split_degree=int(split_degree),
+            jvp_degree=jvp_degree if jvp_degree is None else int(jvp_degree),
             j2=float(j2),
             j3=float(j3),
         )
@@ -193,7 +208,7 @@ class Harmonics:
     def __hash__(self):
         return hash((self.c_nm, self.mu_km3_s2, self.radius_km,
                      self.max_degree, self.max_order, self.precision,
-                     self.backend))
+                     self.backend, self.split_degree, self.jvp_degree))
 
     def __eq__(self, other):
         return self is other or (
@@ -205,6 +220,8 @@ class Harmonics:
             and self.max_order == other.max_order
             and self.precision == other.precision
             and self.backend == other.backend
+            and self.split_degree == other.split_degree
+            and self.jvp_degree == other.jvp_degree
             and self.frame == other.frame
         )
 
@@ -256,7 +273,38 @@ class Harmonics:
         degree — a scan would spill its [B, M] carry every step, which
         measures ~10x slower on TPU at B=1e4..1e5).
         """
-        split = self.MIXED_SPLIT_DEGREE
+        if self.jvp_degree is not None:
+            return self._abf_truncated_jvp(r_bf)
+        return self._abf_primal(r_bf)
+
+    def _abf_truncated_jvp(self, r_bf):
+        """Full-field primal with gradients through a degree-truncated
+        field (see `jvp_degree`). One custom_jvp instance per Harmonics."""
+        fn = self.__dict__.get("_trunc_jvp_fn")
+        if fn is None:
+
+            @jax.custom_jvp
+            def accel(r):
+                return self._abf_primal(r)
+
+            @accel.defjvp
+            def _jvp(primals, tangents):
+                (r,), (dr,) = primals, tangents
+                primal = self._abf_primal(r)
+                q_t = min(self.jvp_degree, self.max_degree)
+                _, tangent = jax.jvp(
+                    lambda rr: self._accel_unrolled(rr, q_hi=q_t)
+                    if q_t <= self.UNROLL_MAX_DEGREE
+                    else self._accel_scan(rr, q_hi=q_t),
+                    (r,), (dr,),
+                )
+                return primal, tangent
+
+            fn = self.__dict__["_trunc_jvp_fn"] = accel
+        return fn(r_bf)
+
+    def _abf_primal(self, r_bf):
+        split = self.split_degree
         if (
             self.precision == "mixed"
             and self.max_degree > split
@@ -279,7 +327,11 @@ class Harmonics:
         )
         if use_pallas:
             return self._accel_pallas(r_bf, q_lo, q_hi)
-        if self.max_degree <= self.UNROLL_MAX_DEGREE:
+        # choose by the EFFECTIVE recursion length: a low-degree block
+        # (q_hi << N) of a large field unrolls cheaply even when the full
+        # field would not (n_steps = min(N, q_hi) rows are evaluated)
+        eff = min(self.max_degree, q_hi) if q_hi else self.max_degree
+        if eff <= self.UNROLL_MAX_DEGREE:
             return self._accel_unrolled(r_bf, q_lo, q_hi)
         return self._accel_scan(r_bf, q_lo, q_hi)
 
@@ -329,10 +381,18 @@ class Harmonics:
         interpret = jax.default_backend() not in ("tpu", "axon")
         import os
 
+        # Mosaic stack allocation grows ~linearly with the unrolled step
+        # count x tile width (measured: 80 steps x W_pad 88 x tile 512 =
+        # 22.5 MB > the 16 MB scoped-vmem limit; 21 x 24 x 512 fits).
+        # Budget ~10 MB at ~6.4 B per (step, m-row, lane) and clamp the
+        # tile to [128, 512] in VPU-lane multiples.
+        n_steps, _, w_pad = np.asarray(tab).shape
+        fit = int(10e6 / (max(n_steps, 1) * w_pad * 6.4))
+        tile_default = max(128, min(512, (fit // 128) * 128))
         return gp.pines_accel_pallas(
             r_bf, jnp.asarray(tab), gate, W=M + 2,
             mu=self.mu_km3_s2, radius=self.radius_km, diag1=float(diag[1]),
-            tile_b=int(os.environ.get("NYX_PALLAS_TILE_B", 512)),
+            tile_b=int(os.environ.get("NYX_PALLAS_TILE_B", tile_default)),
             interpret=interpret,
         )
 
@@ -456,6 +516,11 @@ class Harmonics:
         xs_j["acc_gate"] = jnp.asarray(
             (np.arange(1, N + 1) > q_lo) & (np.arange(1, N + 1) <= q_hi), dt
         )
+        if q_hi < N:
+            # the recursion only feeds upward: degrees past q_hi never
+            # contribute, so the scan stops there (a truncated low block
+            # of a large field costs O(q_hi), not O(N))
+            xs_j = {k: v[:q_hi] for k, v in xs_j.items()}
 
         def step(carry, x):
             row_nm1, row_nm2, acc4, rho_q = carry
