@@ -95,6 +95,14 @@ def rec_tau_only(t, y):
 
 timeit("rec/tau f64 only", rec_tau_only)
 
+
+def rec_tau_f32(t, y):
+    rec, tau = ctx.table._rec_tau(ctx.epoch0_tdb + t, jnp.float32)
+    return (tau[:, None] + rec[:, None].astype(f32)) * jnp.ones((1, 3), f32)
+
+
+timeit("rec/tau f32 only", rec_tau_f32)
+
 r_sun_fixed = ctx.table.position(sun_idx, ctx.epoch0_tdb + t0v, dtype=f32)
 
 
@@ -105,6 +113,7 @@ def eclipse_only(t, y):
 
 
 timeit("eclipse geometry f32 (fixed sun)", eclipse_only)
+timeit("eclipse geometry f32 rerun", eclipse_only)
 
 
 def flux_dir_only(t, y):

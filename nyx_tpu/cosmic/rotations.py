@@ -115,6 +115,51 @@ def iau_earth_dcm(t_tdb_s):
     return dcm_from_euler_ra_dec_w(a, de, w)
 
 
+def iau_earth_dcm32_pole(t_tdb_s):
+    """(dcm_f32 [..,3,3], pole_f64 [..,3]) — the TPU split-precision fast
+    path for the gravity rotation (Harmonics.accel, precision="split").
+
+    The pole row must stay f64 (it feeds the closed-form J2/J3, whose
+    direction sensitivity integrates to meters/day), but it depends only
+    on the slow precession angles alpha = -0.641 T and 90 - delta =
+    0.557 T deg (|arg| < 1e-2 rad for a century around J2000), so
+    small-angle polynomials are f64-exact with ZERO transcendentals.
+    The fast rotation angle w only enters rows 0/1, which feed the f32
+    field evaluation: f64 angle reduction + f32 trig leaves ~4e-7 rad on
+    the field evaluation point — ~1e-13 km/s^2 on the post-J2J3 field
+    terms. f64 sin/cos are emulated on TPU (~0.5 ms per [1e5] batch per
+    pair); this path eliminates all six.
+    """
+    d = t_tdb_s / 86_400.0
+    T = d / _DAYS_PER_CENTURY
+    a = -0.641 * T * _D2R  # alpha (rad), small for |T| < 1 century
+    b = 0.557 * T * _D2R  # pi/2 - delta (rad), small
+    a2 = a * a
+    b2 = b * b
+    sb = b * (1.0 - b2 * (1.0 / 6.0))
+    cb = 1.0 - b2 * 0.5 * (1.0 - b2 * (1.0 / 12.0))
+    # c = pi/2 + alpha: sin(c) = cos(alpha), cos(c) = -sin(alpha)
+    sc = 1.0 - a2 * 0.5 * (1.0 - a2 * (1.0 / 12.0))
+    cc = -(a * (1.0 - a2 * (1.0 / 6.0)))
+    pole = jnp.stack([sb * sc, -sb * cc, cb], -1)  # f64
+
+    w32 = (
+        linear_angle_deg(190.147, 360.985_623_5, d) * _D2R
+    ).astype(jnp.float32)
+    cw, sw = jnp.cos(w32), jnp.sin(w32)
+    f32 = jnp.float32
+    cb32, sb32 = cb.astype(f32), sb.astype(f32)
+    cc32, sc32 = cc.astype(f32), sc.astype(f32)
+    m00, m01 = cc32, sc32
+    m10, m11, m12 = -cb32 * sc32, cb32 * cc32, sb32
+    row0 = jnp.stack([cw * m00 + sw * m10, cw * m01 + sw * m11, sw * m12], -1)
+    row1 = jnp.stack(
+        [-sw * m00 + cw * m10, -sw * m01 + cw * m11, cw * m12], -1
+    )
+    dcm32 = jnp.stack([row0, row1, pole.astype(f32)], -2)
+    return dcm32, pole
+
+
 # IAU 2009 lunar orientation series. Angles E1..E13 (deg, deg/day).
 _MOON_E = jnp.array(
     [

@@ -205,6 +205,12 @@ class Harmonics:
             j3=float(j3),
         )
 
+    def with_jvp_degree(self, q: int) -> "Harmonics":
+        """Same field, gradients truncated to degree `q` (see jvp_degree)."""
+        from dataclasses import replace
+
+        return replace(self, jvp_degree=int(q))
+
     def __hash__(self):
         return hash((self.c_nm, self.mu_km3_s2, self.radius_km,
                      self.max_degree, self.max_order, self.precision,
@@ -237,23 +243,32 @@ class Harmonics:
         frame by meters) but the resulting DCM entries are cast, so an f32
         caller pays no emulated-f64 rotation or recursion work.
         """
+        from ..cosmic import rotations
         from ..cosmic.rotations import apply_dcm, apply_dcm_t
 
-        dcm = self.frame.dcm_from_j2000(t_tdb)  # [B, 3, 3] f64
         if self.precision == "split" and r.dtype == jnp.float64:
             # f64 closed-form J2+J3 at the exact state (their evaluation-
             # point sensitivity is what integrates to meters/day in f32);
             # the rest of the field — whose sensitivity is ~1e3x smaller —
             # runs as a single f32 recursion on the zeroed tables.
-            pole = dcm[..., 2, :]
+            from ..cosmic.frames import iau_orient
+            from ..constants import NAIF
+
+            if self.frame.orientation == iau_orient(NAIF.EARTH):
+                # zero-transcendental pole + f32 fast-angle rows (the f64
+                # DCM trig alone costs ~1 ms/eval at B=1e5 on TPU)
+                dcm32, pole = rotations.iau_earth_dcm32_pole(t_tdb)
+            else:
+                dcm = self.frame.dcm_from_j2000(t_tdb)  # [B, 3, 3] f64
+                pole = dcm[..., 2, :]
+                dcm32 = dcm.astype(jnp.float32)
             a_low = _j2j3_accel(
                 self.mu_km3_s2, self.radius_km, self.j2, self.j3, r, pole
             )
-            dcm32 = dcm.astype(jnp.float32)
             r_bf32 = apply_dcm(dcm32, r.astype(jnp.float32))
             a32 = self.accel_body_fixed(r_bf32)
             return a_low + apply_dcm_t(dcm32, a32).astype(jnp.float64)
-        dcm = dcm.astype(r.dtype)
+        dcm = self.frame.dcm_from_j2000(t_tdb).astype(r.dtype)
         r_bf = apply_dcm(dcm, r)
         a_bf = self.accel_body_fixed(r_bf)
         return apply_dcm_t(dcm, a_bf)
@@ -394,6 +409,7 @@ class Harmonics:
             mu=self.mu_km3_s2, radius=self.radius_km, diag1=float(diag[1]),
             tile_b=int(os.environ.get("NYX_PALLAS_TILE_B", tile_default)),
             interpret=interpret,
+            defer_reduce=os.environ.get("NYX_PALLAS_DEFER", "1") != "0",
         )
 
     def _prelude(self, r_bf):

@@ -69,7 +69,12 @@ def pack_tables(xs, N: int, W: int, q_lo: int = 0, q_hi: int = 0):
 
 
 def _pines_kernel(r_ref, tab_ref, acc_ref, rms_ref, ims_ref, *,
-                  n_steps, W, W_pad, tile_b, mu, radius, diag1, gate):
+                  n_steps, W, W_pad, tile_b, mu, radius, diag1, gate,
+                  defer_reduce=True):
+    """defer_reduce: accumulate the four per-degree sums as full
+    [W_pad, tile_b] arrays and reduce over sublanes ONCE at the end —
+    sublane reductions cost ~a dozen VPU ops each, and the eager variant
+    pays 4 of them per degree (measured ~25% of the kernel)."""
     f32 = jnp.float32
     x = r_ref[0:1, :]  # [1, TB]
     y = r_ref[1:2, :]
@@ -111,44 +116,89 @@ def _pines_kernel(r_ref, tab_ref, acc_ref, rms_ref, ims_ref, *,
     onehot1 = (m_f == 1).astype(f32)
     row_nm1 = u_ * f32(np.sqrt(3.0)) * onehot0 + f32(diag1) * onehot1
 
-    acc_x = jnp.zeros((1, tile_b), f32)
-    acc_y = jnp.zeros((1, tile_b), f32)
-    acc_z = jnp.zeros((1, tile_b), f32)
-    acc_w = jnp.zeros((1, tile_b), f32)
+    # Triangular width blocking: at degree-step k the rows only have
+    # nonzero entries for m <= k + 2 (the recursion grows one order per
+    # degree), so the row/accumulation ops run at the sublane-rounded
+    # active width instead of W_pad — ~35% less VPU work for a 21x21
+    # field (and ~half for high-degree fields, where most steps are
+    # narrow relative to the final width).
+    def w_of(k):
+        return min(W_pad, _round_up(min(k + 3, W), 8))
+
+    cur_w = w_of(0)
+    row_nm1 = row_nm1[:cur_w]
+    row_nm2 = row_nm2[:cur_w]
+    if defer_reduce:
+        acc_x = jnp.zeros((cur_w, tile_b), f32)
+        acc_y = jnp.zeros((cur_w, tile_b), f32)
+        acc_z = jnp.zeros((cur_w, tile_b), f32)
+        acc_w = jnp.zeros((cur_w, tile_b), f32)
+    else:
+        acc_x = jnp.zeros((1, tile_b), f32)
+        acc_y = jnp.zeros((1, tile_b), f32)
+        acc_z = jnp.zeros((1, tile_b), f32)
+        acc_w = jnp.zeros((1, tile_b), f32)
     rho_q = mu_over_r * rho
 
     for k in range(n_steps):
-        b_row = tab_ref[k, 0:1, :].reshape(W_pad, 1)
-        c_row = tab_ref[k, 1:2, :].reshape(W_pad, 1)
-        diag_v = tab_ref[k, 2:3, :].reshape(W_pad, 1)
-        offd_v = tab_ref[k, 3:4, :].reshape(W_pad, 1)
+        wk = w_of(k)
+        if wk > cur_w:
+            pad = jnp.zeros((wk - cur_w, tile_b), f32)
+            row_nm1 = jnp.concatenate([row_nm1, pad], axis=0)
+            row_nm2 = jnp.concatenate([row_nm2, pad], axis=0)
+            if defer_reduce:
+                acc_x = jnp.concatenate([acc_x, pad], axis=0)
+                acc_y = jnp.concatenate([acc_y, pad], axis=0)
+                acc_z = jnp.concatenate([acc_z, pad], axis=0)
+                acc_w = jnp.concatenate([acc_w, pad], axis=0)
+            cur_w = wk
+        b_row = tab_ref[k, 0:1, :].reshape(W_pad, 1)[:wk]
+        c_row = tab_ref[k, 1:2, :].reshape(W_pad, 1)[:wk]
+        diag_v = tab_ref[k, 2:3, :].reshape(W_pad, 1)[:wk]
+        offd_v = tab_ref[k, 3:4, :].reshape(W_pad, 1)[:wk]
         row_n = (u_ * b_row * row_nm1 - c_row * row_nm2
                  + diag_v + offd_v * u_)
         rho_q = rho_q * rho
         if gate[k]:
-            c_q = tab_ref[k, 4:5, :].reshape(W_pad, 1)
-            s_q = tab_ref[k, 5:6, :].reshape(W_pad, 1)
-            vr01 = tab_ref[k, 6:7, :].reshape(W_pad, 1)
-            vr11 = tab_ref[k, 7:8, :].reshape(W_pad, 1)
-            d_ = c_q * r_ms + s_q * i_ms
-            e_ = c_q * rm1 + s_q * im1
-            f_ = s_q * rm1 - c_q * im1
+            c_q = tab_ref[k, 4:5, :].reshape(W_pad, 1)[:wk]
+            s_q = tab_ref[k, 5:6, :].reshape(W_pad, 1)[:wk]
+            vr01 = tab_ref[k, 6:7, :].reshape(W_pad, 1)[:wk]
+            vr11 = tab_ref[k, 7:8, :].reshape(W_pad, 1)[:wk]
+            mk = m_f[:wk]
+            d_ = c_q * r_ms[:wk] + s_q * i_ms[:wk]
+            e_ = c_q * rm1[:wk] + s_q * im1[:wk]
+            f_ = s_q * rm1[:wk] - c_q * im1[:wk]
             row_p1 = jnp.concatenate([row_nm1[1:, :], zrow], axis=0)
             row_n_p1 = jnp.concatenate([row_n[1:, :], zrow], axis=0)
             rr = rho_q * f32(1.0 / radius)
-            acc_x += rr * jnp.sum(m_f * row_nm1 * e_, axis=0, keepdims=True)
-            acc_y += rr * jnp.sum(m_f * row_nm1 * f_, axis=0, keepdims=True)
-            acc_z += rr * jnp.sum(vr01 * row_p1 * d_, axis=0, keepdims=True)
-            acc_w -= rr * jnp.sum(vr11 * row_n_p1 * d_, axis=0, keepdims=True)
+            if defer_reduce:
+                acc_x += (rr * mk) * row_nm1 * e_
+                acc_y += (rr * mk) * row_nm1 * f_
+                acc_z += (rr * vr01) * row_p1 * d_
+                acc_w -= (rr * vr11) * row_n_p1 * d_
+            else:
+                acc_x += rr * jnp.sum(mk * row_nm1 * e_, axis=0,
+                                      keepdims=True)
+                acc_y += rr * jnp.sum(mk * row_nm1 * f_, axis=0,
+                                      keepdims=True)
+                acc_z += rr * jnp.sum(vr01 * row_p1 * d_, axis=0,
+                                      keepdims=True)
+                acc_w -= rr * jnp.sum(vr11 * row_n_p1 * d_, axis=0,
+                                      keepdims=True)
         row_nm1, row_nm2 = row_n, row_nm1
 
+    if defer_reduce:
+        acc_x = jnp.sum(acc_x, axis=0, keepdims=True)
+        acc_y = jnp.sum(acc_y, axis=0, keepdims=True)
+        acc_z = jnp.sum(acc_z, axis=0, keepdims=True)
+        acc_w = jnp.sum(acc_w, axis=0, keepdims=True)
     acc_ref[0:1, :] = acc_x + acc_w * s_
     acc_ref[1:2, :] = acc_y + acc_w * t_
     acc_ref[2:3, :] = acc_z + acc_w * u_
 
 
 def pines_accel_pallas(r_bf, tab, gate, *, W, mu, radius, diag1,
-                       tile_b=512, interpret=False):
+                       tile_b=512, interpret=False, defer_reduce=True):
     """Non-spherical acceleration [B, 3] (f32) from the packed tables.
 
     `r_bf` [B, 3] f32 body-fixed positions; `tab` [n_steps, 8, W_pad];
@@ -171,6 +221,7 @@ def pines_accel_pallas(r_bf, tab, gate, *, W, mu, radius, diag1,
         n_steps=n_steps, W=W, W_pad=W_pad, tile_b=tile_b,
         mu=mu, radius=radius, diag1=diag1,
         gate=tuple(bool(g) for g in gate),
+        defer_reduce=defer_reduce,
     )
     accT = pl.pallas_call(
         kernel,

@@ -52,6 +52,13 @@ class EphemTable:
     # small uniform tables used per propagation a masked-sum select is a pure
     # fused elementwise chain and ~100x cheaper.
     _SELECT_MAX_RECORDS = 32
+    # Below this record count it is cheaper still to skip coefficient
+    # selection entirely: run Clenshaw once per record on [..,3] values and
+    # mask-combine the RESULTS (n_rec * D fmas on [..,3]) instead of
+    # materializing a per-lane [.., 3, D] coefficient tensor (at B=1e5 f64
+    # that tensor is ~60 MB of HBM traffic per call — the dominant cost of
+    # the in-EOM sun/third-body lookups that SRP pays 16x per RK step).
+    _EVAL_PER_RECORD_MAX = 8
 
     def _coeff_at(self, idx: int, rec):
         n_rec = self.coeffs.shape[1]
@@ -66,11 +73,22 @@ class EphemTable:
             return jnp.sum(jnp.where(sel, body_c, 0.0), axis=-3)
         return body_c[rec]
 
-    def _rec_tau(self, t_tdb_s):
+    def _rec_tau(self, t_tdb_s, dtype=None):
+        """Record index + normalized time. For f32 evaluations the whole
+        chain after one f64 subtraction runs in f32: `rel` is at most a few
+        intervals (~1e6 s), so f32 resolution (~0.06 s) puts ~2e-7 on tau —
+        ~0.3 km on the Sun, far below the f32 rounding of the position
+        itself. This matters because emulated-f64 div/floor at B=1e5 cost
+        ~0.5 ms per lookup on TPU — the entire SRP floor (profile_srp.py)."""
         n_rec = self.coeffs.shape[1]
         rel = t_tdb_s - self.t0
-        rec = jnp.clip(jnp.floor(rel / self.intlen), 0, n_rec - 1).astype(jnp.int32)
-        tau = 2.0 * (rel - rec * self.intlen) / self.intlen - 1.0
+        if dtype is not None and jnp.dtype(dtype).itemsize < 8:
+            rel = rel.astype(dtype)
+            intlen = self.intlen.astype(dtype)
+        else:
+            intlen = self.intlen
+        rec = jnp.clip(jnp.floor(rel / intlen), 0, n_rec - 1).astype(jnp.int32)
+        tau = 2.0 * (rel - rec * intlen) / intlen - 1.0
         return rec, tau
 
     def position(self, idx: int, t_tdb_s, dtype=None):
@@ -81,7 +99,19 @@ class EphemTable:
         the ~km-level f32 rounding of planetary positions is negligible for
         the perturbation models that use it (SRP direction, third bodies).
         """
-        rec, tau = self._rec_tau(t_tdb_s)
+        rec, tau = self._rec_tau(t_tdb_s, dtype)
+        n_rec = self.coeffs.shape[1]
+        if 1 < n_rec <= self._EVAL_PER_RECORD_MAX:
+            tau_e = tau.astype(dtype) if dtype is not None else tau
+            body_c = self.coeffs[idx]
+            if dtype is not None:
+                body_c = body_c.astype(dtype)  # [n_rec,3,D] const, cast free
+            out = eval_chebyshev(body_c[0], tau_e)
+            for i in range(1, n_rec):
+                out = jnp.where(
+                    (rec == i)[..., None], eval_chebyshev(body_c[i], tau_e), out
+                )
+            return out
         c = self._coeff_at(idx, rec)
         if dtype is not None:
             c = c.astype(dtype)

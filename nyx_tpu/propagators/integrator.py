@@ -63,22 +63,32 @@ class PropResult(NamedTuple):
     traj_len: jnp.ndarray
 
 
-def _rk_stages(eom, a, b, b_star, c, t, y, h):
+def _rk_stages(eom, a, b, b_star, c, t, y, h, combo32: bool = False):
     """One full RK stage evaluation for all lanes (unrolled). Returns
     (increment, err_vec): the caller applies `y + increment` (the
-    propagate loop does so with Kahan compensation)."""
+    propagate loop does so with Kahan compensation).
+
+    `combo32`: run the a-matrix combinations (which only perturb EOM
+    *inputs* by ~h*|f|) in float32. The b-combination (the state
+    increment) and the error estimate keep the f64 k's: the error sum
+    cancels ~9 orders of magnitude and would drown in f32 rounding.
+    """
     stages = b.shape[0]
     # Python-float coefficients and a state-dtype step keep the linear
     # combinations in the state's dtype (float() is weakly typed in JAX;
     # an np.float64 scalar would silently promote an f32 state to f64)
     hb = h.astype(y.dtype)[:, None]
+    combo32 = combo32 and y.dtype == jnp.float64
     k = [eom(t, y)]
+    kc = [k[0].astype(jnp.float32)] if combo32 else k
     for i in range(1, stages):
-        wi = float(a[i, 0]) * k[0]
+        wi = float(a[i, 0]) * kc[0]
         for j in range(1, i):
             if a[i, j] != 0.0:
-                wi = wi + float(a[i, j]) * k[j]
-        k.append(eom(t + c[i] * h, y + hb * wi))
+                wi = wi + float(a[i, j]) * kc[j]
+        k.append(eom(t + c[i] * h, y + hb * wi.astype(y.dtype)))
+        if combo32:
+            kc.append(k[i].astype(jnp.float32))
     acc = float(b[0]) * k[0]
     err = float(b[0] - b_star[0]) * k[0]
     for i in range(1, stages):
@@ -221,7 +231,12 @@ def propagate(
         steps_per_iter = options.steps_per_iter
     if stage_mode == "auto":
         stage_mode = "loop" if method.stages >= 8 else "unroll"
-    stage_fn = _rk_stages_looped if stage_mode == "loop" else _rk_stages
+    if stage_mode == "loop":
+        stage_fn = _rk_stages_looped  # combo_precision: unroll mode only
+    else:
+        stage_fn = partial(
+            _rk_stages, combo32=options.combo_precision == "f32"
+        )
     order = float(method.order)
     fixed = options.fixed_step or method.is_fixed_only
     min_step = options.min_step_s
@@ -231,6 +246,9 @@ def propagate(
 
     h0 = sgn * min(options.init_step_s, options.max_step_s)
     K = max(n_capture, 1)
+    # step-size-controller pow at f32 on TPU (see one_step); the factor
+    # only needs ~2 significant digits and f64 pow is emulated
+    _f32_ctrl = jax.default_backend() in ("tpu", "axon")
 
     if finally_fn is not None:
         y0 = finally_fn(t_start, y0)
@@ -306,8 +324,20 @@ def propagate(
 
         # --- step-size adaptation (signed) ---
         safe_err = jnp.maximum(err, 1e-300)
-        grow = 0.9 * jnp.abs(carry.h) * (tol / safe_err) ** (1.0 / order)
-        shrink = 0.9 * jnp.abs(h_use) * (tol / safe_err) ** (1.0 / (order - 1.0))
+        if _f32_ctrl:
+            # the growth/shrink factor needs ~2 significant digits; f64
+            # pow is emulated on TPU (~0.3 ms per [B] call at B=1e5).
+            # Clamp the ratio into f32 range first (err can be ~1e-300).
+            ratio = jnp.clip(tol / safe_err, 1e-30, 1e30).astype(jnp.float32)
+            f_grow = (ratio ** jnp.float32(1.0 / order)).astype(jnp.float64)
+            f_shrink = (
+                ratio ** jnp.float32(1.0 / (order - 1.0))
+            ).astype(jnp.float64)
+        else:
+            f_grow = (tol / safe_err) ** (1.0 / order)
+            f_shrink = (tol / safe_err) ** (1.0 / (order - 1.0))
+        grow = 0.9 * jnp.abs(carry.h) * f_grow
+        shrink = 0.9 * jnp.abs(h_use) * f_shrink
         if fixed:
             h_acc = jnp.abs(carry.h)
         else:

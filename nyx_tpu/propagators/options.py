@@ -32,6 +32,14 @@ class IntegratorOptions:
     # iteration, amortizing that same floor further.
     stage_mode: str = "auto"
     steps_per_iter: int = 1
+    # "state": RK stage combinations at the state dtype (exact parity).
+    # "f32": the intermediate a-matrix combinations (the weighted k-sums
+    # that only feed EOM *inputs*) run in float32 while the state update,
+    # the b-combination and the error estimate stay f64 — saves ~half the
+    # combo cost on TPU (f64 is emulated) for a stage-state perturbation
+    # of ~3e-5 km, i.e. ~1e-8 km/step on the solution (validated in
+    # tests/test_propagators.py::test_combo_f32_accuracy).
+    combo_precision: str = "state"
     # Pad single-state propagations to this many identical lanes before
     # entering the batched kernel (results read lane 0). The tunneled axon
     # TPU runtime faults on 1-lane ephemeris-bearing while-loops; 8 lanes
