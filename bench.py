@@ -328,6 +328,12 @@ def _od_filter_steps_per_s(epoch, stor):
         prop, stations,
         types=(MeasurementType.RANGE_KM, MeasurementType.DOPPLER_KM_S),
         variant="ckf",
+        # reduced-order variational equations: the [M, 90] STM stage
+        # differentiates a degree-8 field (degree > 8 partials are far
+        # below gain relevance; <0.2% of the estimate's truth error on
+        # the harmonics parity test) — the stage-2 graph shrinks ~7x for
+        # both the remote compiler and the runtime
+        stm_jvp_degree=8,
         # AOT executable cache (nyx_tpu/aot.py): the filter program costs
         # ~6 min of host-side tracing/lowering that jax's persistent
         # compilation cache cannot skip; round 2 lost the OD metric to

@@ -79,15 +79,32 @@ class KalmanODProcess:
             else:
                 h = h_inst
 
-            # H-tilde is the FULL instantaneous partial at the measurement
-            # epoch even for two-way devices (sensitivity.rs:120-200 uses
-            # the one-way analytic rows); differentiating the averaged
-            # observation would halve H and mis-scale the gain (a CKF then
-            # diverges on two-way arcs — measured 2.4 km final error).
-            self._h_cache[key] = (
-                jax.jit(h),
-                jax.jit(jax.jacfwd(h_inst, argnums=1)),
-            )
+            # H-tilde for two-way devices is the partial of the AVERAGED
+            # observable, chained through the linearized backward flow:
+            # H = 0.5 (H_t + H_tm @ Phi(t -> t-T)), Phi ~ I with the
+            # -T_int r-v block. Differentiating the average with y_tm held
+            # FIXED would halve H and mis-scale the gain (measured 2.4 km
+            # divergence); the pure instantaneous H_t misses the t-T
+            # endpoint's sensitivity entirely — on fast-LOS geometry (low
+            # lunar orbit + surface station) that diverges the CKF too
+            # (measured 418 m vs 13 m one-way on ex04's 2 h arc). The
+            # scan filter implements the identical H (scan_filter.py
+            # one_obs), keeping host/device parity exact.
+            if device.integration_time_s:
+                t_int = float(device.integration_time_s)
+                jac_inst = jax.jacfwd(h_inst, argnums=1)
+                phi_back = jnp.eye(9).at[0:3, 3:6].set(-t_int * jnp.eye(3))
+
+                def jac(t_tdb_s, y9, y6_tm,
+                        _ji=jac_inst, _pb=phi_back, _ti=t_int):
+                    h1 = _ji(t_tdb_s, y9, y6_tm)
+                    y9_tm = jnp.concatenate([y6_tm, y9[6:9]])
+                    h0 = _ji(t_tdb_s - _ti, y9_tm, y6_tm)
+                    return 0.5 * (h1 + h0 @ _pb)
+
+            else:
+                jac = jax.jacfwd(h_inst, argnums=1)
+            self._h_cache[key] = (jax.jit(h), jax.jit(jac))
         return self._h_cache[key]
 
     def _chunked_time_updates(self, kf, instance, epoch: Epoch, sol=None):

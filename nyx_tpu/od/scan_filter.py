@@ -129,6 +129,7 @@ class ScanKalmanOD:
         filter_mode: str = "auto",
         aot_dir: Optional[str] = None,
         estimate_biases: bool = False,
+        stm_jvp_degree: Optional[int] = None,
     ):
         """`prop_mode`:
 
@@ -166,6 +167,16 @@ class ScanKalmanOD:
         """
         self.prop = prop
         self.devices = list(devices)
+        # Reduced-order variational equations for stage 2 (the [M, 90]
+        # STM propagation): gradients of any Harmonics model are taken
+        # through a field truncated to this degree, while the reference
+        # trajectory and measurement models keep the full field. Degree
+        # >~8 gravity partials are far below filter-gain relevance, and
+        # the 9 JVP passes through the full recursion dominate both the
+        # stage-2 runtime and the remote-compiler time for high-degree
+        # fields (the reference's hyperdual STM always carries the full
+        # field, gravity_field.rs:273-431 — exact but 9x the recursion).
+        self.stm_jvp_degree = stm_jvp_degree
         self.types = tuple(types or devices[0].measurement_types)
         self.variant = variant
         # full KalmanODProcess SNC semantics: a chronological sequence of
@@ -283,6 +294,31 @@ class ScanKalmanOD:
         self._aot_loaded = {}
 
     # ------------------------------------------------------------------
+    def _stm_dynamics(self, dyn):
+        """Dynamics used for the stage-2 STM propagation: Harmonics models
+        get jvp_degree=stm_jvp_degree (unless already truncated)."""
+        q = self.stm_jvp_degree
+        if q is None:
+            return dyn
+        from ..dynamics.gravity import Harmonics
+        from ..dynamics.orbital import OrbitalDynamics
+        from ..dynamics.spacecraft_dyn import SpacecraftDynamics
+
+        models = tuple(
+            m.with_jvp_degree(q)
+            if isinstance(m, Harmonics) and m.jvp_degree is None
+            and m.max_degree > q
+            else m
+            for m in dyn.orbital_dyn.models
+        )
+        if models == dyn.orbital_dyn.models:
+            return dyn
+        return SpacecraftDynamics(
+            OrbitalDynamics(models, dyn.orbital_dyn.frame),
+            dyn.force_models, dyn.guidance, dyn.decrement_mass,
+            dyn.pert_precision,
+        )
+
     def _snc_q(self, dt_s, y_ref, t_tai, t0_tai):
         """Per-row 9x9 process noise: chronological SNC switchover
         (last ProcessNoise whose start epoch <= row epoch wins), optional
@@ -496,7 +532,7 @@ class ScanKalmanOD:
 
         dyn = self.prop.dynamics
         eom9 = dyn.make_eom(with_stm=False)
-        eom90 = dyn.make_eom(with_stm=True)
+        eom90 = self._stm_dynamics(dyn).make_eom(with_stm=True)
         finally_fn = dyn.make_finally()
         opts, method = self.prop.opts, self.prop.method
         # clamp reference nodes to the filler spacing so the quintic
@@ -848,19 +884,35 @@ class ScanKalmanOD:
                             hgt[trk_i], frame, types, lt=lt_flags[trk_i],
                         )
 
-                    # H is the FULL instantaneous partial at the
-                    # measurement epoch (sensitivity.rs:120-200 parity;
-                    # differentiating the average would halve the gain)
+                    def v0_of_y(y9):
+                        return _station_obs(
+                            t_i - tint_i, y9[0:6], lat[trk_i],
+                            lon[trk_i], hgt[trk_i], frame, types,
+                            lt=lt_flags[trk_i],
+                        )
+
                     v1, h_jvp = jax.linearize(v1_of_y, y_i)
-                    h_mat = jax.vmap(h_jvp)(jnp.eye(STATE_DIM)).T
-                    v0 = _station_obs(
-                        t_i - tint_i, y_tm_i[0:6], lat[trk_i],
-                        lon[trk_i], hgt[trk_i], frame, types,
-                        lt=lt_flags[trk_i],
+                    h1 = jax.vmap(h_jvp)(jnp.eye(STATE_DIM)).T
+                    v0, h0_jvp = jax.linearize(v0_of_y, y_tm_i)
+                    h0 = jax.vmap(h0_jvp)(jnp.eye(STATE_DIM)).T
+                    # H of the AVERAGED observable, chained through the
+                    # linearized backward flow dev(t-T) = Phi(t->t-T)
+                    # dev(t), Phi ~ I with the -T_int r-v block (the
+                    # gravity-gradient terms are O(|A| T^2 / 2) ~ 4e-3
+                    # relative). The v0 endpoint's velocity sensitivity
+                    # (-T_int * u row on range) is what a pure
+                    # instantaneous H misses — on fast-LOS geometry
+                    # (low lunar orbit + surface station) that
+                    # mis-modeling diverges the CKF (measured: 418 m
+                    # final error vs 13 m one-way on ex04's 2 h arc).
+                    phi_back = jnp.eye(STATE_DIM).at[0:3, 3:6].set(
+                        -tint_i * jnp.eye(3)
                     )
+                    h_two = 0.5 * (h1 + h0 @ phi_back)
                     computed = jnp.where(
                         tint_i > 0.0, 0.5 * (v0 + v1), v1
                     )
+                    h_mat = jnp.where(tint_i > 0.0, h_two, h1)
                     return computed, h_mat
 
                 computed, h_all = jax.vmap(one_obs)(t_tdb, y_bar, y_tm, trk)
@@ -1066,6 +1118,7 @@ class ScanKalmanOD:
             self._lat, self._lon, self._hgt, self._lt, self._rvar,
             self.estimate_biases, self._lane_dev, self._lane_type,
             self._lane_tau, self._lane_sig2, self._tint,
+            self.stm_jvp_degree,
         ))
         memo_key = (cfg, tuple(
             (str(getattr(a, "dtype", "")), getattr(a, "shape", ()))
@@ -1152,14 +1205,37 @@ class ScanKalmanOD:
                 "smaller max_gap_s or an explicit larger buffer"
             )
 
-    def process_arc_batch(self, initial_estimates, arc: TrackingDataArc):
+    def process_arc_batch(self, initial_estimates, arc: TrackingDataArc,
+                          mesh=None):
         """Run an ensemble of filters over the same arc in one vmapped
         program (the reference's "MC of ODs" has no counterpart — rayon
         would fan out whole processes; here the filter ensemble is just
-        another batch axis). Returns a list of ScanODResult."""
+        another batch axis). Returns a list of ScanODResult.
+
+        `mesh`: optional jax Mesh — the filter ensemble is sharded over
+        its first axis (each device runs its slice of the vmapped filters;
+        the arc/reference inputs are replicated; SURVEY §2.8 "OD residual
+        aggregation" collective point). The batch is padded to a multiple
+        of the device count with copies of lane 0 and sliced back."""
         first = initial_estimates[0]
+        n_real = len(initial_estimates)
         y0s = jnp.asarray(np.stack([e.nominal.to_vector() for e in initial_estimates]))
         p0s = jnp.asarray(np.stack([e.covar for e in initial_estimates]))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            n_dev = int(mesh.devices.size)
+            pad = (-n_real) % n_dev
+            if pad:
+                y0s = jnp.concatenate(
+                    [y0s, jnp.broadcast_to(y0s[:1], (pad,) + y0s.shape[1:])]
+                )
+                p0s = jnp.concatenate(
+                    [p0s, jnp.broadcast_to(p0s[:1], (pad,) + p0s.shape[1:])]
+                )
+            sh = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+            y0s = jax.device_put(y0s, sh)
+            p0s = jax.device_put(p0s, sh)
         for _attempt in range(4):
             (_, run_batch), args, ctx, sc_params, epochs0, real = (
                 self._setup(first, arc)
@@ -1177,5 +1253,5 @@ class ScanKalmanOD:
         return [
             self._result(arc, real, y_est[k], covar[k], prefit[k],
                          postfit[k], ratio[k], rejected[k])
-            for k in range(len(initial_estimates))
+            for k in range(n_real)
         ]

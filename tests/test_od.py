@@ -473,6 +473,23 @@ class TestScanFilterHarmonics:
         # nominal convergence from an ~85 m draw (no relinearization)
         assert err < 0.03 and err < init_err / 2.0
 
+        # Reduced-order variational equations (stm_jvp_degree): STM
+        # partials through a degree-4 field must not move the converged
+        # estimate by more than a small fraction of its truth error —
+        # degree >4 terms contribute ~1e-4 of the gravity gradient here.
+        res_t = ScanKalmanOD(
+            prop, stations,
+            types=(MeasurementType.RANGE_KM, MeasurementType.DOPPLER_KM_S),
+            variant="ckf", stm_jvp_degree=4,
+        ).process_arc(est0, arc)
+        d_t = np.linalg.norm(res_t.final_state()[:3] - res.final_state()[:3])
+        err_t = np.linalg.norm(res_t.final_state()[:3] - truth_fin[:3])
+        assert d_t < max(0.2 * err, 1e-3), (
+            f"stm_jvp_degree moved the estimate {d_t*1e3:.2f} m "
+            f"(full-STM truth error {err*1e3:.2f} m)"
+        )
+        assert err_t < 0.03
+
 
 class TestBiasEstimation:
     def test_gm_bias_lanes_recover_injected_bias(self, two_body_prop,
