@@ -173,8 +173,95 @@ def main():
     })
 
 
+def stationkeeping():
+    """30-day GEO station-keeping Monte Carlo with the eclipse-gated
+    Ruggiero law (reference: examples/03_geo_analysis/stationkeeping.rs:
+    28-137): 8x8 JGM3 + Sun/Moon point masses + SRP, NEXT-STEP-class
+    thruster (0.472 N / 4435 s), objectives on sma/ecc/inc, sma dispersed
+    at 3 km 1-sigma. The reference runs 25 scalar threads; here the
+    ensemble is the device batch axis (NYX_EX03_SK_RUNS overrides)."""
+    from nyx_tpu.dynamics import Harmonics, PointMasses, SolarPressure
+    from nyx_tpu.io.gravity import GravityFieldData
+    from nyx_tpu.mc import MonteCarlo, MvnSpacecraft, StateDispersion
+
+    here = Path(__file__).resolve().parent.parent
+    almanac = Almanac()
+    epoch = Epoch.from_gregorian_utc(2024, 2, 29, 12, 13, 14)
+    orbit = Orbit.keplerian(42_164.0, 1e-5, 0.0, 163.0, 75.0, 0.0, epoch,
+                            Frames.EME2000)
+    thruster = Thruster(thrust_N=0.472, isp_s=4435.0)  # NEXT-STEP class
+    sc = Spacecraft.from_thruster(
+        orbit, dry_mass_kg=1000.0, prop_mass_kg=1000.0, thruster=thruster,
+        mode=GuidanceMode.Thrust,
+    ).with_srp(3.0 * 6.0, 1.8)
+
+    objectives = [
+        Objective.within_tolerance(StateParameter.SMA, 42_165.0, 20.0),
+        Objective.within_tolerance(StateParameter.ECC, 0.001, 5e-5),
+        Objective.within_tolerance(StateParameter.INC, 0.05, 1e-2),
+    ]
+    # thrust is inhibited whenever the occultation exceeds 20% of the disk
+    law = Ruggiero.from_max_eclipse(objectives, sc, 0.2)
+
+    stor = GravityFieldData.from_cof(
+        here / "data" / "JGM3.cof.gz", 8, 8, True, Frames.IAU_EARTH
+    )
+    dyn = SpacecraftDynamics(
+        OrbitalDynamics.from_models(
+            (
+                Harmonics.from_stor(stor, precision="split"),
+                PointMasses((NAIF.MOON, NAIF.SUN)),
+            ),
+            Frames.EME2000,
+        ),
+        (SolarPressure.default(),),
+        guidance=law,
+    )
+    prop = Propagator.rk89(dyn, IntegratorOptions(min_step_s=10.0))
+    n_runs = int(os.environ.get("NYX_EX03_SK_RUNS", 25))
+    days = float(os.environ.get("NYX_EX03_SK_DAYS", 30.0))
+    mvn = MvnSpacecraft(sc, [StateDispersion.zero_mean("sma", 3.0)])
+    mc = MonteCarlo(mvn, seed=3)
+    end = epoch + days * 86_400.0
+
+    mc.run_until_epoch(prop, almanac, epoch + 600.0, n_runs)  # compile
+    t0 = time.time()
+    results = mc.run_until_epoch(prop, almanac, end, n_runs)
+    wall = time.time() - t0
+    assert results.n_runs == n_runs
+    prop_used = sc.prop_mass_kg - np.asarray(results.y_final[:, 8])
+    sma = results.final_values_of("sma")
+    inc = results.final_values_of("inc")
+    ecc = results.final_values_of("ecc")
+    pq_path = Path(__file__).resolve().parent / "artifacts" / "03_geo_sk.parquet"
+    pq_path.parent.mkdir(exist_ok=True)
+    results.to_parquet(pq_path)
+    print(
+        f"SK MC: {n_runs} runs x {days:.0f} d in {wall:.1f} s | prop used "
+        f"{prop_used.mean():.3f} +/- {prop_used.std():.3f} kg | "
+        f"sma {sma.mean():.1f} +/- {sma.std():.2f} km"
+    )
+    _write_artifact(f"ex03_sk_{jax.default_backend()}.json", {
+        "example": "03_geo_analysis 30-day Ruggiero station-keeping MC",
+        "platform": jax.default_backend(),
+        "n_runs": n_runs,
+        "days": days,
+        "wall_s": round(wall, 1),
+        "n_ok": int(results.n_ok),
+        "prop_used_kg_mean": round(float(prop_used.mean()), 4),
+        "prop_used_kg_std": round(float(prop_used.std()), 4),
+        "final_sma_km_mean": round(float(sma.mean()), 3),
+        "final_sma_km_std": round(float(sma.std()), 4),
+        "final_ecc_mean": float(ecc.mean()),
+        "final_inc_deg_mean": round(float(inc.mean()), 4),
+        "parquet": str(pq_path),
+    })
+
+
 if __name__ == "__main__":
     if "--drift-bench" in sys.argv or os.environ.get("NYX_EX03_DRIFT"):
         drift_bench()
+    elif "--stationkeeping" in sys.argv or os.environ.get("NYX_EX03_SK"):
+        stationkeeping()
     else:
         main()
