@@ -121,8 +121,11 @@ arc_span = 86_400.0
 
 
 def timeit(name, fn, *args, n=5):
+    t0 = time.time()
     out = fn(*args)
     jax.block_until_ready(out)
+    print(f"{name:46s} first call (compile): {time.time()-t0:8.1f} s",
+          flush=True)
     t0 = time.time()
     for _ in range(n):
         out = fn(*args)

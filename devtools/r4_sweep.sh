@@ -38,4 +38,7 @@ run example03_drift 1500 python examples/03_geo_analysis.py --drift-bench
 run example03_raise 1800 python examples/03_geo_analysis.py
 run example03_sk    2400 python examples/03_geo_analysis.py --stationkeeping
 run example04_tpu   3000 python examples/04_lro_od.py   # 24 h, 80x80, two-way + SNC + rejection
+run example02_tpu   1800 python examples/02_jwst_covar_monte_carlo.py
+run example05_tpu   1800 python examples/05_caps_interlink_od.py
+run example06_tpu   2400 python examples/06_lunar_od.py
 echo "== all done $(date +%H:%M:%S) =="

@@ -61,36 +61,57 @@ def main():
         vx_km_s=1e-4, vy_km_s=3e-4, vz_km_s=2e-4,
     )
     est0 = unc.to_estimate()
-    od = KalmanODProcess(prop, almanac=almanac)
-    print("mapping covariance for 6.5 days...")
+    # Batched covariance mapping at the reference's own scale: 9,360
+    # one-minute estimates over 6.5 days (README.md:26) as ONE staged
+    # device pipeline (ScanKalmanOD.predict_for) instead of 9,360
+    # host-driven propagate calls. Warm-run wall reported separately from
+    # the first call (which includes the XLA compile).
+    from nyx_tpu.od import GroundStation, MeasurementType
+    from nyx_tpu.od.scan_filter import ScanKalmanOD
+
+    scan = ScanKalmanOD(
+        prop, [GroundStation.dss65_madrid(10.0)],
+        types=(MeasurementType.RANGE_KM, MeasurementType.DOPPLER_KM_S),
+        almanac=almanac,
+        aot_dir=str(Path(__file__).resolve().parent.parent
+                    / ".jax_cache" / "aot"),
+    )
+    print("mapping covariance for 6.5 days (9,360 one-minute estimates)...")
     t0 = time.time()
-    sol = od.predict_for(est0, 6.5 * 86_400.0, step=3600.0)
+    sol = scan.predict_for(est0, 6.5 * 86_400.0, step=60.0)
+    map_cold_wall = time.time() - t0
+    t0 = time.time()
+    sol = scan.predict_for(est0, 6.5 * 86_400.0, step=60.0)
     map_wall = time.time() - t0
-    n_estimates = len(sol.estimates)
-    sig_map = np.sqrt(np.diag(sol.final_estimate.covar)[:3])
+    n_estimates = len(sol.y_est)
+    sig_map = np.sqrt(np.diag(sol.final_covar())[:3])
     print(f"mapped position sigmas (km): {sig_map} "
-          f"({n_estimates} estimates, {map_wall:.1f}s)")
+          f"({n_estimates} estimates, {map_wall:.2f}s warm, "
+          f"{map_cold_wall:.1f}s incl. compile)")
 
     # --- Monte Carlo through the same dynamics (main.rs:133-146) --------
     mvn = MvnSpacecraft.from_covariance(sc, est0.covar)
     mc = MonteCarlo(mvn, seed=2024)
     n = int(os.environ.get("NYX_EX02_N", 5000))
-    mode = os.environ.get("NYX_EX02_MODE", "encke")
+    # full-state path by default: measured faster than the encke deviation
+    # scheme on the real TPU (r3 sweep; the scan per-iteration floor
+    # dominates encke's small per-step compute)
+    mode = os.environ.get("NYX_EX02_MODE", "full")
     print(f"running {n}-member Monte Carlo ({mode} mode)...")
+
+    def run_mc(end):
+        if mode == "encke":
+            return mc.run_until_epoch_encke(
+                prop, almanac, end, n, integ="abm", dt_s=600.0,
+                n_capture=1024,
+            )
+        return mc.run_until_epoch(prop, almanac, end, n, n_capture=1024)
+
     t0 = time.time()
-    if mode == "encke":
-        # the fast path: f32 deviations around one f64 reference, AB8/AM
-        # fixed-step main loop, trajectory capture recombined on device.
-        # dt=600 s: the orbit is slow (perigee rate ~6.6e-5 rad/s so
-        # h*omega ~ 0.04); validated against the full-state path in
-        # tests/test_monte_carlo.py on a much faster LEO arc.
-        res = mc.run_until_epoch_encke(
-            prop, almanac, epoch + 6.5 * 86_400.0, n,
-            integ="abm", dt_s=600.0, n_capture=1024,
-        )
-    else:
-        res = mc.run_until_epoch(prop, almanac, epoch + 6.5 * 86_400.0, n,
-                                 max_lanes_per_call=2048, n_capture=1024)
+    run_mc(epoch + 300.0)  # compile at the ensemble shape (short arc)
+    mc_compile_wall = time.time() - t0
+    t0 = time.time()
+    res = run_mc(epoch + 6.5 * 86_400.0)
     mc_wall = time.time() - t0
     print(f"{res.n_ok}/{res.n_runs} trajectories completed in {mc_wall:.1f}s")
     finals = res.y_final[:, :3]
@@ -122,8 +143,10 @@ def main():
         "n_runs": int(res.n_runs),
         "n_ok": int(res.n_ok),
         "covar_map_estimates": int(n_estimates),
-        "covar_map_wall_s": round(map_wall, 1),
+        "covar_map_wall_s": round(map_wall, 2),
+        "covar_map_cold_wall_s": round(map_cold_wall, 1),
         "mc_wall_s": round(mc_wall, 1),
+        "mc_compile_wall_s": round(mc_compile_wall, 1),
         "total_wall_s": round(map_wall + mc_wall, 1),
         "reference_total_wall_s": 60.0,
         "mapped_pos_sigma_km": [round(float(x), 4) for x in sig_map],

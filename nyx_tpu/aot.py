@@ -153,6 +153,7 @@ def get_or_compile(
     jitted: Callable,
     example_args: tuple,
     config_fingerprint: bytes = b"",
+    compiler_options: Optional[dict] = None,
 ) -> Callable:
     """Return a compiled callable for `jitted` at `example_args`' shapes,
     loading it from `cache_dir` when possible and saving it after a fresh
@@ -180,7 +181,9 @@ def get_or_compile(
             except OSError:
                 pass
 
-    compiled = jitted.lower(*example_args).compile()
+    compiled = jitted.lower(*example_args).compile(
+        compiler_options=compiler_options
+    )
     try:
         from jax.experimental import serialize_executable as se
 

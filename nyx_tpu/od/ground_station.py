@@ -303,6 +303,24 @@ class GroundStation:
 
         return h2
 
+    @staticmethod
+    def _pad_pow2(ts, ys):
+        """Pad a strand to the next power-of-two length (>= 64) by
+        repeating the last sample, so the per-device observation programs
+        compile for a handful of bucket shapes instead of one shape per
+        strand length (a 24 h multi-station arc otherwise triggers tens of
+        distinct remote compiles — measured ~4 min of the cold OD path)."""
+        ts = np.asarray(ts, dtype=np.float64)
+        ys = np.asarray(ys, dtype=np.float64)
+        k = ts.shape[0]
+        kp = max(64, 1 << max(0, int(k - 1).bit_length()))
+        if kp == k:
+            return ts, ys, k
+        ts_p = np.concatenate([ts, np.full(kp - k, ts[-1] if k else 0.0)])
+        pad_row = ys[-1:] if k else np.zeros((1, ys.shape[1]))
+        ys_p = np.concatenate([ys, np.repeat(pad_row, kp - k, axis=0)])
+        return ts_p, ys_p, k
+
     def batch_values(self, ts_tdb_s, ys6, types: Optional[Sequence[str]] = None):
         """Vectorized noiseless observations + elevations over a strand.
 
@@ -319,11 +337,16 @@ class GroundStation:
                 _, el, _, _ = self.azimuth_elevation_range(t, rv6)
                 return vals, el
 
-            self._batch_cache[types] = jax.jit(jax.vmap(one))
+            from ..compileopts import jit_options
+
+            self._batch_cache[types] = jax.jit(
+                jax.vmap(one), compiler_options=jit_options("obs")
+            )
+        ts_p, ys_p, k = self._pad_pow2(ts_tdb_s, ys6)
         vals, el = self._batch_cache[types](
-            jnp.asarray(ts_tdb_s), jnp.asarray(ys6)
+            jnp.asarray(ts_p), jnp.asarray(ys_p)
         )
-        return np.asarray(vals), np.asarray(el)
+        return np.asarray(vals)[:k], np.asarray(el)[:k]
 
     def batch_azel(self, ts_tdb_s, ys6):
         """Vectorized (azimuth_deg, elevation_deg) over a sample grid."""
@@ -333,9 +356,14 @@ class GroundStation:
                 az, el, _, _ = self.azimuth_elevation_range(t, rv6)
                 return az, el
 
-            self._azel_jit = jax.jit(jax.vmap(one))
-        az, el = self._azel_jit(jnp.asarray(ts_tdb_s), jnp.asarray(ys6))
-        return np.asarray(az), np.asarray(el)
+            from ..compileopts import jit_options
+
+            self._azel_jit = jax.jit(
+                jax.vmap(one), compiler_options=jit_options("obs")
+            )
+        ts_p, ys_p, k = self._pad_pow2(ts_tdb_s, ys6)
+        az, el = self._azel_jit(jnp.asarray(ts_p), jnp.asarray(ys_p))
+        return np.asarray(az)[:k], np.asarray(el)[:k]
 
     def visible(self, az_deg, el_deg):
         """Host-side visibility gate: flat elevation mask plus the

@@ -157,6 +157,8 @@ class InterlinkTxSpacecraft:
         return h2
 
     def batch_values(self, ts_tdb_s, ys6, types=None):
+        from .ground_station import GroundStation
+
         types = tuple(types or self.measurement_types)
         if not hasattr(self, "_batch_cache"):
             self._batch_cache = {}
@@ -165,9 +167,30 @@ class InterlinkTxSpacecraft:
             def one(t, rv6):
                 return self._link_values(t, rv6, types), self._los_clear(t, rv6)
 
-            self._batch_cache[types] = jax.jit(jax.vmap(one))
-        vals, el = self._batch_cache[types](jnp.asarray(ts_tdb_s), jnp.asarray(ys6))
-        return np.asarray(vals), np.asarray(el)
+            from ..compileopts import jit_options
+
+            self._batch_cache[types] = jax.jit(
+                jax.vmap(one), compiler_options=jit_options("obs")
+            )
+        ts_p, ys_p, k = GroundStation._pad_pow2(ts_tdb_s, ys6)
+        vals, el = self._batch_cache[types](jnp.asarray(ts_p), jnp.asarray(ys_p))
+        return np.asarray(vals)[:k], np.asarray(el)[:k]
+
+    def batch_azel(self, ts_tdb_s, ys6):
+        """Vectorized (azimuth, LOS-elevation) — azimuth is meaningless for
+        an interlink; the elevation channel carries the occultation gate."""
+        from .ground_station import GroundStation
+
+        if not hasattr(self, "_azel_jit"):
+            from ..compileopts import jit_options
+
+            self._azel_jit = jax.jit(
+                jax.vmap(self._los_clear),
+                compiler_options=jit_options("obs"),
+            )
+        ts_p, ys_p, k = GroundStation._pad_pow2(ts_tdb_s, ys6)
+        el = self._azel_jit(jnp.asarray(ts_p), jnp.asarray(ys_p))
+        return np.zeros(k), np.asarray(el)[:k]
 
     def measurement_covar(self, types=None) -> np.ndarray:
         types = tuple(types or self.measurement_types)

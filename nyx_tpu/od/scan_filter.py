@@ -292,6 +292,7 @@ class ScanKalmanOD:
         # package code plus the per-instance fingerprint below.
         self.aot_dir = aot_dir
         self._aot_loaded = {}
+        self._aot_cfg = None
 
     # ------------------------------------------------------------------
     def _stm_dynamics(self, dyn):
@@ -509,7 +510,9 @@ class ScanKalmanOD:
             )
             return out
 
-        run = jax.jit(run_one)
+        from ..compileopts import jit_options
+
+        run = jax.jit(run_one, compiler_options=jit_options("filter"))
         # the ensemble-of-filters axis (SURVEY.md §2.8): vmap over initial
         # estimates for batched covariance/robustness analysis — one
         # compiled program runs every filter in lock-step
@@ -518,7 +521,8 @@ class ScanKalmanOD:
                 run_one,
                 in_axes=(None, None, None, None, 0, 0, None, None, None,
                          None),
-            )
+            ),
+            compiler_options=jit_options("filter"),
         )
         return run, run_batch
 
@@ -816,8 +820,16 @@ class ScanKalmanOD:
 
         ffn_sel = filter_parallel if use_parallel else filter_scan
 
-        def run_one(t_rel, trk, obs, avail, y0, p0, ctx, sc_params,
-                    epoch0_tdb, epoch0_tai):
+        # The four stages below compile as SEPARATE programs: the fused
+        # single-program filter measured 654 s on the axon remote compiler
+        # while the same stages compiled separately sum to ~120 s (XLA
+        # compile time is strongly superlinear in program size; measured
+        # 2026-08-20, devtools/profile_od_compile.py + profile_od.py).
+        # Intermediates stay on device between stage dispatches, and the
+        # capture-saturation check lands after stage 1 instead of after a
+        # full wasted filter run.
+
+        def stage1_fn(t_rel, y0, ctx, sc_params):
             # ---- stage 1: single-lane reference with dense capture ----
             arc_span = t_rel[-1]
             res = integrator.propagate(
@@ -835,6 +847,9 @@ class ScanKalmanOD:
             ts_n = jnp.concatenate([jnp.zeros((1,)), res.traj_t[0]])
             ys_n = jnp.concatenate([y0[None, :], res.traj_y[0]])
             acc_n = eom9(ts_n, ys_n, ctx, sc_params)[:, 3:6]
+            return ts_n, ys_n, acc_n, n_valid
+
+        def stage2_fn(t_rel, ts_n, ys_n, acc_n, n_valid, ctx, sc_params):
             t_prev = jnp.concatenate([jnp.zeros((1,)), t_rel[:-1]])
             y_prev = interp_quintic(ts_n, ys_n, acc_n, n_valid, t_prev)
 
@@ -860,7 +875,10 @@ class ScanKalmanOD:
                 y90 = fin2(t_s + h_sub, y90 + inc90)
             y_bar = y90[:, 0:STATE_DIM]
             phi = y90[:, STATE_DIM:].reshape(m, STATE_DIM, STATE_DIM)
+            return y_bar, phi, dt
 
+        def stage3_fn(t_rel, trk, obs, avail, y_bar, dt, ts_n, ys_n, acc_n,
+                      n_valid, epoch0_tdb, epoch0_tai):
             # ---- stage 3: batched measurement models + partials ----
             t_tdb = epoch0_tdb + t_rel
             if any_two_way:
@@ -937,7 +955,10 @@ class ScanKalmanOD:
             q_all = jax.vmap(
                 lambda d, y, tt: self._snc_q(d, y, tt, t0_tai)
             )(dt, y_bar, epoch0_tai + t_rel)
+            return computed, h_all, z_all, r_all, q_all
 
+        def stage4_fn(trk, avail, y_bar, phi, dt, h_all, z_all, r_all,
+                      q_all, p0):
             # ---- stage 4: the filter (only DxD algebra left) ----
             if n_bias:
                 # Augment with Gauss-Markov measurement-bias lanes:
@@ -982,19 +1003,45 @@ class ScanKalmanOD:
                     phi, q_all, h_all, z_all, r_all, avail, p0
                 )
                 y_est = y_bar + dev_all
-            # n_valid ships back so the host can detect capture-buffer
-            # saturation (writes clamp silently on device)
-            return y_est, p_all, prefit, postfit, ratio, rejected, n_valid
+            return y_est, p_all, prefit, postfit, ratio, rejected
 
-        run = jax.jit(run_one)
-        run_batch = jax.jit(
-            jax.vmap(
-                run_one,
-                in_axes=(None, None, None, None, 0, 0, None, None, None,
-                         None),
-            )
-        )
-        return run, run_batch
+        from ..compileopts import jit_options
+
+        copts = jit_options("filter")
+        stages = {
+            "s1": jax.jit(stage1_fn, compiler_options=copts),
+            "s2": jax.jit(stage2_fn, compiler_options=copts),
+            "s3": jax.jit(stage3_fn, compiler_options=copts),
+            "s4": jax.jit(stage4_fn, compiler_options=copts),
+        }
+        # the ensemble-of-filters axis (SURVEY.md §2.8): each stage is
+        # vmapped over the estimate batch; arc/row inputs are broadcast
+        stages_b = {
+            "s1": jax.jit(
+                jax.vmap(stage1_fn, in_axes=(None, 0, None, None)),
+                compiler_options=copts,
+            ),
+            "s2": jax.jit(
+                jax.vmap(stage2_fn, in_axes=(None, 0, 0, 0, 0, None, None)),
+                compiler_options=copts,
+            ),
+            "s3": jax.jit(
+                jax.vmap(
+                    stage3_fn,
+                    in_axes=(None, None, None, None, 0, 0, 0, 0, 0, 0,
+                             None, None),
+                ),
+                compiler_options=copts,
+            ),
+            "s4": jax.jit(
+                jax.vmap(
+                    stage4_fn,
+                    in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0, 0),
+                ),
+                compiler_options=copts,
+            ),
+        }
+        return {"stages": stages, "stages_b": stages_b}
 
     # ------------------------------------------------------------------
     def _prepare(self, arc: TrackingDataArc, epoch0: Epoch):
@@ -1057,6 +1104,33 @@ class ScanKalmanOD:
 
     # ------------------------------------------------------------------
     def _setup(self, initial_estimate, arc: TrackingDataArc):
+        """Host-side setup (arc layout, context build, device transfers),
+        memoized on the arc contents + epoch: repeat process_arc calls on
+        the same arc (benchmarks, MC-of-OD loops, smoother passes) skip
+        ~0.2 s of pure host work per call."""
+        import hashlib as _hl
+
+        epoch0 = initial_estimate.epoch
+        ep_key = (round(epoch0.to_tai_seconds(), 9),
+                  getattr(self, "_kcap_grow", 1))
+        h = _hl.sha256()
+        h.update(np.ascontiguousarray(arc.epochs_tai_s).tobytes())
+        h.update(np.ascontiguousarray(arc.values).tobytes())
+        h.update(repr(arc.trackers).encode())
+        h.update(np.ascontiguousarray(arc.tracker_idx).tobytes())
+        key = (h.hexdigest(), ep_key)
+        if not hasattr(self, "_setup_cache"):
+            self._setup_cache = {}
+        if key in self._setup_cache:
+            return self._setup_cache[key]
+        out = self._setup_uncached(initial_estimate, arc)
+        if len(self._setup_cache) > 8:  # bound: long MC-of-OD sessions
+            self._setup_cache.clear()
+        self._setup_cache[key] = out
+        return out
+
+    def _setup_uncached(self, initial_estimate, arc: TrackingDataArc):
+        self._aot_cfg = None
         epoch0 = initial_estimate.epoch
         if self._max_gap_user is None:
             orb = initial_estimate.nominal.orbit
@@ -1101,35 +1175,86 @@ class ScanKalmanOD:
         return (self._compiled[key], args, ctx, sc_params,
                 (epoch0_tdb, epoch0_tai), real)
 
-    def _aot(self, jitted, example_args):
-        """AOT-cache the compiled filter executable (nyx_tpu/aot.py): a
-        fresh process skips the ~minutes of tracing/lowering. The
-        fingerprint covers every closure constant of the traced program:
-        propagator config, dynamics (incl. gravity tables), station
-        tables, filter settings."""
+    def _aot(self, jitted, example_args, name="scanod"):
+        """AOT-cache a compiled filter-stage executable (nyx_tpu/aot.py): a
+        fresh process skips the tracing/lowering minutes. The fingerprint
+        covers every closure constant of the traced program: propagator
+        config, dynamics (incl. gravity tables), station tables, filter
+        settings."""
         from .. import aot
 
-        cfg = aot.deep_fingerprint((
-            self.prop.opts, repr(self.prop.method),
-            self.prop.dynamics,
-            self.types, self.variant, self.prop_mode, self.filter_mode,
-            self.substeps, self.max_gap_s, self.resid_rejection_sigmas,
-            self.process_noise,
-            self._lat, self._lon, self._hgt, self._lt, self._rvar,
-            self.estimate_biases, self._lane_dev, self._lane_type,
-            self._lane_tau, self._lane_sig2, self._tint,
-            self.stm_jvp_degree,
-        ))
-        memo_key = (cfg, tuple(
+        if self._aot_cfg is None:
+            self._aot_cfg = aot.deep_fingerprint((
+                self.prop.opts, repr(self.prop.method),
+                self.prop.dynamics,
+                self.types, self.variant, self.prop_mode, self.filter_mode,
+                self.substeps, self.max_gap_s, self.resid_rejection_sigmas,
+                self.process_noise,
+                self._lat, self._lon, self._hgt, self._lt, self._rvar,
+                self.estimate_biases, self._lane_dev, self._lane_type,
+                self._lane_tau, self._lane_sig2, self._tint,
+                self.stm_jvp_degree,
+            ))
+        cfg = self._aot_cfg
+        memo_key = (name, tuple(
             (str(getattr(a, "dtype", "")), getattr(a, "shape", ()))
             for a in jax.tree_util.tree_leaves(example_args)
         ))
         if memo_key not in self._aot_loaded:
+            from ..compileopts import jit_options
+
             self._aot_loaded[memo_key] = aot.get_or_compile(
-                self.aot_dir, "scanod", jitted, example_args,
+                self.aot_dir, name, jitted, example_args,
                 config_fingerprint=cfg,
+                compiler_options=jit_options("filter"),
             )
         return self._aot_loaded[memo_key]
+
+    def _stage(self, stages, key, args):
+        """One pipeline stage, AOT-cached when an aot_dir is configured.
+        NYX_OD_TRACE=1 prints per-stage walls (first call includes its
+        compile) to stderr."""
+        import os as _os
+
+        fn = stages[key]
+        if self.aot_dir is not None:
+            fn = self._aot(fn, args, name=f"scanod_{key}")
+        if _os.environ.get("NYX_OD_TRACE"):
+            import sys as _sys
+            import time as _time
+
+            t0 = _time.time()
+            out = jax.block_until_ready(fn(*args))
+            print(f"# scanod {key}: {_time.time() - t0:8.3f}s",
+                  file=_sys.stderr, flush=True)
+            return out
+        return fn(*args)
+
+    def _run_stages(self, stages, args, y0, p0, ctx, sc_params, epochs0):
+        """Drive the four-stage batched pipeline (see _build_batch). Returns
+        (out6, n_valid); intermediates never leave the device."""
+        t_rel, trk, obs, avail = args
+        epoch0_tdb, epoch0_tai = epochs0
+        ts_n, ys_n, acc_n, n_valid = self._stage(
+            stages, "s1", (t_rel, y0, ctx, sc_params)
+        )
+        # saturation check between s1 and s2: a grown buffer only recompiles
+        # stage 1, and no filter work is wasted on a saturated capture
+        if self._capture_saturated(n_valid):
+            return None, n_valid
+        y_bar, phi, dt = self._stage(
+            stages, "s2", (t_rel, ts_n, ys_n, acc_n, n_valid, ctx, sc_params)
+        )
+        _, h_all, z_all, r_all, q_all = self._stage(
+            stages, "s3",
+            (t_rel, trk, obs, avail, y_bar, dt, ts_n, ys_n, acc_n, n_valid,
+             epoch0_tdb, epoch0_tai),
+        )
+        out = self._stage(
+            stages, "s4",
+            (trk, avail, y_bar, phi, dt, h_all, z_all, r_all, q_all, p0),
+        )
+        return out, n_valid
 
     def process_arc(self, initial_estimate, arc: TrackingDataArc) -> ScanODResult:
         """Run the compiled scan filter over the arc. `initial_estimate`
@@ -1137,27 +1262,57 @@ class ScanKalmanOD:
         y0 = jnp.asarray(initial_estimate.nominal.to_vector())
         p0 = jnp.asarray(initial_estimate.covar)
         for _attempt in range(4):
-            (run, _), args, ctx, sc_params, epochs0, real = self._setup(
+            prog, args, ctx, sc_params, epochs0, real = self._setup(
                 initial_estimate, arc
             )
-            all_args = (*args, y0, p0, ctx, sc_params, *epochs0)
-            if self.aot_dir is not None:
-                run = self._aot(run, all_args)
-            out = run(*all_args)
-            if len(out) == 7:  # batch mode ships n_valid back
-                *out, n_valid = out
-                if self._capture_saturated(n_valid):
-                    # reference took more natural steps than the sized
-                    # buffer; double and recompile (kept on the instance,
-                    # so later arcs start at the grown size)
+            if isinstance(prog, dict):  # batch mode: staged pipeline
+                out, n_valid = self._run_stages(
+                    prog["stages"], args, y0, p0, ctx, sc_params, epochs0
+                )
+                if out is None:  # capture saturated: double and recompile
                     self._kcap_grow = getattr(self, "_kcap_grow", 1) * 2
                     continue
+            else:
+                run, _ = prog
+                all_args = (*args, y0, p0, ctx, sc_params, *epochs0)
+                if self.aot_dir is not None:
+                    run = self._aot(run, all_args)
+                out = run(*all_args)
             break
         else:
             self._check_capture(n_valid)  # raises
         y_est, covar, prefit, postfit, ratio, rejected = out
         return self._result(arc, real, y_est, covar, prefit, postfit,
                             ratio, rejected)
+
+    def predict_for(self, initial_estimate, duration, step=60.0):
+        """Batched covariance mapping (od/process/mod.rs predict_for): time
+        updates only, over a uniform `step` grid spanning `duration`.
+
+        TPU-native contrast to the host-loop KalmanODProcess.predict_for:
+        the grid rows go through the same staged pipeline as a tracking
+        arc — one dense-capture reference propagation, ONE [M, 90] batched
+        STM call for every mapping interval, and the filter algebra with
+        every row masked (no measurements -> pure time updates). A 9,360-
+        estimate 6.5-day mapping is one device pipeline instead of 9,360
+        host-driven propagate calls."""
+        from ..time import Duration as _Dur
+
+        dur_s = duration.to_seconds() if isinstance(duration, _Dur) else float(duration)
+        step_s = step.to_seconds() if isinstance(step, _Dur) else float(step)
+        m = max(1, int(round(dur_s / step_s)))
+        epoch0 = initial_estimate.epoch
+        t_grid = np.arange(1, m + 1) * step_s
+        nan = np.full((m, len(self.types)), np.nan)
+        name = self.devices[0].name if self.devices else "predict"
+        arc = TrackingDataArc(
+            epochs_tai_s=epoch0.to_tai_seconds() + t_grid,
+            trackers=(name,),
+            tracker_idx=np.zeros(m, dtype=np.int32),
+            types=self.types,
+            values=nan,  # all-NaN -> avail=False -> time updates only
+        )
+        return self.process_arc(initial_estimate, arc)
 
     def _result(self, arc, real, y_est, covar, prefit, postfit, ratio,
                 rejected):
@@ -1237,15 +1392,19 @@ class ScanKalmanOD:
             y0s = jax.device_put(y0s, sh)
             p0s = jax.device_put(p0s, sh)
         for _attempt in range(4):
-            (_, run_batch), args, ctx, sc_params, epochs0, real = (
+            prog, args, ctx, sc_params, epochs0, real = (
                 self._setup(first, arc)
             )
-            outs = run_batch(*args, y0s, p0s, ctx, sc_params, *epochs0)
-            if len(outs) == 7:  # batch mode ships n_valid back
-                *outs, n_valid = outs
-                if self._capture_saturated(n_valid):
+            if isinstance(prog, dict):  # batch mode: staged pipeline
+                outs, n_valid = self._run_stages(
+                    prog["stages_b"], args, y0s, p0s, ctx, sc_params, epochs0
+                )
+                if outs is None:  # capture saturated: double and recompile
                     self._kcap_grow = getattr(self, "_kcap_grow", 1) * 2
                     continue
+            else:
+                _, run_batch = prog
+                outs = run_batch(*args, y0s, p0s, ctx, sc_params, *epochs0)
             break
         else:
             self._check_capture(n_valid)  # raises

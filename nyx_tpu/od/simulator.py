@@ -100,19 +100,34 @@ class TrackingArcSim:
 
     # ------------------------------------------------------------------
     def _sample_grid(self, sampling_s: float):
-        """(epoch rel seconds grid, states [K, 6]) over the trajectory."""
-        t0, t1 = float(self.traj.ts[0]), float(self.traj.ts[-1])
-        ts = np.arange(t0, t1 + 1e-6, sampling_s)
-        ys = np.stack([self.traj.interpolate(t)[:6] for t in ts])
-        return ts, ys
+        """(epoch rel seconds grid, states [K, 6]) over the trajectory.
+        Cached per sampling rate — identical configs across devices would
+        otherwise redo the host-side Hermite loop once per device."""
+        if not hasattr(self, "_grid_cache"):
+            self._grid_cache = {}
+        if sampling_s not in self._grid_cache:
+            t0, t1 = float(self.traj.ts[0]), float(self.traj.ts[-1])
+            ts = np.arange(t0, t1 + 1e-6, sampling_s)
+            ys = np.stack([self.traj.interpolate(t)[:6] for t in ts])
+            self._grid_cache[sampling_s] = (ts, ys)
+        return self._grid_cache[sampling_s]
 
     def _elevations(self, device, ts_rel, ys) -> np.ndarray:
-        """Vectorized elevation [K] for one device over all samples."""
-        epoch0 = self.traj.epoch0
+        """Vectorized elevation [K] for one device over all samples.
+        Routes through the device's cached batch_azel jit (one program per
+        device for the whole sim, padded to bucket shapes) instead of
+        compiling a fresh closure here on every schedule build. Devices
+        without batch_azel (e.g. PositionDevice) fall back to the inline
+        vmapped elevation."""
+        t0_tdb = self.traj.epoch0.to_tdb_seconds()
+        if hasattr(device, "batch_azel"):
+            _, el = device.batch_azel(t0_tdb + np.asarray(ts_rel), ys)
+            return np.asarray(el)
 
         def el_of(t_rel, rv6):
-            t_tdb = jnp.float64(epoch0.to_tdb_seconds()) + t_rel
-            _, el, _, _ = device.azimuth_elevation_range(t_tdb, rv6)
+            _, el, _, _ = device.azimuth_elevation_range(
+                jnp.float64(t0_tdb) + t_rel, rv6
+            )
             return el
 
         return np.asarray(

@@ -100,7 +100,9 @@ class PropInstance:
         finally_fn = self.dynamics.make_finally()
         opts, method = self.prop.opts, self.prop.method
 
-        @jax.jit
+        from ..compileopts import jit_options
+
+        @partial(jax.jit, compiler_options=jit_options("prop"))
         def run(y0, duration_s, ctx, sc_params):
             return integrator.propagate(
                 eom,

@@ -375,6 +375,35 @@ class TestPredict:
         assert sigf > sig0  # two-body uncertainty grows along-track
         assert sol.final_estimate.predicted
 
+    def test_scan_predict_matches_host(self, two_body_prop, truth_setup,
+                                       stations):
+        """Batched covariance mapping (ScanKalmanOD.predict_for: one
+        staged device pipeline) must match the host predict loop."""
+        from nyx_tpu.od.scan_filter import ScanKalmanOD
+
+        truth_sc, _ = truth_setup
+        est = KfEstimate.from_diag(
+            truth_sc, [1e-2] * 3 + [1e-8] * 3 + [0.0] * 3
+        )
+        host = KalmanODProcess(two_body_prop).predict_for(
+            est, 3600.0, step=300.0
+        )
+        scan = ScanKalmanOD(
+            two_body_prop, stations,
+            types=(MeasurementType.RANGE_KM, MeasurementType.DOPPLER_KM_S),
+        )
+        sol = scan.predict_for(est, 3600.0, step=300.0)
+        assert len(sol.y_est) == 12  # grid rows (host also keeps row 0)
+        np.testing.assert_allclose(
+            sol.final_covar(), host.final_estimate.covar,
+            rtol=1e-7, atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            sol.final_state()[:6],
+            host.final_estimate.nominal.to_vector()[:6],
+            rtol=1e-8,  # quintic-Hermite row interp vs direct propagation
+        )
+
 
 class TestScanFilter:
     """Device-side lax.scan filter (od/scan_filter.py) must match the
