@@ -119,6 +119,11 @@ def main():
         IntegratorOptions.with_adaptive_step(0.1, 2700.0, 1e-9),
         stage_mode=os.environ.get("NYX_BENCH_STAGE_MODE", "unroll"),
         steps_per_iter=int(os.environ.get("NYX_BENCH_STEPS_PER_ITER", 1)),
+        # scan mode trades the while_loop's early exit for a fixed trip
+        # count (sweep row; see docs/OD_PIPELINE.md on the axon
+        # while-dispatch degradation). Status is checked via n_ok.
+        loop_mode=os.environ.get("NYX_BENCH_LOOP_MODE", "while"),
+        scan_iterations=int(os.environ.get("NYX_BENCH_SCAN_ITERS", 768)),
     )
     prop = Propagator.rk89(dynamics, opts)
 
@@ -295,8 +300,15 @@ def _od_filter_steps_per_s(epoch, stor):
     # itself is built on default (loop-mode) options — only its internal
     # reference propagation unrolls, which ScanKalmanOD already forces.
     prop = Propagator.rk89(dyn, IntegratorOptions())
+    # loop_mode="scan": keep this process free of while_loop programs so
+    # every later dispatch (the staged filter especially) stays on the
+    # axon fast path — executing ONE while program degrades the session
+    # to ~400 ms/dispatch for scan-bearing executables (measured
+    # 2026-08-20, docs/OD_PIPELINE.md). 1024 trips cover the ~300
+    # attempted steps of this arc with 3x margin (status-checked).
     truth_prop = Propagator.rk89(
-        dyn, _replace(IntegratorOptions(), stage_mode="unroll")
+        dyn, _replace(IntegratorOptions(), stage_mode="unroll",
+                      loop_mode="scan", scan_iterations=1024)
     )
     _, traj = truth_prop.with_state(truth).for_duration_with_traj(86_400.0)
     _stage("truth traj done")

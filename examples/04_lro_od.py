@@ -175,8 +175,10 @@ def main():
     print(f"initial error: {np.linalg.norm(draw[:3])*1e3:.1f} m", flush=True)
 
     # batched CKF scan filter with the flagship semantics together:
-    # two-way devices, SNC, 3-sigma rejection (parallel-mode iterated
-    # gate), reduced-order STM
+    # two-way devices, SNC, 3-sigma rejection, reduced-order STM.
+    # filter_mode auto = sequential scan (exact rejection semantics);
+    # measured faster than the associative-scan mode at this arc length
+    # on the TPU and ~8 min cheaper to compile (see scan_filter.py).
     od = ScanKalmanOD(
         prop,
         stations,
@@ -184,7 +186,6 @@ def main():
         variant="ckf",
         process_noise=(ProcessNoise.from_diag([1e-18] * 3, 3600.0),),
         resid_rejection_sigmas=3.0,
-        filter_mode="parallel",
         almanac=almanac,
         stm_jvp_degree=8,
         # AOT executable cache: the degree-80 filter program costs minutes

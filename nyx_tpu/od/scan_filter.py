@@ -162,8 +162,11 @@ class ScanKalmanOD:
         exact sigma-rejection semantics), "parallel" (associative scan;
         sigma rejection via an iterated two-pass gate — converges to the
         sequential accept/reject set except for rows right at the
-        threshold), or "auto" (parallel when rejection is off, sequential
-        scan when it is on — both exact).
+        threshold), or "auto" (= "scan": measured fastest on TPU — the
+        tiny fixed-size step body has no per-iteration scan cost, so the
+        sequential scan beats the associative scan's heavy compose at
+        realistic arc lengths AND avoids its ~8 min remote compile;
+        choose "parallel" explicitly for very long arcs).
         """
         self.prop = prop
         self.devices = list(devices)
@@ -549,10 +552,17 @@ class ScanKalmanOD:
         # (> Harmonics.UNROLL_MAX_DEGREE) use the scan gravity recursion
         # inside each stage, keeping the product of the two unrolls in
         # check.
+        # loop_mode="scan": the single-lane reference is the ONLY loop-
+        # bearing program in the staged pipeline; running it as a fixed-
+        # trip-count scan keeps the process off the axon while_loop
+        # dispatch-degradation path (docs/OD_PIPELINE.md). The trip count
+        # derives from the capture size; lanes still RUNNING at the end
+        # surface through stage 1's status output and retry doubled.
         ref_opts = _dc_replace(
             opts,
             max_step_s=min(opts.max_step_s, self.max_gap_s),
             stage_mode="unroll",
+            loop_mode="scan",
         )
         types = self.types
         frame = self.station_frame
@@ -564,9 +574,15 @@ class ScanKalmanOD:
         substeps = max(1, self.substeps)
         a_tab = method.a_matrix
         b_tab, bs_tab, c_tab = method.b, method.b_star, method.c
-        use_parallel = self.filter_mode == "parallel" or (
-            self.filter_mode == "auto" and rej_sigmas is None
-        )
+        # "auto" resolves to the sequential scan: measured on the real TPU
+        # (2026-08-20, M=1157): the 9x9 scan body runs the whole arc in
+        # ~0.2 ms and compiles in ~10 s, while the blocked associative
+        # scan runs 397 ms and costs 482 s of remote compile — the tiny
+        # fixed-size algebra has no per-iteration scan floor, so O(M)
+        # sequential depth on one core beats O(log M) with its much
+        # heavier per-element compose. "parallel" stays available for
+        # very long arcs / future multi-core splits of one filter.
+        use_parallel = self.filter_mode == "parallel"
         n_bias = self.n_bias
         lane_dev, lane_type = self._lane_dev, self._lane_type
         lane_tau, lane_sig2 = self._lane_tau, self._lane_sig2
@@ -847,7 +863,7 @@ class ScanKalmanOD:
             ts_n = jnp.concatenate([jnp.zeros((1,)), res.traj_t[0]])
             ys_n = jnp.concatenate([y0[None, :], res.traj_y[0]])
             acc_n = eom9(ts_n, ys_n, ctx, sc_params)[:, 3:6]
-            return ts_n, ys_n, acc_n, n_valid
+            return ts_n, ys_n, acc_n, n_valid, res.status[0]
 
         def stage2_fn(t_rel, ts_n, ys_n, acc_n, n_valid, ctx, sc_params):
             t_prev = jnp.concatenate([jnp.zeros((1,)), t_rel[:-1]])
@@ -1233,14 +1249,19 @@ class ScanKalmanOD:
     def _run_stages(self, stages, args, y0, p0, ctx, sc_params, epochs0):
         """Drive the four-stage batched pipeline (see _build_batch). Returns
         (out6, n_valid); intermediates never leave the device."""
+        from ..propagators.integrator import RUNNING as _RUNNING
+
         t_rel, trk, obs, avail = args
         epoch0_tdb, epoch0_tai = epochs0
-        ts_n, ys_n, acc_n, n_valid = self._stage(
+        ts_n, ys_n, acc_n, n_valid, ref_status = self._stage(
             stages, "s1", (t_rel, y0, ctx, sc_params)
         )
-        # saturation check between s1 and s2: a grown buffer only recompiles
-        # stage 1, and no filter work is wasted on a saturated capture
-        if self._capture_saturated(n_valid):
+        # saturation / scan-budget check between s1 and s2: a grown buffer
+        # (which also doubles the scan trip count) only recompiles stage 1,
+        # and no filter work is wasted on a bad reference
+        if self._capture_saturated(n_valid) or bool(
+            np.any(np.asarray(ref_status) == _RUNNING)
+        ):
             return None, n_valid
         y_bar, phi, dt = self._stage(
             stages, "s2", (t_rel, ts_n, ys_n, acc_n, n_valid, ctx, sc_params)

@@ -165,8 +165,9 @@ class PropInstance:
             )
         if status != DONE:
             raise PropagationError(
-                f"propagation did not finish (status={status}); "
-                f"increase IntegratorOptions.max_iterations"
+                f"propagation did not finish (status={status}); increase "
+                f"IntegratorOptions.max_iterations (or scan_iterations in "
+                f"loop_mode='scan')"
             )
         new_epoch = self.state.epoch + duration_s
         new_state = self._unpack(new_epoch, np.asarray(res.y[0]))

@@ -404,7 +404,30 @@ def propagate(
             carry = one_step(carry)
         return carry
 
-    final = jax.lax.while_loop(cond, body, init)
+    if options.loop_mode == "scan":
+        # Fixed-trip-count main loop: finished lanes no-op through the
+        # masked body, so results are bitwise-identical to the while_loop
+        # whenever the trip count covers every lane's attempts (callers
+        # check status==RUNNING and retry with a doubled count). Exists
+        # because executing ANY while_loop program flips the axon session
+        # into a ~400 ms-per-dispatch mode for the remainder of the
+        # process (measured 2026-08-20; docs/OD_PIPELINE.md) — an
+        # all-scan process keeps the fast dispatch path.
+        trips = options.scan_iterations
+        if trips <= 0:
+            trips = (
+                n_capture + n_capture // 4 + 32
+                if n_capture > 0
+                else options.max_iterations
+            )
+        trips = -(-trips // max(1, steps_per_iter))
+
+        def scan_body(carry, _):
+            return body(carry), None
+
+        final, _ = jax.lax.scan(scan_body, init, None, length=trips)
+    else:
+        final = jax.lax.while_loop(cond, body, init)
     s = slice(0, b_real)  # drop the axon f64 sublane padding, if any
     return PropResult(
         t=final.t[s],

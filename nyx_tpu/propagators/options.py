@@ -32,6 +32,20 @@ class IntegratorOptions:
     # iteration, amortizing that same floor further.
     stage_mode: str = "auto"
     steps_per_iter: int = 1
+    # Main-loop construct: "while" (lax.while_loop, early exit when every
+    # lane is done) or "scan" (lax.scan over a FIXED `scan_iterations`
+    # trip count; finished lanes no-op through the masked body, so the
+    # result is bitwise-identical to "while" when the count suffices —
+    # lanes still RUNNING at the end surface status=RUNNING). "scan"
+    # exists because the axon TPU runtime permanently degrades a
+    # session's dispatch latency (~0.2 ms -> ~400 ms per call on a
+    # 1,168-iteration scan, measured 2026-08-20) after ANY while_loop
+    # program executes; an all-scan process keeps every later program on
+    # the fast path (docs/OD_PIPELINE.md).
+    loop_mode: str = "while"
+    # "scan" trip count; 0 = derive from the capture-buffer size when one
+    # is configured (n_capture * 5/4 + 32) else from max_iterations.
+    scan_iterations: int = 0
     # "state": RK stage combinations at the state dtype (exact parity).
     # "f32": the intermediate a-matrix combinations (the weighted k-sums
     # that only feed EOM *inputs*) run in float32 while the state update,

@@ -267,3 +267,39 @@ def test_short_duration_no_forced_final_step():
         assert int(res_a.status[0]) == DONE
         err = np.linalg.norm(np.asarray(res_a.y[0, :3]) - res_f.y[0, :3])
         assert err < 1e-5, f"dur={dur}: {err * 1e3:.3e} m off fixed-step"
+
+
+def test_scan_loop_mode_bitwise_parity():
+    """loop_mode="scan" (fixed trip count, masked no-op steps — the axon
+    while_loop-degradation workaround, docs/OD_PIPELINE.md) must be
+    bitwise-identical to the while_loop path, including the capture
+    buffer, and must surface RUNNING when the trip count is short."""
+    from dataclasses import replace
+
+    from nyx_tpu.propagators.integrator import RUNNING
+
+    opts_w = IntegratorOptions.with_adaptive_step(0.1, 2700.0, 1e-9)
+    opts_s = replace(opts_w, loop_mode="scan", scan_iterations=1024)
+    y0 = np.stack([Y0, Y0 * 1.0001, Y0 * 0.9999, Y0 * 1.00005])
+    res_w = propagate(two_body_eom, y0, 86_400.0, opts_w,
+                      IntegratorMethod.RK89, n_capture=512, capture_stride=2)
+    res_s = propagate(two_body_eom, y0, 86_400.0, opts_s,
+                      IntegratorMethod.RK89, n_capture=512, capture_stride=2)
+    assert np.all(np.asarray(res_s.status) == DONE)
+    np.testing.assert_array_equal(np.asarray(res_w.y), np.asarray(res_s.y))
+    np.testing.assert_array_equal(np.asarray(res_w.t), np.asarray(res_s.t))
+    np.testing.assert_array_equal(
+        np.asarray(res_w.n_accepted), np.asarray(res_s.n_accepted)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_w.traj_t), np.asarray(res_s.traj_t)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_w.traj_y), np.asarray(res_s.traj_y)
+    )
+
+    # a too-small trip count must show up as RUNNING, not silent truncation
+    opts_short = replace(opts_w, loop_mode="scan", scan_iterations=8)
+    res_short = propagate(two_body_eom, y0, 86_400.0, opts_short,
+                          IntegratorMethod.RK89)
+    assert np.all(np.asarray(res_short.status) == RUNNING)
