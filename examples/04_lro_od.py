@@ -84,8 +84,13 @@ def main():
     epoch = Epoch.from_gregorian_utc(2024, 1, 1, 0, 0, 0)
     # LRO-like 50x110 km polar lunar orbit
     moon_j2000 = Frames.MOON_J2000
+    # RAAN 270 deg puts the orbit plane through the lunar BODY pole: the
+    # Moon's spin axis sits at RA~270/Dec~66.5 in the ICRF axes of
+    # MOON_J2000, so a "polar" orbit with an arbitrary node (the round-3
+    # config) misses the body poles by up to ~24 deg — the south-pole
+    # stations then never saw the spacecraft above 8 deg elevation.
     orbit = Orbit.keplerian_apsis_radii(
-        1737.4 + 110.0, 1737.4 + 50.0, 89.7, 120.0, 30.0, 0.0, epoch,
+        1737.4 + 110.0, 1737.4 + 50.0, 89.7, 270.0, 30.0, 0.0, epoch,
         moon_j2000.with_mu_km3_s2(4902.800066),
     )
     truth_sc = Spacecraft.from_orbit(orbit)
@@ -150,11 +155,15 @@ def main():
     # a lunar surface tracking network (the reference tracks LRO from the
     # DSN through full Earth-Moon light-time geometry; surface stations
     # keep this example self-consistent without planetary-grade EOP)
+    # a polar surface network: the ground track stays near the RA~270
+    # meridian plane while the Moon rotates only ~13 deg/day beneath it,
+    # so pole-adjacent stations see every pass and an equatorial station
+    # would see almost none
     stations = [
         lunar_station("Shackleton", -89.5, 0.0),
         lunar_station("Malapert", -86.0, 2.9),
         lunar_station("Peary", 88.6, 33.0),
-        lunar_station("Equatorial", 0.0, 45.0),
+        lunar_station("Amundsen", -84.5, 69.9),
     ]
     cfg = TrkConfig(sampling_s=60.0, scheduler=Scheduler(min_samples=3))
     sim = TrackingArcSim.with_seed(
@@ -184,7 +193,12 @@ def main():
         stations,
         types=(MeasurementType.RANGE_KM, MeasurementType.DOPPLER_KM_S),
         variant="ckf",
-        process_noise=(ProcessNoise.from_diag([1e-18] * 3, 3600.0),),
+        # SNC sized for the reduced-order STM: the degree-8 variational
+        # equations under-propagate covariance against the full 80x80
+        # truth field over multi-minute gaps; 1e-8 km/s^2-class noise
+        # keeps S honest (1e-18 starved it and the 3-sigma gate then
+        # rejected converged passes wholesale)
+        process_noise=(ProcessNoise.from_diag([1e-16] * 3, 3600.0),),
         resid_rejection_sigmas=3.0,
         almanac=almanac,
         stm_jvp_degree=8,

@@ -85,6 +85,20 @@ class MonteCarlo:
         self._jit_cache[cache_key] = (prop, mesh, fn)
         return fn
 
+    def _with_mode_column(self, prop, y0):
+        """Guided dynamics carry the guidance MODE as a trailing state
+        column (instance._pack parity); dispersed ensembles start every
+        lane in the template's mode (the reference's MC disperses state,
+        not mode — mc/montecarlo.rs seeds GuidanceMode from the template
+        spacecraft)."""
+        if prop.dynamics.has_guidance and y0.shape[1] == 9:
+            mode = float(self.random_state.template.mode)
+            y0 = jnp.concatenate(
+                [y0, jnp.full((y0.shape[0], 1), mode, dtype=y0.dtype)],
+                axis=1,
+            )
+        return y0
+
     def _context(self, prop, almanac, epoch0, duration_s):
         """Ephemeris-window context, cached per (prop, arc, almanac) with the
         keyed objects retained (id-reuse after GC must not alias)."""
@@ -133,7 +147,7 @@ class MonteCarlo:
             import math
 
             n_chunks = math.ceil(n / max_lanes_per_call)
-            y0_all = self.generate_states(n, skip)
+            y0_all = self._with_mode_column(prop, self.generate_states(n, skip))
             pad_total = n_chunks * max_lanes_per_call - n
             if pad_total:
                 y0_all = jnp.concatenate(
@@ -179,6 +193,7 @@ class MonteCarlo:
         epoch0 = template.epoch
         duration_s = (end_epoch - epoch0).to_seconds()
         y0 = _y0 if _y0 is not None else self.generate_states(n, skip)
+        y0 = self._with_mode_column(prop, y0)
         if mesh is not None:
             from ..parallel.mesh import pad_to_multiple, shard_ensemble
 
