@@ -164,6 +164,8 @@ def main():
         lunar_station("Malapert", -86.0, 2.9),
         lunar_station("Peary", 88.6, 33.0),
         lunar_station("Amundsen", -84.5, 69.9),
+        lunar_station("Whipple", 89.1, 120.0),
+        lunar_station("Cabeus", -85.3, -42.1),
     ]
     cfg = TrkConfig(sampling_s=60.0, scheduler=Scheduler(min_samples=3))
     sim = TrackingArcSim.with_seed(
@@ -183,16 +185,20 @@ def main():
     est0.nominal = truth_sc.set_vector(epoch, truth_sc.to_vector() + draw)
     print(f"initial error: {np.linalg.norm(draw[:3])*1e3:.1f} m", flush=True)
 
-    # batched CKF scan filter with the flagship semantics together:
-    # two-way devices, SNC, 3-sigma rejection, reduced-order STM.
-    # filter_mode auto = sequential scan (exact rejection semantics);
-    # measured faster than the associative-scan mode at this arc length
-    # on the TPU and ~8 min cheaper to compile (see scan_filter.py).
+    # batched segmented-EKF scan filter with the flagship semantics
+    # together: two-way devices, SNC, 3-sigma rejection, reduced-order
+    # STM. variant="ekf" folds the estimate into the reference every
+    # segment_rows rows (the reference's KalmanVariant::ReferenceUpdate,
+    # main.rs:291): a full-arc CKF diverges in this geometry — the 130 m
+    # initial draw drifts to km-scale reference error over 24 h, the
+    # second-order observable terms reach ~100 m against 2 m noise, and
+    # the 3-sigma gate then starves the filter (the round-4 artifact).
+    # filter_mode auto = sequential scan (exact rejection semantics).
     od = ScanKalmanOD(
         prop,
         stations,
         types=(MeasurementType.RANGE_KM, MeasurementType.DOPPLER_KM_S),
-        variant="ckf",
+        variant="ekf",
         # SNC sized for the reduced-order STM: the degree-8 variational
         # equations under-propagate covariance against the full 80x80
         # truth field over multi-minute gaps; 1e-8 km/s^2-class noise
@@ -236,6 +242,7 @@ def main():
     out = {
         "example": "04_lro_od",
         "platform": jax.default_backend(),
+        "variant": "ekf_segmented",
         "degree": degree,
         "arc_hours": hours,
         "two_way": True,

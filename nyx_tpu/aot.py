@@ -131,7 +131,8 @@ def deep_fingerprint(obj: Any) -> bytes:
     return h.digest()
 
 
-def _key(extra_fingerprint: bytes, example_args) -> str:
+def _key(extra_fingerprint: bytes, example_args,
+         compiler_options: Optional[dict] = None) -> str:
     import jax
 
     h = hashlib.sha256()
@@ -141,6 +142,9 @@ def _key(extra_fingerprint: bytes, example_args) -> str:
     h.update(getattr(dev, "device_kind", "?").encode())
     h.update(code_hash().encode())
     h.update(extra_fingerprint)
+    # optimization effort changes fusion/scheduling and hence rounding;
+    # executables at different efforts must not alias
+    h.update(repr(sorted((compiler_options or {}).items())).encode())
     for leaf in jax.tree_util.tree_leaves(example_args):
         h.update(str(getattr(leaf, "dtype", type(leaf))).encode())
         h.update(str(getattr(leaf, "shape", ())).encode())
@@ -164,7 +168,7 @@ def get_or_compile(
     try:
         cache_dir.mkdir(parents=True, exist_ok=True)
         path = cache_dir / (
-            f"{name}-{_key(config_fingerprint, example_args)}.aot"
+            f"{name}-{_key(config_fingerprint, example_args, compiler_options)}.aot"
         )
     except Exception:  # noqa: BLE001 — unusable cache dir
         return jitted

@@ -15,8 +15,11 @@ Environment knobs (unset = compiler defaults, no change):
   interlink observation batches), ``FILTER`` (the scan OD filter).
 
 Values are XLA's effort scale: floats in [-1, 1], 0 = default. The knob
-changes compile time only, never results (XLA optimization levels are
-semantics-preserving).
+is semantics-preserving up to floating-point reassociation: optimization
+effort can change fusion/scheduling and therefore rounding, so results
+may differ in the last bits between efforts (and an AOT-cached executable
+compiled at one effort may differ bitwise from a fresh compile at
+another — nyx_tpu/aot.py includes the effort in its fingerprint).
 """
 
 from __future__ import annotations
