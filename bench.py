@@ -204,6 +204,7 @@ def main():
     # compile hang may lose the MC result (signals cannot interrupt a
     # blocking C-level XLA compile call).
     od_rate = None
+    od_flagship_rate = None
     failures = []
     try:
         import subprocess
@@ -218,6 +219,8 @@ def main():
         for line in r.stdout.splitlines():
             if line.startswith("OD_STEPS_PER_S="):
                 od_rate = float(line.split("=", 1)[1])
+            if line.startswith("OD_FLAGSHIP_STEPS_PER_S="):
+                od_flagship_rate = float(line.split("=", 1)[1])
         if od_rate is None:
             failures.append(f"od bench failed: {r.stderr[-300:]}")
             print(f"# od bench failed: {r.stderr[-400:]}", file=sys.stderr)
@@ -240,6 +243,13 @@ def main():
         # explicit null when the OD leg failed: artifacts must fail loudly
         # (a silently missing key cost round 2 half the driver metric)
         "od_filter_steps_per_s": round(od_rate, 1) if od_rate is not None else None,
+        # flagship semantics (VERDICT r4 item 4): the same MEO arc with
+        # two-way devices + SNC + 3-sigma rejection through the segmented
+        # reference-update EKF (reference trk_device.rs:49-138 +
+        # filtering.rs:186-202 semantics together)
+        "od_flagship_steps_per_s": (
+            round(od_flagship_rate, 1) if od_flagship_rate is not None else None
+        ),
         "grav_backend": os.environ.get("NYX_BENCH_GRAV_BACKEND", "auto"),
         "git_sha": _git_sha(),
     }
@@ -313,29 +323,57 @@ def _od_filter_steps_per_s(epoch, stor):
     _, traj = truth_prop.with_state(truth).for_duration_with_traj(86_400.0)
     _stage("truth traj done")
 
-    def white(gs):
+    def white(gs, two_way=False):
         gs.stochastic_noises = {
             MeasurementType.RANGE_KM: StochasticNoise(WhiteNoise(2.0e-3)),
             MeasurementType.DOPPLER_KM_S: StochasticNoise(WhiteNoise(3.0e-6)),
         }
+        if two_way:
+            gs.integration_time_s = 60.0
         return gs
 
-    stations = [
-        white(GroundStation.dss65_madrid(10.0)),
-        white(GroundStation.dss34_canberra(10.0)),
-        white(GroundStation.dss13_goldstone(10.0)),
-    ]
-    cfg = TrkConfig(sampling_s=60.0, scheduler=Scheduler(min_samples=5))
-    sim = TrackingArcSim.with_seed(
-        stations, traj, {g.name: cfg for g in stations}, seed=0
-    )
-    arc = sim.generate_measurements()
+    def build_arc(two_way):
+        stations = [
+            white(GroundStation.dss65_madrid(10.0), two_way),
+            white(GroundStation.dss34_canberra(10.0), two_way),
+            white(GroundStation.dss13_goldstone(10.0), two_way),
+        ]
+        cfg = TrkConfig(sampling_s=60.0, scheduler=Scheduler(min_samples=5))
+        sim = TrackingArcSim.with_seed(
+            stations, traj, {g.name: cfg for g in stations}, seed=0
+        )
+        return stations, sim.generate_measurements()
+
+    stations, arc = build_arc(False)
     _stage(f"{len(arc)} measurements simulated")
     unc = SpacecraftUncertainty(
         nominal=truth, frame="ric", x_km=0.15, y_km=0.15, z_km=0.15,
         vx_km_s=5e-6, vy_km_s=5e-6, vz_km_s=5e-6,
     )
     est0 = unc.to_estimate()
+    aot_dir = str(Path(__file__).resolve().parent / ".jax_cache" / "aot")
+
+    def time_filter(scan, est, arc_):
+        scan.process_arc(est, arc_)  # compile (or AOT cache load)
+        t0 = time.time()
+        sol = scan.process_arc(est, arc_)
+        rate = len(arc_) / (time.time() - t0)
+        # guard against silent TPU numerics regressions (f64 demotion
+        # class): the converged filter must track the truth to well under
+        # a meter on this self-consistent arc
+        truth_fin = traj.at(
+            Epoch.from_tai_seconds_j2000(sol.epochs_tai_s[-1])
+        ).to_vector()
+        err_m = float(
+            np.linalg.norm(sol.final_state()[:3] - truth_fin[:3])
+        ) * 1e3
+        _stage(f"final position error {err_m:.2f} m")
+        if not err_m < 100.0:
+            raise RuntimeError(
+                f"OD bench filter diverged: {err_m:.1f} m final error"
+            )
+        return rate
+
     scan = ScanKalmanOD(
         prop, stations,
         types=(MeasurementType.RANGE_KM, MeasurementType.DOPPLER_KM_S),
@@ -350,26 +388,39 @@ def _od_filter_steps_per_s(epoch, stor):
         # ~6 min of host-side tracing/lowering that jax's persistent
         # compilation cache cannot skip; round 2 lost the OD metric to
         # exactly that (BENCH_r02 --od-only timed out at 900 s)
-        aot_dir=str(Path(__file__).resolve().parent / ".jax_cache" / "aot"),
+        aot_dir=aot_dir,
     )
-    scan.process_arc(est0, arc)  # compile (or AOT cache load)
-    _stage("filter compiled")
-    t0 = time.time()
-    sol = scan.process_arc(est0, arc)
-    rate = len(arc) / (time.time() - t0)
-    # guard against silent TPU numerics regressions (f64 demotion class):
-    # the converged filter must track the truth to well under a meter on
-    # this perfect-measurement-model arc
-    truth_fin = traj.at(
-        Epoch.from_tai_seconds_j2000(sol.epochs_tai_s[-1])
-    ).to_vector()
-    err_m = float(np.linalg.norm(sol.final_state()[:3] - truth_fin[:3])) * 1e3
-    _stage(f"final position error {err_m:.2f} m")
-    if not err_m < 100.0:
-        raise RuntimeError(
-            f"OD bench filter diverged: {err_m:.1f} m final error"
+    rate = time_filter(scan, est0, arc)
+    _stage(f"base od leg {rate:.0f} steps/s")
+
+    # flagship-semantics leg (VERDICT r4 item 4): the same MEO day arc
+    # with two-way averaging + SNC + 3-sigma rejection together
+    # (trk_device.rs:49-138, filtering.rs:186-202), through the segmented
+    # reference-update EKF, from a dispersed initial state.
+    flagship_rate = None
+    if not os.environ.get("NYX_BENCH_OD_NO_FLAGSHIP"):
+        from nyx_tpu.od import ProcessNoise
+
+        stations2, arc2 = build_arc(True)
+        _stage(f"{len(arc2)} two-way measurements simulated")
+        rng = np.random.default_rng(7)
+        est_d = unc.to_estimate()
+        draw = rng.multivariate_normal(np.zeros(9), est_d.covar)
+        est_d.nominal = truth.set_vector(
+            truth.epoch, truth.to_vector() + draw
         )
-    return rate
+        scan2 = ScanKalmanOD(
+            prop, stations2,
+            types=(MeasurementType.RANGE_KM, MeasurementType.DOPPLER_KM_S),
+            variant="ekf",
+            process_noise=(ProcessNoise.from_diag([1e-16] * 3, 3600.0),),
+            resid_rejection_sigmas=3.0,
+            stm_jvp_degree=8,
+            aot_dir=aot_dir,
+        )
+        flagship_rate = time_filter(scan2, est_d, arc2)
+        _stage(f"flagship od leg {flagship_rate:.0f} steps/s")
+    return rate, flagship_rate
 
 
 if __name__ == "__main__":
@@ -379,6 +430,9 @@ if __name__ == "__main__":
             Path(__file__).resolve().parent / "data" / "JGM3.cof.gz",
             21, 21, True, Frames.IAU_EARTH,
         )
-        print(f"OD_STEPS_PER_S={_od_filter_steps_per_s(_epoch, _stor):.2f}")
+        _r, _fr = _od_filter_steps_per_s(_epoch, _stor)
+        print(f"OD_STEPS_PER_S={_r:.2f}")
+        if _fr is not None:
+            print(f"OD_FLAGSHIP_STEPS_PER_S={_fr:.2f}")
     else:
         main()

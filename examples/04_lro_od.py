@@ -226,8 +226,9 @@ def main():
     err = np.linalg.norm(sol.final_state()[:3] - truth_fin[:3])
     sig = np.sqrt(np.diag(sol.final_covar())[:3]).max()
     ridx = sol.types.index(MeasurementType.RANGE_KM)
-    rng_rms = float(np.sqrt(np.mean(sol.postfit[:, ridx] ** 2)))
-    n_rej = int(np.sum(np.asarray(sol.rejected)))
+    acc = ~np.asarray(sol.rejected)
+    rng_rms = float(np.sqrt(np.mean(sol.postfit[acc, ridx] ** 2)))
+    n_rej = int(np.sum(~acc))
     print(f"filter rate (warm): {rate:.0f} steps/s")
     print(f"final position error: {err*1e3:.2f} m")
     print(f"final position sigma (max axis): {sig*1e3:.2f} m")

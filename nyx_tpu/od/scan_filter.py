@@ -1505,9 +1505,28 @@ class ScanKalmanOD:
         t_rel, trk, obs, avail, real = self._prepare(arc, epoch0)
         m_rows = len(t_rel)
         s_rows = max(2, min(self.segment_rows, m_rows))
-        n_seg = -(-m_rows // s_rows)
-        bounds = [(k * s_rows, min((k + 1) * s_rows, m_rows))
-                  for k in range(n_seg)]
+        # segment boundaries: every s_rows rows, shifted left (up to
+        # s_rows//2) so the row AFTER each boundary is at least the
+        # longest two-way integration time later — the t - T_int lookup
+        # of a segment's first row clamps at the segment epoch, and a
+        # boundary closer than T_int would evaluate the turnaround state
+        # tens of seconds late (a ~50 km range error at orbital speed)
+        tint_max = float(np.max(np.asarray(self._tint))) if len(
+            self.devices) else 0.0
+        bounds = []
+        b0 = 0
+        while b0 < m_rows:
+            b1 = min(b0 + s_rows, m_rows)
+            if tint_max > 0.0 and b1 < m_rows:
+                shift = 0
+                while (
+                    shift < s_rows // 2 and b1 - b0 > 2
+                    and t_rel[b1] - t_rel[b1 - 1] < tint_max - 1e-9
+                ):
+                    b1 -= 1
+                    shift += 1
+            bounds.append((b0, b1))
+            b0 = b1
         prev_ts = [0.0] + [float(t_rel[b1 - 1]) for _, b1 in bounds[:-1]]
         spans = [float(t_rel[b1 - 1]) - p
                  for (_, b1), p in zip(bounds, prev_ts)]
