@@ -384,6 +384,12 @@ def _od_filter_steps_per_s(epoch, stor):
         # the harmonics parity test) — the stage-2 graph shrinks ~7x for
         # both the remote compiler and the runtime
         stm_jvp_degree=8,
+        # f32 filter algebra: the latency-bound 9x9 f64-emulation chain
+        # was the s4 floor (~0.35 ms/row); the preconditioned f32 scan
+        # measures 11.5x faster (devtools/profile_f32_scan.py) and is
+        # parity-tested against f64 Joseph (test_f32_matches_f64). Set
+        # NYX_BENCH_OD_ALGEBRA=f64 for the reference-precision run.
+        filter_algebra=os.environ.get("NYX_BENCH_OD_ALGEBRA", "f32"),
         # AOT executable cache (nyx_tpu/aot.py): the filter program costs
         # ~6 min of host-side tracing/lowering that jax's persistent
         # compilation cache cannot skip; round 2 lost the OD metric to
@@ -416,6 +422,7 @@ def _od_filter_steps_per_s(epoch, stor):
             process_noise=(ProcessNoise.from_diag([1e-16] * 3, 3600.0),),
             resid_rejection_sigmas=3.0,
             stm_jvp_degree=8,
+            filter_algebra=os.environ.get("NYX_BENCH_OD_ALGEBRA", "f32"),
             aot_dir=aot_dir,
         )
         flagship_rate = time_filter(scan2, est_d, arc2)

@@ -166,11 +166,25 @@ class SpacecraftUncertainty:
         sig_vel = np.array([self.vx_km_s, self.vy_km_s, self.vz_km_s])
         p6 = np.diag(np.concatenate([sig_pos, sig_vel]) ** 2)
         if self.frame.lower() in ("ric", "vnc"):
-            r = self.nominal.orbit.r_km
-            v = self.nominal.orbit.v_km_s
-            dcm3 = np.asarray(
-                ric_dcm(r, v) if self.frame.lower() == "ric" else vnc_dcm(r, v)
-            )
+            # the local DCM in HOST numpy, not device jax: with isotropic
+            # sigmas the rotated covariance is rotationally degenerate,
+            # and a 1e-16 platform difference (TPU-emulated f64 vs CPU)
+            # in the matrix swings multivariate_normal's factorization to
+            # a DIFFERENT (equally valid) draw — CPU and TPU runs of the
+            # same seeded example then disperse to different states.
+            # Host numpy makes to_estimate_randomized platform-exact.
+            r = np.asarray(self.nominal.orbit.r_km, dtype=np.float64)
+            v = np.asarray(self.nominal.orbit.v_km_s, dtype=np.float64)
+            if self.frame.lower() == "ric":
+                rhat = r / np.linalg.norm(r)
+                h = np.cross(r, v)
+                chat = h / np.linalg.norm(h)
+                dcm3 = np.stack([rhat, np.cross(chat, rhat), chat])
+            else:
+                vhat = v / np.linalg.norm(v)
+                h = np.cross(r, v)
+                nhat = h / np.linalg.norm(h)
+                dcm3 = np.stack([vhat, nhat, np.cross(vhat, nhat)])
             dcm6 = np.zeros((6, 6))
             dcm6[0:3, 0:3] = dcm3
             dcm6[3:6, 3:6] = dcm3
@@ -185,9 +199,26 @@ class SpacecraftUncertainty:
 
     def to_estimate_randomized(self, rng: np.random.Generator):
         """(estimate, dispersed truth): nominal shifted by a draw from the
-        uncertainty, for self-consistent OD tests (sc_uncertainty.rs:141)."""
+        uncertainty, for self-consistent OD tests (sc_uncertainty.rs:141).
+
+        The draw is L z with L the Cholesky factor of the non-degenerate
+        covariance block — NOT rng.multivariate_normal, whose internal SVD
+        is discontinuous on (rotationally) degenerate covariances: with
+        isotropic sigmas a 1e-16 platform difference in the rotated matrix
+        produced a completely different — though equally valid — draw, so
+        CPU and TPU runs of the same seeded example dispersed to different
+        states (round-5 ex05 finding: 911 m vs 14.3 km pure-prop error,
+        both correct for their own draw). Cholesky is continuous in the
+        matrix, so the draw is platform-stable."""
         est = self.to_estimate()
-        draw = rng.multivariate_normal(np.zeros(STATE_DIM), est.covar)
+        p = np.asarray(est.covar)
+        mask = np.diag(p) > 0.0
+        l_f = np.zeros_like(p)
+        if mask.any():
+            l_f[np.ix_(mask, mask)] = np.linalg.cholesky(
+                p[np.ix_(mask, mask)]
+            )
+        draw = l_f @ rng.standard_normal(STATE_DIM)
         truth_vec = self.nominal.to_vector() + draw
         truth = self.nominal.set_vector(self.nominal.epoch, truth_vec)
         return est, truth

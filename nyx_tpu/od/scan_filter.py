@@ -78,6 +78,42 @@ def _station_obs(t_tdb, rv6, lat_deg, lon_deg, height_km, frame, types,
     return jnp.stack([table[t] for t in types])
 
 
+def _interlink_obs(t_tdb, rv6, ts_tab, ys_tab, types):
+    """[T] noiseless crosslink observations against a transmitter
+    trajectory table (the gatherable form of
+    InterlinkTxSpacecraft._link_values; cubic-Hermite state lookup as
+    DeviceTrajectory.state_at). ts_tab [K], ys_tab [K, 6] are the
+    tracker's gathered table rows."""
+    i = jnp.clip(jnp.searchsorted(ts_tab, t_tdb) - 1, 0,
+                 ts_tab.shape[0] - 2)
+    t0, t1 = ts_tab[i], ts_tab[i + 1]
+    h = t1 - t0
+    s = (t_tdb - t0) / h
+    r0, v0 = ys_tab[i, 0:3], ys_tab[i, 3:6]
+    r1, v1 = ys_tab[i + 1, 0:3], ys_tab[i + 1, 3:6]
+    s2, s3 = s * s, s * s * s
+    r_tx = (
+        (2 * s3 - 3 * s2 + 1) * r0 + (s3 - 2 * s2 + s) * h * v0
+        + (-2 * s3 + 3 * s2) * r1 + (s3 - s2) * h * v1
+    )
+    v_tx = (
+        (6 * s2 - 6 * s) / h * r0 + (3 * s2 - 4 * s + 1) * v0
+        + (-6 * s2 + 6 * s) / h * r1 + (3 * s2 - 2 * s) * v1
+    )
+    rho = rv6[0:3] - r_tx
+    rho_dot = rv6[3:6] - v_tx
+    rng = jnp.linalg.norm(rho)
+    rr = jnp.dot(rho, rho_dot) / rng
+    table = {
+        MeasurementType.RANGE_KM: rng,
+        MeasurementType.DOPPLER_KM_S: rr,
+        MeasurementType.X_KM: rv6[0],
+        MeasurementType.Y_KM: rv6[1],
+        MeasurementType.Z_KM: rv6[2],
+    }
+    return jnp.stack([table[t] for t in types])
+
+
 @dataclass
 class ScanODResult:
     """Stacked filter outputs, one row per measurement."""
@@ -106,6 +142,29 @@ class ScanODResult:
     def final_covar(self) -> np.ndarray:
         return self.covar[-1]
 
+    def to_parquet(self, path) -> str:
+        """Export the per-row filter outputs (estimate, sigmas, residuals,
+        ratios, accept flags) — the scan-filter analogue of
+        ODSolution.to_parquet (solution/export.rs)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        cols = {
+            "epoch_tai_s": self.epochs_tai_s,
+            "rejected": self.rejected,
+            "ratio": self.ratio,
+        }
+        names = ["x_km", "y_km", "z_km", "vx_km_s", "vy_km_s", "vz_km_s",
+                 "mass_kg", "cr", "cd"]
+        for j, n in enumerate(names[: self.y_est.shape[1]]):
+            cols[n] = self.y_est[:, j]
+            cols[f"sigma_{n}"] = np.sqrt(self.covar[:, j, j])
+        for j, t in enumerate(self.types):
+            cols[f"prefit_{t}"] = self.prefit[:, j]
+            cols[f"postfit_{t}"] = self.postfit[:, j]
+        pq.write_table(pa.table(cols), str(path))
+        return str(path)
+
 
 class ScanKalmanOD:
     """Compiled-scan OD process over a fixed station set and type tuple.
@@ -132,6 +191,7 @@ class ScanKalmanOD:
         stm_jvp_degree: Optional[int] = None,
         iterations: int = 1,
         segment_rows: int = 32,
+        filter_algebra: str = "f64",
     ):
         """`prop_mode`:
 
@@ -216,6 +276,14 @@ class ScanKalmanOD:
         # per-segment drift, which keeps the linearization — and the
         # sigma gate — honest on day-long arcs with dispersed starts.
         self.segment_rows = int(segment_rows)
+        # "f64" (default) or "f32": dtype of the sequential filter-scan
+        # algebra. f32 runs the latency-bound 9x9 chain ~11x faster on
+        # the TPU (f64 is software-emulated); safe because the algebra is
+        # preconditioned by 1/sqrt(diag(P0)) per lane — see the ffn_sel
+        # wrapper in _build_batch and devtools/profile_f32_scan.py.
+        if filter_algebra not in ("f64", "f32"):
+            raise ConfigError("filter_algebra must be 'f64' or 'f32'")
+        self.filter_algebra = filter_algebra
         self.prop_mode = prop_mode
         self.filter_mode = filter_mode
         self.substeps = int(substeps)
@@ -231,14 +299,58 @@ class ScanKalmanOD:
             if max_gap_s is not None
             else min(prop.opts.max_step_s, 300.0)
         )
-        frames = {d.frame for d in devices}
-        if len(frames) != 1:
-            raise ConfigError("all scan-filter stations must share a frame")
-        self.station_frame = devices[0].frame
-        # station parameter tables, gathered by tracker index on device
-        self._lat = jnp.asarray([d.latitude_deg for d in devices])
-        self._lon = jnp.asarray([d.longitude_deg for d in devices])
-        self._hgt = jnp.asarray([d.height_km for d in devices])
+        # device family: ground stations (geodetic + frame DCM geometry)
+        # or interlink transmitters (device-resident trajectory tables,
+        # od/interlink/trk_device.rs:42-100). One compiled observation
+        # program per family; mixed sets are not supported in one filter.
+        is_link = [hasattr(d, "_dev_traj") for d in devices]
+        self._interlink = bool(is_link) and all(is_link)
+        if any(is_link) and not self._interlink:
+            raise ConfigError(
+                "scan filter devices must be all ground stations or all "
+                "interlink transmitters"
+            )
+        if self._interlink and self.prop_mode != "batch":
+            raise ConfigError(
+                "interlink devices need the batched pipeline "
+                "(prop_mode='batch')"
+            )
+        if self._interlink:
+            self.station_frame = None
+            k_max = max(int(d._dev_traj.ts.shape[0]) for d in devices)
+            ts_rows, ys_rows = [], []
+            for d in devices:
+                ts = np.asarray(d._dev_traj.ts)
+                ys = np.asarray(d._dev_traj.ys)
+                pad = k_max - len(ts)
+                if pad:
+                    # pad by extending the last interval (monotonic times
+                    # keep searchsorted well-defined; queries never land
+                    # there — the arc is inside the table span)
+                    dt_tail = ts[-1] - ts[-2] if len(ts) > 1 else 1.0
+                    ts = np.concatenate(
+                        [ts, ts[-1] + dt_tail * np.arange(1, pad + 1)]
+                    )
+                    ys = np.concatenate(
+                        [ys, np.repeat(ys[-1:], pad, axis=0)]
+                    )
+                ts_rows.append(ts)
+                ys_rows.append(ys)
+            self._tx_ts = jnp.asarray(np.stack(ts_rows))  # [D, K]
+            self._tx_ys = jnp.asarray(np.stack(ys_rows))  # [D, K, 6]
+            self._lat = self._lon = self._hgt = jnp.zeros(len(devices))
+        else:
+            frames = {d.frame for d in devices}
+            if len(frames) != 1:
+                raise ConfigError(
+                    "all scan-filter stations must share a frame"
+                )
+            self.station_frame = devices[0].frame
+            self._tx_ts = self._tx_ys = None
+            # station parameter tables, gathered by tracker index on device
+            self._lat = jnp.asarray([d.latitude_deg for d in devices])
+            self._lon = jnp.asarray([d.longitude_deg for d in devices])
+            self._hgt = jnp.asarray([d.height_km for d in devices])
         self._lt = jnp.asarray(
             [1.0 if getattr(d, "light_time_correction", False) else 0.0
              for d in devices]
@@ -652,8 +764,11 @@ class ScanKalmanOD:
             """Sequential DxD CKF over precomputed rows (sigma rejection
             supported). D = 9 (+ estimated bias lanes). `rej_thresh` is a
             TRACED scalar so relinearization iterations can gate rejection
-            off (pass jnp.inf) without recompiling the stage."""
+            off (pass jnp.inf) without recompiling the stage. Runs in
+            p0's dtype (f64, or f32 via filter_algebra="f32") — every
+            constant derives its dtype from the carry."""
             d_dim = p0.shape[-1]
+            dt_ = p0.dtype
 
             def step(carry, x):
                 dev, p_mat = carry
@@ -668,7 +783,7 @@ class ScanKalmanOD:
                 )
                 m_eff = jnp.maximum(jnp.sum(av_i), 1)
                 ratio = jnp.linalg.norm(white) / jnp.sqrt(
-                    m_eff.astype(jnp.float64)
+                    m_eff.astype(dt_)
                 )
                 rejected = (
                     (ratio > rej_thresh)
@@ -676,17 +791,17 @@ class ScanKalmanOD:
                     else jnp.bool_(False)
                 )
                 k_t = jax.scipy.linalg.cho_solve((l_chol, True), h_i @ p_bar.T)
-                k_gain = jnp.where(rejected, 0.0, k_t.T)
+                k_gain = jnp.where(rejected, jnp.asarray(0.0, dt_), k_t.T)
                 dev_new = dev_bar + k_gain @ prefit
                 postfit = jnp.where(av_i, z_i - h_i @ dev_new, 0.0)
-                ikh = jnp.eye(d_dim) - k_gain @ h_i
+                ikh = jnp.eye(d_dim, dtype=dt_) - k_gain @ h_i
                 p_new = ikh @ p_bar @ ikh.T + k_gain @ jnp.diag(r_i) @ k_gain.T
                 p_new = 0.5 * (p_new + p_new.T)
                 return (dev_new, p_new), (
                     dev_new, p_new, prefit, postfit, ratio, rejected
                 )
 
-            carry0 = (jnp.zeros(d_dim), p0)
+            carry0 = (jnp.zeros(d_dim, dtype=dt_), p0)
             _, out = jax.lax.scan(
                 step, carry0, (phi, q_all, h_all, z_all, r_all, avail)
             )
@@ -855,7 +970,55 @@ class ScanKalmanOD:
                 rejected = ratio > rej_thresh
             return dev_all, p_all, prefit, postfit, ratio, rejected
 
-        ffn_sel = filter_parallel if use_parallel else filter_scan
+        ffn_base = filter_parallel if use_parallel else filter_scan
+
+        if self.filter_algebra == "f32" and not use_parallel:
+            # f32 filter algebra (VERDICT r4 item 3 / docs/OD_PIPELINE.md):
+            # the sequential 9x9 scan is latency-bound on the f64 EMULATION
+            # chain — the identical Joseph step in native f32 measures
+            # 11.5x faster on the chip (397 -> 34.6 ms at M=1168,
+            # devtools/profile_f32_scan.py, 2026-08-20). f32 is safe here
+            # because the algebra is preconditioned first: every state lane
+            # is scaled by 1/sqrt(P0_ii) (unestimated zero-variance lanes
+            # keep scale 1), so P starts at ~unit diagonal and the
+            # pos/vel/parameter dynamic range (1e10 in km-km/s units, vs
+            # f32's 1e-7 eps) never meets the subtraction in the Joseph
+            # update. Whitened ratios, gains and rejection are
+            # scale-invariant; deviations/covariances are rescaled back
+            # and the outputs returned in f64.
+            def ffn_sel(phi_x, q_x, h_x, z_x, r_x, avail_x, p0_x,
+                        rej_thresh):
+                f32 = jnp.float32
+                pd = jnp.diagonal(p0_x)
+                sc = jnp.where(pd > 1e-20, 1.0 / jnp.sqrt(
+                    jnp.maximum(pd, 1e-20)), 1.0)
+                inv = 1.0 / sc
+                phi_s = (phi_x * sc[None, :, None]
+                         * inv[None, None, :]).astype(f32)
+                q_s = (q_x * sc[None, :, None] * sc[None, None, :]).astype(f32)
+                h_s = (h_x * inv[None, None, :]).astype(f32)
+                p0_s = (p0_x * sc[:, None] * sc[None, :]).astype(f32)
+                # 1e30 mask overflows f32 squares; 1e18 is still ~1e12x
+                # any real variance
+                r_s = jnp.minimum(r_x, 1e18).astype(f32)
+                z_s = z_x.astype(f32)
+                # TPU f32 matmuls default to bf16 MXU passes (eps 8e-3) —
+                # enough to NaN the Joseph/Cholesky chain. Trace the scan
+                # under full-f32 matmul precision (still ~10x faster than
+                # the f64 emulation chain).
+                with jax.default_matmul_precision("float32"):
+                    dev, p_m, prefit, postfit, ratio, rejected = filter_scan(
+                        phi_s, q_s, h_s, z_s, r_s, avail_x, p0_s,
+                        jnp.asarray(rej_thresh, f32),
+                    )
+                dev = dev.astype(jnp.float64) * inv[None, :]
+                p_m = (p_m.astype(jnp.float64)
+                       * inv[None, :, None] * inv[None, None, :])
+                return (dev, p_m, prefit.astype(jnp.float64),
+                        postfit.astype(jnp.float64),
+                        ratio.astype(jnp.float64), rejected)
+        else:
+            ffn_sel = ffn_base
 
         # The four stages below compile as SEPARATE programs: the fused
         # single-program filter measured 654 s on the axon remote compiler
@@ -914,6 +1077,20 @@ class ScanKalmanOD:
             phi = y90[:, STATE_DIM:].reshape(m, STATE_DIM, STATE_DIM)
             return y_bar, phi, dt
 
+        tx_ts, tx_ys = self._tx_ts, self._tx_ys
+
+        def scalar_obs(t_i, rv6, trk_i):
+            """Noiseless [T] observation for tracker trk_i — ground-station
+            or interlink family (chosen at build time)."""
+            if self._interlink:
+                return _interlink_obs(
+                    t_i, rv6, tx_ts[trk_i], tx_ys[trk_i], types
+                )
+            return _station_obs(
+                t_i, rv6, lat[trk_i], lon[trk_i], hgt[trk_i], frame,
+                types, lt=lt_flags[trk_i],
+            )
+
         def stage3_fn(t_rel, trk, obs, avail, y_bar, dt, ts_n, ys_n, acc_n,
                       n_valid, epoch0_tdb, epoch0_tai):
             # ---- stage 3: batched measurement models + partials ----
@@ -935,17 +1112,10 @@ class ScanKalmanOD:
                     tint_i = tint[trk_i]
 
                     def v1_of_y(y9):
-                        return _station_obs(
-                            t_i, y9[0:6], lat[trk_i], lon[trk_i],
-                            hgt[trk_i], frame, types, lt=lt_flags[trk_i],
-                        )
+                        return scalar_obs(t_i, y9[0:6], trk_i)
 
                     def v0_of_y(y9):
-                        return _station_obs(
-                            t_i - tint_i, y9[0:6], lat[trk_i],
-                            lon[trk_i], hgt[trk_i], frame, types,
-                            lt=lt_flags[trk_i],
-                        )
+                        return scalar_obs(t_i - tint_i, y9[0:6], trk_i)
 
                     v1, h_jvp = jax.linearize(v1_of_y, y_i)
                     h1 = jax.vmap(h_jvp)(jnp.eye(STATE_DIM)).T
@@ -976,10 +1146,7 @@ class ScanKalmanOD:
 
                 def one_obs(t_i, y_i, trk_i):
                     def h_of_y(y9):
-                        return _station_obs(
-                            t_i, y9[0:6], lat[trk_i], lon[trk_i],
-                            hgt[trk_i], frame, types, lt=lt_flags[trk_i],
-                        )
+                        return scalar_obs(t_i, y9[0:6], trk_i)
 
                     computed, h_jvp = jax.linearize(h_of_y, y_i)
                     h_mat = jax.vmap(h_jvp)(jnp.eye(STATE_DIM)).T
@@ -1246,9 +1413,11 @@ class ScanKalmanOD:
                 self.prop.opts, repr(self.prop.method),
                 self.prop.dynamics,
                 self.types, self.variant, self.prop_mode, self.filter_mode,
+                self.filter_algebra, self.segment_rows,
                 self.substeps, self.max_gap_s, self.resid_rejection_sigmas,
                 self.process_noise,
                 self._lat, self._lon, self._hgt, self._lt, self._rvar,
+                self._tx_ts, self._tx_ys,
                 self.estimate_biases, self._lane_dev, self._lane_type,
                 self._lane_tau, self._lane_sig2, self._tint,
                 self.stm_jvp_degree,
@@ -1306,13 +1475,12 @@ class ScanKalmanOD:
         ts_n, ys_n, acc_n, n_valid, ref_status = self._stage(
             stages, "s1", (t_rel, y0, ctx, sc_params)
         )
-        # saturation / scan-budget check between s1 and s2: a grown buffer
-        # (which also doubles the scan trip count) only recompiles stage 1,
-        # and no filter work is wasted on a bad reference
-        if self._capture_saturated(n_valid) or bool(
-            np.any(np.asarray(ref_status) == _RUNNING)
-        ):
-            return None, n_valid, None, None
+        # ALL four stages dispatch before the saturation check: the check
+        # forces a host round-trip on s1's outputs, and keeping it between
+        # s1 and s2 serialized the pipeline on the axon tunnel (~1 RTT of
+        # dead time per call). On the rare saturated retry the queued
+        # s2-s4 work computes garbage that is discarded — growth then
+        # recompiles only stage 1.
         y_bar, phi, dt = self._stage(
             stages, "s2", (t_rel, ts_n, ys_n, acc_n, n_valid, ctx, sc_params)
         )
@@ -1326,6 +1494,10 @@ class ScanKalmanOD:
             (trk, avail, y_bar, phi, dt, h_all, z_all, r_all, q_all, p0,
              thresh),
         )
+        if self._capture_saturated(n_valid) or bool(
+            np.any(np.asarray(ref_status) == _RUNNING)
+        ):
+            return None, n_valid, None, None
         aux = dict(y_bar=y_bar, phi=phi, h_all=h_all, z_all=z_all,
                    r_all=r_all, avail=avail)
         return out, n_valid, y_bar, aux
@@ -1359,9 +1531,21 @@ class ScanKalmanOD:
         y0 = jnp.asarray(initial_estimate.nominal.to_vector())
         p0 = jnp.asarray(initial_estimate.covar)
         n_iter = self.iterations if self.prop_mode == "batch" else 1
+        if arc.force_reject and self.resid_rejection_sigmas is None:
+            raise ConfigError(
+                "resid-vs-ref arcs (force_reject) need a filter built "
+                "with resid_rejection_sigmas (the gate is compiled in)"
+            )
+        if arc.force_reject:
+            # residual-versus-reference mode: every measurement rejected,
+            # the solution is the pure propagation
+            # (trackingdata/mod.rs:506, process/mod.rs:175-180)
+            n_iter = 1
         for it in range(n_iter):
             final_pass = it == n_iter - 1
             thresh = self.resid_rejection_sigmas if final_pass else np.inf
+            if arc.force_reject:
+                thresh = -np.inf
             for _attempt in range(4):
                 prog, args, ctx, sc_params, epochs0, real = self._setup(
                     initial_estimate, arc
@@ -1423,6 +1607,12 @@ class ScanKalmanOD:
                 "variant='ekf' does not support estimated bias lanes; "
                 "use the CKF with iterations instead"
             )
+        if arc.force_reject and self.resid_rejection_sigmas is None:
+            raise ConfigError(
+                "resid-vs-ref arcs (force_reject) need a filter built "
+                "with resid_rejection_sigmas (the gate is compiled in)"
+            )
+        rej_override = -np.inf if arc.force_reject else None
         for _attempt in range(4):
             segs, real, stages = self._ekf_setup(initial_estimate, arc)
             nominal = initial_estimate.nominal
@@ -1437,7 +1627,8 @@ class ScanKalmanOD:
             saturated = False
             for (args, epochs0, ctx, n_real) in segs:
                 out, n_valid, _, _ = self._run_stages(
-                    stages, args, y0, p0, ctx, sc_params, epochs0
+                    stages, args, y0, p0, ctx, sc_params, epochs0,
+                    rej_thresh=rej_override,
                 )
                 if out is None:
                     saturated = True
@@ -1647,7 +1838,11 @@ class ScanKalmanOD:
 
     def _result(self, arc, real, y_est, covar, prefit, postfit, ratio,
                 rejected):
-        y_est, covar = np.asarray(y_est), np.asarray(covar)
+        # one batched transfer instead of six sequential fetches (each
+        # np.asarray pays its own tunnel round trip on axon)
+        y_est, covar, prefit, postfit, ratio, rejected = jax.device_get(
+            (y_est, covar, prefit, postfit, ratio, rejected)
+        )
         bias_est = bias_var = None
         lanes = ()
         if self.n_bias:

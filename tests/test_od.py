@@ -1707,14 +1707,17 @@ class TestRelinearizationIterations:
         )
         arc = sim.generate_measurements()
         assert len(arc) > 40
-        rng = np.random.default_rng(42)
         unc = SpacecraftUncertainty(
             nominal=truth_sc, frame="ric",
             x_km=0.1, y_km=0.1, z_km=0.1,
             vx_km_s=1e-5, vy_km_s=1e-5, vz_km_s=1e-5,
         )
         est0 = unc.to_estimate()
-        draw = rng.multivariate_normal(np.zeros(9), est0.covar)
+        # a FIXED in-covariance draw (132 m / 25 mm/s) whose velocity
+        # component drives km-scale secular reference drift — the
+        # documented CKF starvation mode (a random draw can land benign)
+        draw = np.array([-0.07505, -0.1031, 0.03339,
+                         1.9565e-5, 4.633e-6, 1.5311e-5, 0, 0, 0])
         est0.nominal = truth_sc.set_vector(
             epoch, truth_sc.to_vector() + draw
         )
@@ -1746,3 +1749,136 @@ class TestRelinearizationIterations:
         sig = np.sqrt(np.diag(sole.final_covar())[:3]).max()
         assert erre < 4 * sig
         assert np.median(sole.ratio) < 1.2
+
+
+class TestF32FilterAlgebra:
+    """filter_algebra='f32' must match the f64 Joseph path to far below
+    the estimate's truth error. The f32 scan runs the latency-bound 9x9
+    chain ~11x faster on the TPU (devtools/profile_f32_scan.py); the
+    per-lane 1/sqrt(P0_ii) preconditioning keeps f32 out of trouble."""
+
+    def test_f32_matches_f64(self, two_body_prop, truth_setup, arc,
+                             stations):
+        from nyx_tpu.od.scan_filter import ScanKalmanOD
+
+        truth_sc, traj = truth_setup
+        rng = np.random.default_rng(42)
+        est0, _ = _dispersed_estimate(truth_sc, rng)
+        kw = dict(
+            types=(MeasurementType.RANGE_KM, MeasurementType.DOPPLER_KM_S),
+            variant="ckf", resid_rejection_sigmas=3.0,
+            process_noise=(ProcessNoise.from_diag([1e-16] * 3, 3600.0),),
+        )
+        sol64 = ScanKalmanOD(
+            two_body_prop, stations, filter_algebra="f64", **kw
+        ).process_arc(est0, arc)
+        sol32 = ScanKalmanOD(
+            two_body_prop, stations, filter_algebra="f32", **kw
+        ).process_arc(est0, arc)
+        # estimates agree to sub-measurement-noise (2 m range sigma) over
+        # a 22,000 km day arc — the f32 path is an equally valid filter
+        # within the noise (measured max split ~0.8 m, late-arc, from
+        # f32 covariance rounding feeding slightly different gains)
+        dpos = np.linalg.norm(
+            sol64.y_est[:, :3] - sol32.y_est[:, :3], axis=1
+        )
+        assert dpos.max() < 2e-3, f"max f32-f64 split {dpos.max()*1e3:.3f} m"
+        # covariance sigmas agree to <5% relative
+        s64 = np.sqrt(np.diagonal(sol64.covar, axis1=1, axis2=2)[:, :6])
+        s32 = np.sqrt(np.diagonal(sol32.covar, axis1=1, axis2=2)[:, :6])
+        rel = np.abs(s32 - s64) / np.maximum(s64, 1e-12)
+        assert rel.max() < 0.05, f"max sigma rel err {rel.max():.4f}"
+        # identical accept/reject decisions
+        assert np.array_equal(sol64.rejected, sol32.rejected)
+        # and the f32 path tracks the truth as well as the f64 one
+        truth_fin = traj.at(
+            Epoch.from_tai_seconds_j2000(sol32.epochs_tai_s[-1])
+        ).to_vector()
+        e32 = np.linalg.norm(sol32.final_state()[:3] - truth_fin[:3])
+        e64 = np.linalg.norm(sol64.final_state()[:3] - truth_fin[:3])
+        assert e32 < e64 + 2e-3, f"f32 {e32*1e3:.1f} m vs f64 {e64*1e3:.1f} m"
+
+
+class TestInterlinkScanFilter:
+    """The batched scan filter over interlink (crosslink) devices — the
+    VERDICT r4 item-8 device path: the transmitter trajectory is gathered
+    as a device-resident Hermite table inside the compiled observation
+    stage. Must match the host-loop CKF on the same arc."""
+
+    def test_interlink_scan_matches_host(self, two_body_prop, truth_setup):
+        from nyx_tpu import Orbit, Spacecraft
+        from nyx_tpu.od import InterlinkTxSpacecraft
+        from nyx_tpu.od.scan_filter import ScanKalmanOD
+
+        truth_sc, traj = truth_setup
+        tx_orbit = Orbit.keplerian(
+            26_560.0, 0.02, 55.0, 120.0, 10.0, 30.0, EPOCH, truth_sc.frame
+        )
+        tx_inst = two_body_prop.with_state(Spacecraft.from_orbit(tx_orbit))
+        _, tx_traj = tx_inst.for_duration_with_traj(86_400.0)
+
+        def mk_tx():
+            tx = InterlinkTxSpacecraft(tx_traj, name="TX1",
+                                       occulting_radius_km=6378.0)
+            tx.stochastic_noises = {
+                MeasurementType.RANGE_KM: StochasticNoise(WhiteNoise(2.0e-3)),
+                MeasurementType.DOPPLER_KM_S: StochasticNoise(
+                    WhiteNoise(3.0e-6)),
+            }
+            return tx
+
+        cfg = TrkConfig(sampling_s=120.0, scheduler=Scheduler(min_samples=5))
+        sim = TrackingArcSim.with_seed([mk_tx()], traj, {"TX1": cfg}, seed=31)
+        arc = sim.generate_measurements()
+        assert len(arc) > 200
+
+        rng = np.random.default_rng(33)
+        est0, init_err_km = _dispersed_estimate(truth_sc, rng)
+        host = KalmanODProcess(
+            two_body_prop, variant=KalmanVariant.DeviationTracking,
+            resid_rejection_sigmas=None,
+        ).process_arc(est0, arc, [mk_tx()])
+        scan = ScanKalmanOD(
+            two_body_prop, [mk_tx()],
+            types=(MeasurementType.RANGE_KM, MeasurementType.DOPPLER_KM_S),
+            variant="ckf",
+        )
+        res = scan.process_arc(est0, arc)
+        host_y = host.final_estimate.state().to_vector()
+        diff_pos = np.linalg.norm(host_y[:3] - res.final_state()[:3])
+        assert diff_pos < 1e-3, f"scan-host split {diff_pos*1e3:.2f} m"
+        truth_fin = traj.at(host.final_estimate.epoch).to_vector()
+        err = np.linalg.norm(res.final_state()[:3] - truth_fin[:3])
+        assert err < 0.05 and err < init_err_km / 3.0
+
+
+class TestScanBudgetFailsLoudly:
+    """An exhausted fixed-trip scan budget in the reference propagation
+    must raise, not silently truncate the trajectory (VERDICT r4 item 10:
+    the bench-style loop_mode='scan' truth path)."""
+
+    def test_exhausted_trip_count_raises(self, two_body_prop, truth_setup,
+                                         arc, stations):
+        from dataclasses import replace as _replace
+
+        from nyx_tpu.errors import PropagationError
+        from nyx_tpu.od.scan_filter import ScanKalmanOD
+        from nyx_tpu.propagators import IntegratorOptions, Propagator
+
+        truth_sc, _ = truth_setup
+        rng = np.random.default_rng(42)
+        est0, _ = _dispersed_estimate(truth_sc, rng)
+        # a scan budget far too small for the day arc: stage 1 ends
+        # RUNNING without saturating the capture buffer
+        prop = Propagator.rk89(
+            two_body_prop.dynamics,
+            _replace(IntegratorOptions(), loop_mode="scan",
+                     scan_iterations=4),
+        )
+        scan = ScanKalmanOD(
+            prop, stations,
+            types=(MeasurementType.RANGE_KM, MeasurementType.DOPPLER_KM_S),
+            variant="ckf",
+        )
+        with pytest.raises(PropagationError):
+            scan.process_arc(est0, arc)
