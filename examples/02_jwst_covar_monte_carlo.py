@@ -99,13 +99,19 @@ def main():
     mode = os.environ.get("NYX_EX02_MODE", "full")
     print(f"running {n}-member Monte Carlo ({mode} mode)...")
 
+    # n_capture sized to the arc: the 6.5-day high orbit takes ~216
+    # accepted RK89 steps, so 256 nodes hold EVERY integration step
+    # (full-rate export parity with the reference's ensemble artifact)
+    # at 1/4 the capture-carry HBM traffic of the old 1024 default —
+    # the capture cost is linear in the buffer length (measured 20 s at
+    # K=1024 vs 4.5 s at K=256 for the 5000-lane ensemble).
     def run_mc(end):
         if mode == "encke":
             return mc.run_until_epoch_encke(
                 prop, almanac, end, n, integ="abm", dt_s=600.0,
-                n_capture=1024,
+                n_capture=256,
             )
-        return mc.run_until_epoch(prop, almanac, end, n, n_capture=1024)
+        return mc.run_until_epoch(prop, almanac, end, n, n_capture=256)
 
     t0 = time.time()
     run_mc(epoch + 300.0)  # compile at the ensemble shape (short arc)
@@ -122,10 +128,11 @@ def main():
           "(near 1 = linear covariance mapping is adequate)")
     res.to_parquet("/tmp/ex02_mc.parquet")
     # the reference's headline artifact: the whole 5000-run ensemble time
-    # history, one row per (run, epoch)
+    # history at FULL rate — one row per (run, integration step), like
+    # the reference's 246 MB per-step export
     # (examples/02_jwst_covar_monte_carlo/README.md:26)
     res.to_parquet(
-        "/tmp/ex02_mc_ensemble.parquet", trajectories=True, step=3600.0
+        "/tmp/ex02_mc_ensemble.parquet", trajectories=True, step="nodes"
     )
     ens_mb = Path("/tmp/ex02_mc_ensemble.parquet").stat().st_size / 1e6
     print(f"exported /tmp/ex02_mc.parquet and /tmp/ex02_mc_ensemble.parquet "

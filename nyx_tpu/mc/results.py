@@ -333,6 +333,30 @@ class Results:
 
             if not self.has_trajectories:
                 raise MonteCarloError("run with n_capture > 0 to export trajectories")
+            if step == "nodes":
+                # every captured integration step, per run, at its own
+                # adaptive epochs — the reference's full-rate ensemble
+                # artifact (mc/results.rs:48-242 exports each step)
+                lens = np.asarray(self.traj_len)
+                mask = np.arange(self.traj_t.shape[1])[None, :] < lens[:, None]
+                flat = np.asarray(self.traj_y)[mask][:, :9]
+                frame = self.template.frame
+                cols = {
+                    "run": np.repeat(
+                        np.arange(len(lens)), lens
+                    ).astype(np.int32),
+                    "epoch_rel_s": np.asarray(self.traj_t)[mask],
+                }
+                for f in fields:
+                    cols[f] = np.asarray(
+                        param_mod.value(
+                            f, jnp.asarray(flat), frame.mu,
+                            frame.radius_km or 0.0,
+                        )
+                    )
+                table = pa.table(cols).replace_schema_metadata(WATERMARK)
+                pq.write_table(table, path, compression="zstd")
+                return str(path)
             step_s = _secs(step) if step is not None else 60.0
             ts, _ = self.every_value_of("x", step_s)  # grid only
             ys = self._interp_all(ts)

@@ -265,7 +265,13 @@ def propagate(
         it=jnp.zeros((), dtype=jnp.int32),
         comp=jnp.zeros((B, N), dtype=state_dtype),
         traj_t=jnp.zeros((B, K)),
-        traj_y=jnp.zeros((B, K, N), dtype=state_dtype),
+        # internal layout [B, N, K]: K in the 128-lane minor dim. The
+        # public [B, K, N] layout puts N(=9) minor, which TPU tiling pads
+        # to 128 lanes — a ~14x physical bloat that turns every loop
+        # iteration's capture update into gigabytes of HBM traffic
+        # (measured: the ex02 5000-lane 1024-node capture run spent
+        # ~20 s/216 iterations on it). Transposed once at extraction.
+        traj_y=jnp.zeros((B, N, K), dtype=state_dtype),
         traj_len=jnp.zeros((B,), dtype=jnp.int32),
     )
 
@@ -374,9 +380,14 @@ def propagate(
             )
             idx = jnp.minimum(carry.traj_len, n_capture - 1)
             write_idx = jnp.where(want, idx, n_capture + 1)  # OOB -> dropped
-            lanes = jnp.arange(B)
-            traj_t = carry.traj_t.at[lanes, write_idx].set(t_new, mode="drop")
-            traj_y = carry.traj_y.at[lanes, write_idx].set(next_y, mode="drop")
+            # dense one-hot select, NOT a per-lane scatter: the batched
+            # .at[lanes, idx].set lowers to a scatter that runs ~50x
+            # slower than the pure-bandwidth select on TPU (measured
+            # 27 s -> <1 s on the ex02 5000x1024-capture ensemble)
+            hit = jnp.arange(n_capture)[None, :] == write_idx[:, None]
+            traj_t = jnp.where(hit, t_new[:, None], carry.traj_t)
+            traj_y = jnp.where(hit[:, None, :], next_y[:, :, None],
+                               carry.traj_y)
             traj_len = jnp.minimum(
                 carry.traj_len + want.astype(jnp.int32), n_capture
             )
@@ -438,6 +449,6 @@ def propagate(
         error=final.error[s],
         step=final.h[s],
         traj_t=final.traj_t[s],
-        traj_y=final.traj_y[s],
+        traj_y=final.traj_y[s].swapaxes(-1, -2),  # -> public [B, K, N]
         traj_len=final.traj_len[s],
     )
