@@ -21,9 +21,9 @@ DEST.mkdir(exist_ok=True)
 
 LEGS = [
     "od_cold", "od_warm", "tripwire_f64", "bench_pallas", "bench_b100k",
-    "bench_xla", "bench_spi2", "bench_spi4", "bench_encke",
-    "example03_drift", "example03_raise", "example03_sk", "example04_tpu",
-    "example02_tpu", "example05_tpu", "example06_tpu",
+    "bench_encke", "example01_tpu", "example02_tpu", "example03_drift",
+    "example03_raise", "example03_sk", "example04_tpu", "example04_cpu",
+    "example05_tpu", "example06_tpu",
 ]
 
 
@@ -64,6 +64,7 @@ for leg in LEGS:
                 note += f"; OD {js['od_filter_steps_per_s']} steps/s"
     for pat, label in [
         (r"OD_STEPS_PER_S=([\d.]+)", "OD steps/s"),
+        (r"OD_FLAGSHIP_STEPS_PER_S=([\d.]+)", "flagship steps/s"),
         (r"filter rate \(warm\): (\d+)", "filter steps/s"),
         (r"final position error: ([\d.]+ m)", "final err"),
     ]:

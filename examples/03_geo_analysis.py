@@ -117,34 +117,99 @@ def drift_bench():
 
 
 def main():
+    """The reference's FULL orbit-raise config (raise.rs:40-130): a
+    2-ton GTO spacecraft with a NEXT-STEP SEP thruster raises itself to
+    GEO under the eclipse-gated closed-loop Ruggiero law, against 8x8
+    JGM3 + Sun/Moon point masses + SRP, for up to 180 days."""
+    from nyx_tpu.dynamics import Harmonics, PointMasses, SolarPressure
+    from nyx_tpu.io.gravity import GravityFieldData
+
+    here = Path(__file__).resolve().parent.parent
     almanac = Almanac()
-    epoch = Epoch.from_gregorian_utc(2024, 3, 1, 0, 0, 0)
-    # sub-GEO starting orbit (post-GTO circularization)
-    orbit = Orbit.keplerian(39_000.0, 0.01, 1.5, 90.0, 10.0, 0.0, epoch,
+    epoch = Epoch.from_gregorian_utc(2024, 2, 29, 12, 13, 14)
+    # GTO start (raise.rs:50)
+    orbit = Orbit.keplerian(24_505.9, 0.725, 7.05, 0.0, 0.0, 0.0, epoch,
                             Frames.EME2000)
-    thruster = Thruster(thrust_N=0.75, isp_s=1650.0)  # BPT-4000-like
-    sc = Spacecraft.from_thruster(orbit, dry_mass_kg=1800.0,
-                                  prop_mass_kg=200.0, thruster=thruster,
-                                  mode=GuidanceMode.Thrust)
+    thruster = Thruster(thrust_N=0.472, isp_s=4435.0)  # NEXT-STEP SEP
+    sc = Spacecraft.from_thruster(
+        orbit, dry_mass_kg=1000.0, prop_mass_kg=1000.0, thruster=thruster,
+        mode=GuidanceMode.Thrust,
+    ).with_srp(18.0, 1.8)
     objectives = [
-        Objective.within_tolerance(StateParameter.SMA, 42_164.0, 5.0),
+        Objective.within_tolerance(StateParameter.SMA, 42_165.0, 20.0),
+        Objective.within_tolerance(StateParameter.ECC, 0.001, 5e-5),
+        Objective.within_tolerance(StateParameter.INC, 0.05, 1e-2),
     ]
-    law = Ruggiero.simple(objectives, sc)
-    dyn = SpacecraftDynamics.from_guidance_law(
-        OrbitalDynamics.two_body(Frames.EME2000), law
+    # thrust only above 20% illumination (raise.rs:86)
+    law = Ruggiero.from_max_eclipse(objectives, sc, 0.2)
+    stor = GravityFieldData.from_cof(
+        here / "data" / "JGM3.cof.gz", 8, 8, True, Frames.IAU_EARTH
     )
-    prop = Propagator.rk89(dyn, IntegratorOptions(max_step_s=300.0))
+    dyn = SpacecraftDynamics(
+        OrbitalDynamics.from_models(
+            (Harmonics.from_stor(stor), PointMasses((NAIF.MOON, NAIF.SUN))),
+            Frames.EME2000,
+        ),
+        (SolarPressure((NAIF.EARTH,)),),
+        law,
+    )
+    from dataclasses import replace as _replace
+
+    # fixed-trip scan loop, small chunks: a long guidance while_loop in
+    # one dispatch faults the tunneled axon runtime (round-2 finding,
+    # reproduced at 10-day chunks this round), and while programs degrade
+    # the session dispatch path besides. ~2 days of GTO stepping is
+    # ~1,200 adaptive attempts; 4096 trips give 3x margin.
+    prop = Propagator.rk89(
+        dyn, _replace(
+            IntegratorOptions.with_adaptive_step(1.0, 600.0, 1e-8),
+            loop_mode="scan", scan_iterations=4096,
+        )
+    )
     inst = prop.with_state(sc, almanac)
-    print("raising toward GEO with Ruggiero (up to 5 days)...")
+    max_days = float(os.environ.get("NYX_EX03_RAISE_DAYS", 180.0))
+    chunk_days = float(os.environ.get("NYX_EX03_RAISE_CHUNK", 2.0))
+    print(f"raising GTO -> GEO with eclipse-gated Ruggiero "
+          f"(up to {max_days:.0f} days, {chunk_days:.0f}-day chunks)...")
     t0 = time.time()
-    # chunked dispatch (1-day device calls): long guidance-loop arcs in a
-    # single call faulted the tunneled axon runtime in round 2
-    for _day in range(5):
-        final = inst.for_duration(86_400.0)
+    elapsed_days = 0.0
+    final = inst.state
+    chunk = chunk_days
+    from nyx_tpu.errors import PropagationError
+
+    def near_geo(s):
+        # Ruggiero is locally optimal and chatters right at the objective
+        # thresholds (the reference README's own caveat: it reaches "the
+        # vicinity" of the slot; exact slotting needs a targeter). Stop
+        # once within ~2x the objective tolerances.
+        return (abs(float(s.orbit.sma_km) - 42_165.0) < 40.0
+                and float(s.orbit.ecc) < 0.003
+                and float(s.orbit.inc_deg) < 0.06)
+
+    while elapsed_days < max_days:
+        try:
+            final = inst.for_duration(chunk * 86_400.0)
+        except PropagationError:
+            # threshold chatter collapses the step size and exhausts the
+            # scan budget; halve the chunk and continue from the last
+            # good state
+            if chunk <= 0.25:
+                print("  step budget exhausted at minimum chunk; stopping")
+                break
+            chunk /= 2.0
+            inst = prop.with_state(final, almanac)
+            continue
+        elapsed_days += chunk
+        print(f"  day {elapsed_days:5.0f}: sma {final.orbit.sma_km:9.1f} km"
+              f"  ecc {float(final.orbit.ecc):.5f}"
+              f"  inc {float(final.orbit.inc_deg):.3f} deg"
+              f"  prop left {float(final.prop_mass_kg):7.2f} kg", flush=True)
+        if law.achieved(final) or near_geo(final):
+            break
     raise_wall = time.time() - t0
     print(f"final sma {final.orbit.sma_km:.1f} km, ecc {final.orbit.ecc:.5f}, "
           f"prop used {sc.prop_mass_kg - final.prop_mass_kg:.2f} kg "
-          f"({raise_wall:.0f}s wall)")
+          f"in {elapsed_days:.0f} days ({raise_wall:.0f}s wall)")
     for line in law.status(final):
         print("  " + line)
 
@@ -162,12 +227,19 @@ def main():
     for when, kind in events[:4]:
         print(f"  eclipse {kind} at {when}")
     _write_artifact(f"ex03_raise_{jax.default_backend()}.json", {
-        "example": "03_geo_analysis Ruggiero raise + eclipse scan",
+        "example": "03_geo_analysis GTO->GEO raise (raise.rs config) "
+                   "+ eclipse scan",
         "platform": jax.default_backend(),
-        "raise_days": 5.0,
+        "config": "GTO 24505.9x0.725 i7.05, NEXT-STEP 0.472N/4435s, "
+                  "8x8 JGM3 + Moon/Sun + SRP, Ruggiero max_eclipse 0.2",
+        "raise_days": round(elapsed_days, 1),
+        "max_days": max_days,
         "raise_wall_s": round(raise_wall, 1),
+        "objectives_achieved": bool(law.achieved(final)),
+        "geo_vicinity_reached": bool(near_geo(final)),
         "final_sma_km": round(float(final.orbit.sma_km), 2),
         "final_ecc": float(final.orbit.ecc),
+        "final_inc_deg": round(float(final.orbit.inc_deg), 4),
         "prop_used_kg": round(float(sc.prop_mass_kg - final.prop_mass_kg), 3),
         "eclipse_fraction_pct": round(100 * frac, 2),
     })

@@ -114,6 +114,21 @@ class Trajectory:
         lo, hi = self._window(t_rel)
         ts = self.ts[lo:hi]
         ys = self.ys[lo:hi]
+        # thin near-coincident nodes: adaptive-step bursts (eclipse
+        # crossings, perigee refinement) can put ~0.06 s nodes next to
+        # ~90 s gaps in one window, and the degree-25 Newton divided
+        # differences then cancel catastrophically (measured: 1e18 km
+        # positions from healthy nodes). Every node lies on the true
+        # trajectory, so dropping clustered ones below a quarter of the
+        # mean spacing loses nothing.
+        if len(ts) > 2:
+            min_dt = 0.25 * (ts[-1] - ts[0]) / (len(ts) - 1)
+            keep = [0]
+            for i in range(1, len(ts)):
+                if ts[i] - ts[keep[-1]] >= min_dt or i == len(ts) - 1:
+                    keep.append(i)
+            if len(keep) < len(ts):
+                ts, ys = ts[keep], ys[keep]
         # normalize time for conditioning
         tmid = ts[len(ts) // 2]
         pos, vel = hermite_eval(ts - tmid, ys[:, 0:3], ys[:, 3:6], t_rel - tmid)

@@ -78,12 +78,10 @@ def _station_obs(t_tdb, rv6, lat_deg, lon_deg, height_km, frame, types,
     return jnp.stack([table[t] for t in types])
 
 
-def _interlink_obs(t_tdb, rv6, ts_tab, ys_tab, types):
-    """[T] noiseless crosslink observations against a transmitter
-    trajectory table (the gatherable form of
-    InterlinkTxSpacecraft._link_values; cubic-Hermite state lookup as
-    DeviceTrajectory.state_at). ts_tab [K], ys_tab [K, 6] are the
-    tracker's gathered table rows."""
+def _table_state(t_tdb, ts_tab, ys_tab):
+    """[6] cubic-Hermite state lookup in a device-resident trajectory
+    table (DeviceTrajectory.state_at, gatherable form): ts_tab [K],
+    ys_tab [K, 6]."""
     i = jnp.clip(jnp.searchsorted(ts_tab, t_tdb) - 1, 0,
                  ts_tab.shape[0] - 2)
     t0, t1 = ts_tab[i], ts_tab[i + 1]
@@ -92,14 +90,24 @@ def _interlink_obs(t_tdb, rv6, ts_tab, ys_tab, types):
     r0, v0 = ys_tab[i, 0:3], ys_tab[i, 3:6]
     r1, v1 = ys_tab[i + 1, 0:3], ys_tab[i + 1, 3:6]
     s2, s3 = s * s, s * s * s
-    r_tx = (
+    r = (
         (2 * s3 - 3 * s2 + 1) * r0 + (s3 - 2 * s2 + s) * h * v0
         + (-2 * s3 + 3 * s2) * r1 + (s3 - s2) * h * v1
     )
-    v_tx = (
+    v = (
         (6 * s2 - 6 * s) / h * r0 + (3 * s2 - 4 * s + 1) * v0
         + (-6 * s2 + 6 * s) / h * r1 + (3 * s2 - 2 * s) * v1
     )
+    return jnp.concatenate([r, v])
+
+
+def _interlink_obs(t_tdb, rv6, ts_tab, ys_tab, types):
+    """[T] noiseless crosslink observations against a transmitter
+    trajectory table (the gatherable form of
+    InterlinkTxSpacecraft._link_values). ts_tab [K], ys_tab [K, 6] are
+    the tracker's gathered table rows."""
+    tx = _table_state(t_tdb, ts_tab, ys_tab)
+    r_tx, v_tx = tx[0:3], tx[3:6]
     rho = rv6[0:3] - r_tx
     rho_dot = rv6[3:6] - v_tx
     rng = jnp.linalg.norm(rho)
@@ -315,18 +323,17 @@ class ScanKalmanOD:
                 "interlink devices need the batched pipeline "
                 "(prop_mode='batch')"
             )
-        if self._interlink:
-            self.station_frame = None
-            k_max = max(int(d._dev_traj.ts.shape[0]) for d in devices)
+        def stack_tables(pairs):
+            """Pad per-device (ts [K_i], ys [K_i, 6]) tables to a common
+            length by extending the last interval (monotonic times keep
+            searchsorted well-defined; queries never land there — the arc
+            is inside the table span). Returns [D, K], [D, K, 6]."""
+            k_max = max(len(ts) for ts, _ in pairs)
             ts_rows, ys_rows = [], []
-            for d in devices:
-                ts = np.asarray(d._dev_traj.ts)
-                ys = np.asarray(d._dev_traj.ys)
+            for ts, ys in pairs:
+                ts, ys = np.asarray(ts), np.asarray(ys)
                 pad = k_max - len(ts)
                 if pad:
-                    # pad by extending the last interval (monotonic times
-                    # keep searchsorted well-defined; queries never land
-                    # there — the arc is inside the table span)
                     dt_tail = ts[-1] - ts[-2] if len(ts) > 1 else 1.0
                     ts = np.concatenate(
                         [ts, ts[-1] + dt_tail * np.arange(1, pad + 1)]
@@ -336,9 +343,16 @@ class ScanKalmanOD:
                     )
                 ts_rows.append(ts)
                 ys_rows.append(ys)
-            self._tx_ts = jnp.asarray(np.stack(ts_rows))  # [D, K]
-            self._tx_ys = jnp.asarray(np.stack(ys_rows))  # [D, K, 6]
+            return (jnp.asarray(np.stack(ts_rows)),
+                    jnp.asarray(np.stack(ys_rows)))
+
+        if self._interlink:
+            self.station_frame = None
+            self._tx_ts, self._tx_ys = stack_tables(
+                [(d._dev_traj.ts, d._dev_traj.ys) for d in devices]
+            )
             self._lat = self._lon = self._hgt = jnp.zeros(len(devices))
+            self._off_ts = self._off_ys = None
         else:
             frames = {d.frame for d in devices}
             if len(frames) != 1:
@@ -351,6 +365,29 @@ class ScanKalmanOD:
             self._lat = jnp.asarray([d.latitude_deg for d in devices])
             self._lon = jnp.asarray([d.longitude_deg for d in devices])
             self._hgt = jnp.asarray([d.height_km for d in devices])
+            # cross-body tracking (GroundStation.with_target_frame): the
+            # per-station target-center-relative-to-station-body offset
+            # becomes another device-resident Hermite table, gathered by
+            # tracker index and ADDED to the spacecraft state before the
+            # topocentric geometry (mirrors _shift_to_station_center)
+            offs = [getattr(d, "target_center_offset", None)
+                    for d in devices]
+            if any(o is not None for o in offs):
+                if not all(o is not None for o in offs):
+                    raise ConfigError(
+                        "scan-filter stations must all have a target "
+                        "frame offset, or none"
+                    )
+                if self.prop_mode != "batch":
+                    raise ConfigError(
+                        "cross-body station offsets need the batched "
+                        "pipeline (prop_mode='batch')"
+                    )
+                self._off_ts, self._off_ys = stack_tables(
+                    [(o.ts, o.ys) for o in offs]
+                )
+            else:
+                self._off_ts = self._off_ys = None
         self._lt = jnp.asarray(
             [1.0 if getattr(d, "light_time_correction", False) else 0.0
              for d in devices]
@@ -1078,13 +1115,19 @@ class ScanKalmanOD:
             return y_bar, phi, dt
 
         tx_ts, tx_ys = self._tx_ts, self._tx_ys
+        off_ts, off_ys = self._off_ts, self._off_ys
 
         def scalar_obs(t_i, rv6, trk_i):
             """Noiseless [T] observation for tracker trk_i — ground-station
-            or interlink family (chosen at build time)."""
+            (optionally cross-body shifted) or interlink family (chosen at
+            build time)."""
             if self._interlink:
                 return _interlink_obs(
                     t_i, rv6, tx_ts[trk_i], tx_ys[trk_i], types
+                )
+            if off_ts is not None:
+                rv6 = rv6 + _table_state(
+                    t_i, off_ts[trk_i], off_ys[trk_i]
                 )
             return _station_obs(
                 t_i, rv6, lat[trk_i], lon[trk_i], hgt[trk_i], frame,
@@ -1417,7 +1460,7 @@ class ScanKalmanOD:
                 self.substeps, self.max_gap_s, self.resid_rejection_sigmas,
                 self.process_noise,
                 self._lat, self._lon, self._hgt, self._lt, self._rvar,
-                self._tx_ts, self._tx_ys,
+                self._tx_ts, self._tx_ys, self._off_ts, self._off_ys,
                 self.estimate_biases, self._lane_dev, self._lane_type,
                 self._lane_tau, self._lane_sig2, self._tint,
                 self.stm_jvp_degree,
@@ -1445,7 +1488,14 @@ class ScanKalmanOD:
 
         fn = stages[key]
         if self.aot_dir is not None:
-            fn = self._aot(fn, args, name=f"scanod_{key}")
+            # the capture size k_cap is a CLOSURE constant of the stage
+            # programs and does not show in the argument shapes: without
+            # it in the name, a saturation retry would reload the stale
+            # small-buffer executable and saturate forever
+            fn = self._aot(
+                fn, args,
+                name=f"scanod_{key}_k{getattr(self, '_last_k_cap', 0)}",
+            )
         if _os.environ.get("NYX_OD_TRACE"):
             import sys as _sys
             import time as _time

@@ -1882,3 +1882,84 @@ class TestScanBudgetFailsLoudly:
         )
         with pytest.raises(PropagationError):
             scan.process_arc(est0, arc)
+
+
+class TestCrossBodyScanFilter:
+    """Earth-DSN stations tracking a Moon-centered trajectory through
+    per-station cross-body offset tables (GroundStation.with_target_frame)
+    in the BATCHED scan filter — the ex06 geometry. Zero-noise
+    simulator-vs-filter consistency plus dispersed recovery."""
+
+    def test_cross_body_consistency_and_recovery(self):
+        from nyx_tpu.constants import NAIF
+        from nyx_tpu.ephem.almanac import Almanac
+        from nyx_tpu.od.scan_filter import ScanKalmanOD
+
+        almanac = Almanac()
+        epoch = Epoch.from_gregorian_utc(2024, 2, 29, 12, 0, 0)
+        moon = Frames.MOON_J2000.with_mu_km3_s2(4902.800066)
+        orbit = Orbit.keplerian(1737.4 + 150.0, 0.002, 33.6, 45.0, 45.0,
+                                0.0, epoch, moon)
+        truth_sc = Spacecraft.from_orbit(orbit)
+        dyn = SpacecraftDynamics.new(OrbitalDynamics.two_body(moon))
+        prop = Propagator.rk89(dyn, IntegratorOptions(max_step_s=60.0))
+        _, traj = prop.with_state(truth_sc, almanac).for_duration_with_traj(
+            4 * 3600.0
+        )
+        end = epoch + 4 * 3600.0
+
+        def station(base, tiny):
+            gs = base(5.0).with_target_frame(almanac, NAIF.MOON, epoch, end)
+            s = 1e-12 if tiny else 2.0e-3
+            sd = 1e-15 if tiny else 3.0e-6
+            gs.stochastic_noises = {
+                MeasurementType.RANGE_KM: StochasticNoise(WhiteNoise(s)),
+                MeasurementType.DOPPLER_KM_S: StochasticNoise(WhiteNoise(sd)),
+            }
+            return gs
+
+        bases = [GroundStation.dss65_madrid, GroundStation.dss34_canberra]
+        sim_st = [station(b, True) for b in bases]
+        fil_st = [station(b, False) for b in bases]
+        cfg = TrkConfig(sampling_s=60.0, scheduler=Scheduler(min_samples=3))
+        sim = TrackingArcSim.with_seed(
+            sim_st, traj, {g.name: cfg for g in sim_st}, seed=5
+        )
+        arc = sim.generate_measurements()
+        assert len(arc) > 30
+        unc = SpacecraftUncertainty(
+            nominal=truth_sc, frame="ric",
+            x_km=0.5, y_km=0.5, z_km=0.5,
+            vx_km_s=5e-3, vy_km_s=5e-3, vz_km_s=5e-3,
+        )
+        # 1. zero-noise from truth: prefit at interpolation-noise level
+        est_t = unc.to_estimate()
+        od = ScanKalmanOD(
+            prop, fil_st,
+            types=(MeasurementType.RANGE_KM, MeasurementType.DOPPLER_KM_S),
+            variant="ckf", resid_rejection_sigmas=None, almanac=almanac,
+        )
+        sol = od.process_arc(est_t, arc)
+        pf = np.asarray(sol.prefit)
+        assert np.abs(pf[:, 0]).max() < 1e-4, (
+            f"cross-body prefit {np.abs(pf[:, 0]).max()*1e3:.3f} m"
+        )
+        # 2. dispersed 500 m / 5 mm/s start through the segmented EKF
+        rng = np.random.default_rng(123)
+        est0, disp = unc.to_estimate_randomized(rng)
+        from dataclasses import replace as _rep
+
+        est0 = _rep(est0, nominal=disp)
+        od2 = ScanKalmanOD(
+            prop, fil_st,
+            types=(MeasurementType.RANGE_KM, MeasurementType.DOPPLER_KM_S),
+            variant="ekf", resid_rejection_sigmas=3.0, almanac=almanac,
+            segment_rows=8,
+        )
+        sol2 = od2.process_arc(est0, arc)
+        truth_fin = traj.at(
+            Epoch.from_tai_seconds_j2000(sol2.epochs_tai_s[-1])
+        ).to_vector()
+        err = np.linalg.norm(sol2.final_state()[:3] - truth_fin[:3])
+        assert err < 0.05, f"cross-body EKF error {err*1e3:.1f} m"
+        assert np.sum(sol2.rejected) <= max(2, len(arc) // 20)
