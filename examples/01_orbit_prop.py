@@ -67,7 +67,7 @@ def main():
     )
     prop = Propagator.rk89(dynamics, IntegratorOptions())
     inst = prop.with_state(sc, almanac)
-    final, traj = inst.for_duration_with_traj(86_400.0)
+    final, traj = inst.for_duration_with_traj(86_400.0, n_capture=32768)
     print(f"final:   {final}")
     print(traj)
 
