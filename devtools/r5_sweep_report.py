@@ -53,6 +53,10 @@ for leg in LEGS:
         rows.append((leg, "MISSING", "", ""))
         continue
     text = p.read_text(errors="replace")
+    # commit the raw log alongside the parsed row (cold walls, tripwire
+    # output); drop the multi-KB XLA cpu_aot_loader feature-list warnings
+    kept = [ln for ln in text.splitlines() if len(ln) < 1500]
+    (DEST / f"{leg}.log").write_text("\n".join(kept) + "\n")
     wall = wall_of(text)
     js = last_json(text)
     note = ""
@@ -67,11 +71,21 @@ for leg in LEGS:
         (r"OD_FLAGSHIP_STEPS_PER_S=([\d.]+)", "flagship steps/s"),
         (r"filter rate \(warm\): (\d+)", "filter steps/s"),
         (r"final position error: ([\d.]+ m)", "final err"),
+        (r"f64-sublane tripwire \[\w+\]: (OK[^(]*)", "tripwire"),
+        (r"(\d+/\d+ trajectories completed in [\d.]+s)", "MC"),
+        (r"total ([\d.]+)s \(reference", "total s"),
+        (r"SK MC: (\d+ runs x \d+ d in [\d.]+ s)", "SK"),
+        (r"GEO drift (\d+ d in [\d.]+ s)", "drift"),
+        (r"day\s+(\d+): sma\s+4\d{4}", "raise reached GEO day"),
+        (r"OD done: (\d+ accepted, \d+ rejected)", "OD"),
+        (r"RIC position error \(m\): (\[[^\]]*\])", "RIC err m"),
+        (r"(\d+) apoapsis passages", "apoapses"),
     ]:
         m = re.search(pat, text)
         if m:
             note += f"; {label} {m.group(1)}" if note else f"{label} {m.group(1)}"
-    ok = "ok" if "rc=0" in text or "Error" not in text[-2000:] else "CHECK"
+    tail = text[-2000:]
+    ok = "ok" if ("Traceback" not in text and "rc=1" not in tail) else "CHECK"
     rows.append((leg, ok, f"{wall:.0f}s" if wall else "", note))
 
 md = ["# Round-5 TPU sweep\n",
@@ -80,6 +94,9 @@ md = ["# Round-5 TPU sweep\n",
       "|---|---|---|---|"]
 for leg, ok, wall, note in rows:
     md.append(f"| {leg} | {ok} | {wall} | {note} |")
+notes = HERE / "sweep_r05_notes.md"
+if notes.exists():
+    md += ["", notes.read_text().rstrip()]
 (HERE / "SWEEP_r05.md").write_text("\n".join(md) + "\n")
 print(f"wrote {HERE / 'SWEEP_r05.md'}")
 for leg, ok, wall, note in rows:

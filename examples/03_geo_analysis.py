@@ -289,7 +289,21 @@ def stationkeeping():
         (SolarPressure.default(),),
         guidance=law,
     )
-    prop = Propagator.rk89(dyn, IntegratorOptions(min_step_s=10.0))
+    # fixed-trip scan loop: the 30-day 25-lane guidance while_loop in one
+    # dispatch faults the tunneled axon runtime (worker crash; same class
+    # as the raise's 10-day chunks). The eclipse-gated throttle makes the
+    # error controller crawl through every shadow-boundary crossing:
+    # measured 62k attempts for 30 days at the 1e-12 default tolerance,
+    # 16.4k at 1e-10 with a 30 s floor (prop-used delta 2%, sma identical
+    # to the metre) — so the MC uses the relaxed pair and a 24k trip
+    # budget. The MC path tolerates RUNNING lanes silently, hence the
+    # explicit n_ok check below.
+    from dataclasses import replace as _replace
+
+    prop = Propagator.rk89(
+        dyn, _replace(IntegratorOptions(min_step_s=30.0, tolerance=1e-10),
+                      loop_mode="scan", scan_iterations=24576)
+    )
     n_runs = int(os.environ.get("NYX_EX03_SK_RUNS", 25))
     days = float(os.environ.get("NYX_EX03_SK_DAYS", 30.0))
     mvn = MvnSpacecraft(sc, [StateDispersion.zero_mean("sma", 3.0)])
@@ -301,6 +315,12 @@ def stationkeeping():
     results = mc.run_until_epoch(prop, almanac, end, n_runs)
     wall = time.time() - t0
     assert results.n_runs == n_runs
+    if results.n_ok != n_runs:
+        raise RuntimeError(
+            f"SK MC truncated: {results.n_ok}/{n_runs} lanes finished — "
+            "raise scan_iterations (results would silently cover less "
+            "than the full arc)"
+        )
     prop_used = sc.prop_mass_kg - np.asarray(results.y_final[:, 8])
     sma = results.final_values_of("sma")
     inc = results.final_values_of("inc")

@@ -99,24 +99,68 @@ def main():
     # Dynamics: harmonics + Earth/Sun/Jupiter point masses + SRP (main.rs:110-122)
     degree = int(os.environ.get("NYX_EX06_DEGREE", 50))
     field = kaula_moon_field(degree)
+    # split precision on the TPU (f64 closed-form J2/J3 + Pallas f32
+    # recursion, the ex04 configuration — validated <10 m over a day):
+    # the full-f64 degree-50 recursion inside a multi-thousand-trip scan
+    # crashed the axon worker outright
+    grav_prec = "f64" if os.environ.get("NYX_EX06_CPU") else "split"
     dyn = SpacecraftDynamics(
         OrbitalDynamics.from_models(
             [
-                Harmonics.from_stor(field, precision="f64"),
+                Harmonics.from_stor(field, precision=grav_prec),
                 PointMasses((NAIF.EARTH, NAIF.SUN, NAIF.JUPITER_BARYCENTER)),
             ],
             moon,
         ),
         (SolarPressure.default(NAIF.MOON),),
     )
-    setup = Propagator.rk89(dyn, IntegratorOptions())
+    # fixed-trip scan loop on the TPU: a multi-thousand-step while_loop
+    # in one dispatch faults the tunneled axon runtime (worker crash);
+    # the statically-bounded scan is the reliable path. The split-precision
+    # gravity's f32 recursion noise sits far above the 1e-12 default
+    # tolerance — the controller would reject forever and exhaust any trip
+    # budget — so the TPU path uses the ex04-validated split config
+    # (tolerance 1e-10, 60 s step cap; <10 m/day envelope). ~800 accepted
+    # steps per half-day chunk fit in 6144 trips with margin (an exhausted
+    # budget raises PropagationError, never truncates).
+    from dataclasses import replace as _replace
+
+    opts = IntegratorOptions()
+    if not os.environ.get("NYX_EX06_CPU"):
+        opts = _replace(opts, loop_mode="scan", scan_iterations=6144,
+                        tolerance=1e-10, max_step_s=60.0)
+    setup = Propagator.rk89(dyn, opts)
 
     arc_days = float(os.environ.get("NYX_EX06_DAYS", 2.0))
-    _, truth_traj = setup.with_state(orbiter, alm).for_duration_with_traj(
-        arc_days * 86400.0, n_capture=65536
-    )
+    if os.environ.get("NYX_EX06_CPU"):
+        _, truth_traj = setup.with_state(orbiter, alm).for_duration_with_traj(
+            arc_days * 86400.0, n_capture=65536
+        )
+    else:
+        # chunked truth propagation: day-plus ephemeris-bearing loops in
+        # a single dispatch crash the tunneled axon worker (while OR
+        # scan); half-day chunks are reliable and the capture pieces
+        # stitch into one Trajectory (duplicate boundary nodes dropped)
+        from nyx_tpu.md.trajectory import Trajectory
+
+        chunk_s = float(os.environ.get("NYX_EX06_CHUNK_S", 43200.0))
+        t_off, state = 0.0, orbiter
+        ts_all, ys_all, tmpl = [], [], None
+        while t_off < arc_days * 86400.0 - 1e-6:
+            d = min(chunk_s, arc_days * 86400.0 - t_off)
+            state, tr = setup.with_state(state, alm).for_duration_with_traj(
+                d, n_capture=16384
+            )
+            ts_all.append(t_off + np.asarray(tr.ts))
+            ys_all.append(np.asarray(tr.ys))
+            tmpl = tr.template
+            t_off += d
+        truth_traj = Trajectory.from_capture(
+            epoch, np.concatenate(ts_all), np.concatenate(ys_all), tmpl
+        )
     print(f"[{time.time()-t0:6.1f}s] truth trajectory done "
-          f"({degree}x{degree} field, {arc_days} days)")
+          f"({degree}x{degree} field, {arc_days} days, "
+          f"{len(np.asarray(truth_traj.ts))} nodes)")
 
     # DSN network + schedules from the reference's own YAML (main.rs:139-147)
     devices = GroundStation.load_named(REF06 / "dsn-network.yaml")
