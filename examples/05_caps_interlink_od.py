@@ -85,9 +85,17 @@ def main():
             [PointMasses((NAIF.EARTH, NAIF.SUN))], moon
         )
     )
+    # fixed-trip scan loop: a cold while_loop program costs ~300-500 s of
+    # unpersistable first-execution on the tunneled axon runtime, and was
+    # 415 s (~73%) of this example's wall; the same propagation as a
+    # 4096-trip scan (12 h / 30 s cap = 1440 steps + margin) compiles+runs
+    # cold in under a minute and is bitwise-identical while the budget
+    # suffices (exhaustion raises loudly).
     opts = replace(
         IntegratorOptions.with_adaptive_step(0.1, 30.0, 1e-9),
         integration_frame=moon,
+        loop_mode="scan",
+        scan_iterations=4096,
     )
     setup = Propagator.rk89(dyn, opts)
 
