@@ -65,7 +65,18 @@ def main():
         ),
         (SolarPressure.default(), Drag.earth_exp()),
     )
-    prop = Propagator.rk89(dynamics, IntegratorOptions())
+    # fixed-trip scan loop on the TPU: a cold while_loop program pays
+    # ~300-500 s of unpersistable first-execution on the tunneled axon
+    # runtime; the same propagation as a fixed 16384-trip scan (9.1k
+    # accepted steps + rejection margin for the 1-day LEO arc) is
+    # bitwise-identical and cold-compiles in under a minute. Exhaustion
+    # raises PropagationError, never truncates.
+    opts = IntegratorOptions()
+    if os.environ.get("NYX_EX01_TPU"):
+        from dataclasses import replace as _replace
+
+        opts = _replace(opts, loop_mode="scan", scan_iterations=16384)
+    prop = Propagator.rk89(dynamics, opts)
     inst = prop.with_state(sc, almanac)
     final, traj = inst.for_duration_with_traj(86_400.0, n_capture=32768)
     print(f"final:   {final}")
