@@ -350,10 +350,192 @@ def stationkeeping():
     })
 
 
+def raise_optim():
+    """NSGA-II tuning of the Ruggiero efficiency thresholds (reference:
+    examples/03_geo_analysis/raise_optim.rs): 3 genes (the sma/ecc/inc
+    eta-thresholds in [0.1, 1.0]), multi-objective (propellant used,
+    1000x summed unachieved-objective error) over a 60-day GTO raise
+    against 4x4 JGM3 + Moon/Sun + SRP (raise_optim.rs:139-215; pop 20,
+    6 generations, NSGA2 selector).
+
+    TPU-native inversion: where the reference evaluates individuals as 20
+    parallel scalar propagations per generation, here the POPULATION is
+    the batch axis — one compiled 20-lane dispatch per generation with
+    per-lane thresholds traced through `ctx.guidance_params`
+    (`Ruggiero.from_ctx_thresholds`), so generations 2+ skip compilation
+    entirely."""
+    from nyx_tpu.dynamics import Harmonics, PointMasses, SolarPressure
+    from nyx_tpu.io.gravity import GravityFieldData
+    from nyx_tpu.mc import MonteCarlo, MvnSpacecraft, StateDispersion
+
+    here = Path(__file__).resolve().parent.parent
+    almanac = Almanac()
+    epoch = Epoch.from_gregorian_utc(2024, 2, 29, 12, 13, 14)
+    orbit = Orbit.keplerian(24_505.9, 0.725, 7.05, 0.0, 0.0, 0.0, epoch,
+                            Frames.EME2000)
+    thruster = Thruster(thrust_N=0.472, isp_s=4435.0)
+    sc = Spacecraft.from_thruster(
+        orbit, dry_mass_kg=1000.0, prop_mass_kg=1000.0, thruster=thruster,
+        mode=GuidanceMode.Thrust,
+    ).with_srp(18.0, 1.8)
+    # raise_optim.rs:163-178: sma objective is 30,000 km (not full GEO)
+    objectives = [
+        Objective.within_tolerance(StateParameter.SMA, 30_000.0, 20.0),
+        Objective.within_tolerance(StateParameter.ECC, 0.001, 5e-5),
+        Objective.within_tolerance(StateParameter.INC, 0.05, 1e-2),
+    ]
+    law = Ruggiero.from_ctx_thresholds(objectives, sc)
+    stor = GravityFieldData.from_cof(
+        here / "data" / "JGM3.cof.gz", 4, 4, True, Frames.IAU_EARTH
+    )
+    dyn = SpacecraftDynamics(
+        OrbitalDynamics.from_models(
+            (Harmonics.from_stor(stor), PointMasses((NAIF.MOON, NAIF.SUN))),
+            Frames.EME2000,
+        ),
+        (SolarPressure((NAIF.EARTH,)),),
+        law,
+    )
+    from dataclasses import replace as _replace
+
+    opts = IntegratorOptions.with_adaptive_step(10.0, 2700.0, 1e-8)
+    days = float(os.environ.get("NYX_EX03_OPTIM_DAYS", 60.0))
+    pop_n = int(os.environ.get("NYX_EX03_OPTIM_POP", 20))
+    n_gen = int(os.environ.get("NYX_EX03_OPTIM_GEN", 6))
+    if jax.default_backend() != "cpu":
+        # one dispatch per ~2-day window would need chunked guidance
+        # dispatches on the tunneled runtime; the 60-day single dispatch
+        # is reliable under scan mode with a measured ~35k-attempt budget
+        opts = _replace(opts, loop_mode="scan", scan_iterations=49152)
+    prop = Propagator.rk89(dyn, opts)
+    mvn = MvnSpacecraft(sc, [StateDispersion.zero_mean("sma", 0.0)])
+    mc = MonteCarlo(mvn, seed=11)
+    y0 = np.tile(np.asarray(sc.to_vector()), (pop_n, 1))
+    end = epoch + days * 86_400.0
+
+    def evaluate(thr):  # [P, 3] -> (prop_used [P], penalty [P])
+        res = mc.run_until_epoch(prop, almanac, end, pop_n, _y0=y0,
+                                 guidance_params=np.asarray(thr))
+        prop_used = sc.prop_mass_kg - np.asarray(res.y_final[:, 8])
+        pen = np.zeros(pop_n)
+        for pname, idx in (("sma", 0), ("ecc", 1), ("inc", 2)):
+            vals = np.asarray(res.final_values_of(pname))
+            ok_err = np.array(
+                [objectives[idx].assess_raw(float(v)) for v in vals]
+            )
+            pen += np.where(ok_err[:, 0] > 0.5, 0.0, np.abs(ok_err[:, 1]))
+        return prop_used, pen * 1000.0
+
+    # -- compact NSGA-II (the reference's radiate NSGA2Selector setup:
+    # pop 20, 3 float genes in [0.1, 1], 6 generations) ----------------
+    rng = np.random.default_rng(7)
+    lo, hi = 0.1, 1.0
+    pop = rng.uniform(lo, hi, size=(pop_n, 3))
+
+    def nds_ranks(f1, f2):
+        """Pareto front index per individual (0 = non-dominated), by
+        iterative front peeling — n <= 40, so O(n^2)/front is fine."""
+        n = len(f1)
+        rank = np.full(n, -1)
+        remaining = set(range(n))
+        r = 0
+        while remaining:
+            front = [
+                i for i in remaining
+                if not any(
+                    (f1[j] <= f1[i] and f2[j] <= f2[i])
+                    and (f1[j] < f1[i] or f2[j] < f2[i])
+                    for j in remaining if j != i
+                )
+            ]
+            for i in front:
+                rank[i] = r
+            remaining -= set(front)
+            r += 1
+        return rank
+
+    def crowding(f1, f2, idx):
+        d = np.zeros(len(idx))
+        for f in (f1[idx], f2[idx]):
+            order = np.argsort(f)
+            span = max(f[order[-1]] - f[order[0]], 1e-12)
+            d[order[0]] = d[order[-1]] = np.inf
+            d[order[1:-1]] += (f[order[2:]] - f[order[:-2]]) / span
+        return d
+
+    t0 = time.time()
+    history = []
+    f1, f2 = evaluate(pop)
+    for gen in range(n_gen):
+        rank = nds_ranks(f1, f2)
+        crowd = np.zeros(pop_n)
+        for r in np.unique(rank):
+            idx = np.where(rank == r)[0]
+            crowd[idx] = crowding(f1, f2, idx)
+        # binary tournament -> blend crossover -> gaussian mutation
+        def pick():
+            a, b = rng.integers(0, pop_n, 2)
+            if rank[a] != rank[b]:
+                return a if rank[a] < rank[b] else b
+            return a if crowd[a] > crowd[b] else b
+
+        kids = []
+        while len(kids) < pop_n:
+            pa, pb = pop[pick()], pop[pick()]
+            alpha = rng.uniform(-0.25, 1.25, 3)
+            kid = np.clip(pa + alpha * (pb - pa), lo, hi)
+            mut = rng.random(3) < 0.2
+            kid = np.clip(
+                np.where(mut, kid + rng.normal(0, 0.08, 3), kid), lo, hi
+            )
+            kids.append(kid)
+        kids = np.array(kids)
+        k1, k2 = evaluate(kids)
+        # elitist environmental selection over parents + offspring
+        all_pop = np.vstack([pop, kids])
+        a1, a2 = np.concatenate([f1, k1]), np.concatenate([f2, k2])
+        arank = nds_ranks(a1, a2)
+        acrowd = np.zeros(len(all_pop))
+        for r in np.unique(arank):
+            idx = np.where(arank == r)[0]
+            acrowd[idx] = crowding(a1, a2, idx)
+        order = np.lexsort((-acrowd, arank))[:pop_n]
+        pop, f1, f2 = all_pop[order], a1[order], a2[order]
+        feasible = f2 < 1e-9
+        best = (np.where(feasible)[0][np.argmin(f1[feasible])]
+                if feasible.any() else np.argmin(f1 + f2))
+        history.append((float(f1[best]), float(f2[best])))
+        print(f"[gen {gen}] best: prop {f1[best]:.3f} kg, "
+              f"penalty {f2[best]:.3f}  (feasible {int(feasible.sum())}"
+              f"/{pop_n}, {time.time()-t0:.0f}s)", flush=True)
+    wall = time.time() - t0
+    feasible = f2 < 1e-9
+    best = (np.where(feasible)[0][np.argmin(f1[feasible])]
+            if feasible.any() else np.argmin(f1 + f2))
+    print(f"best thresholds {pop[best]} -> prop {f1[best]:.3f} kg, "
+          f"penalty {f2[best]:.3f} ({wall:.0f}s total)")
+    _write_artifact(f"ex03_raise_optim_{jax.default_backend()}.json", {
+        "example": "03_geo_analysis raise_optim (raise_optim.rs NSGA2 "
+                   "eta-threshold tuning, population-per-lane)",
+        "platform": jax.default_backend(),
+        "population": pop_n,
+        "generations": n_gen,
+        "days": days,
+        "wall_s": round(wall, 1),
+        "best_thresholds": [round(float(x), 5) for x in pop[best]],
+        "best_prop_used_kg": round(float(f1[best]), 4),
+        "best_penalty": round(float(f2[best]), 4),
+        "n_feasible_final": int(feasible.sum()),
+        "generation_best": [[round(a, 3), round(b, 3)] for a, b in history],
+    })
+
+
 if __name__ == "__main__":
     if "--drift-bench" in sys.argv or os.environ.get("NYX_EX03_DRIFT"):
         drift_bench()
     elif "--stationkeeping" in sys.argv or os.environ.get("NYX_EX03_SK"):
         stationkeeping()
+    elif "--raise-optim" in sys.argv or os.environ.get("NYX_EX03_OPTIM"):
+        raise_optim()
     else:
         main()

@@ -130,6 +130,14 @@ class Ruggiero(GuidanceLaw):
     eta_thresholds: Tuple[float, ...] = ()
     max_eclipse_prct: Optional[float] = None
     shadow_bodies: Tuple[int, ...] = (NAIF.EARTH,)
+    #: read the per-objective efficiency thresholds from
+    #: `ctx.guidance_params` ([n_obj] or per-lane [B, n_obj]) instead of
+    #: the static `eta_thresholds` tuple. This makes the thresholds a
+    #: traced leaf: a whole optimizer population (the reference's
+    #: raise_optim.rs NSGA2 individuals) propagates as ONE batched
+    #: dispatch with per-lane thresholds, and new generations re-run the
+    #: same compiled program with new values — no retrace.
+    ctx_eta_thresholds: bool = False
 
     # -- constructors (ruggiero.rs:54-152) -----------------------------
     @classmethod
@@ -152,6 +160,16 @@ class Ruggiero(GuidanceLaw):
             float(initial.orbit.value(obj.parameter)) for obj in objectives
         )
         return cls(objectives, init_values, tuple(eta_thresholds))
+
+    @classmethod
+    def from_ctx_thresholds(cls, objectives, initial) -> "Ruggiero":
+        """Thresholds supplied at propagation time through
+        `ctx.guidance_params` (see `ctx_eta_thresholds`); the batched
+        analogue of the reference's `Ruggiero::from_ηthresholds`
+        (raise_optim.rs:181) for population-per-lane optimization."""
+        law = cls.from_thresholds(objectives, [0.0] * len(objectives), initial)
+        law.ctx_eta_thresholds = True
+        return law
 
     @classmethod
     def from_max_eclipse(cls, objectives, initial, max_eclipse,
@@ -201,16 +219,17 @@ class Ruggiero(GuidanceLaw):
             return num / (1.0 + e * jnp.cos(ta))
         return jnp.ones_like(e)  # AoP
 
-    def _weight(self, i, kep, mu, vmag):
+    def _weight(self, i, kep, mu, vmag, thr=None):
         """Correction weight for objective i, zero when achieved or below the
-        efficiency threshold (ruggiero.rs:216-240)."""
+        efficiency threshold (ruggiero.rs:216-240). `thr` overrides the
+        static threshold with a traced ([..] broadcastable) value."""
         obj = self.objectives[i]
         init = self.init_values[i]
         target = obj.desired_value
         tol = obj.tolerance
         osc = self._osc_value(obj.parameter, kep)
         eta = self.efficiency(obj.parameter, kep, mu, vmag)
-        threshold = (
+        threshold = thr if thr is not None else (
             self.eta_thresholds[i] if i < len(self.eta_thresholds) else 0.0
         )
         denom_init = init + tol if abs(init - target) < tol else init
@@ -226,7 +245,7 @@ class Ruggiero(GuidanceLaw):
         gate = jnp.where(eta < threshold, 0.0, gate)
         return weight * gate
 
-    def _steering_rcn(self, kep, mu, rmag, vmag):
+    def _steering_rcn(self, kep, mu, rmag, vmag, thresholds=None):
         """Unit steering vector in the RCN frame (ruggiero.rs direction)."""
         e = kep["ecc"]
         ta = kep["ta"]
@@ -236,7 +255,8 @@ class Ruggiero(GuidanceLaw):
         ea = jnp.arctan2(jnp.sqrt(1.0 - e**2) * jnp.sin(ta), e + jnp.cos(ta))
         steering = 0.0
         for i, obj in enumerate(self.objectives):
-            w = self._weight(i, kep, mu, vmag)
+            thr = None if thresholds is None else thresholds[..., i]
+            w = self._weight(i, kep, mu, vmag, thr=thr)
             p = obj.parameter
             if p == StateParameter.SMA:
                 alpha = jnp.arctan2(e * jnp.sin(ta), 1.0 + e * jnp.cos(ta))
@@ -285,7 +305,15 @@ class Ruggiero(GuidanceLaw):
         kep = keplerian_from_cartesian(r, v, mu)
         rmag = jnp.linalg.norm(r, axis=-1)
         vmag = jnp.linalg.norm(v, axis=-1)
-        steer_rcn = self._steering_rcn(kep, mu, rmag, vmag)
+        thresholds = None
+        if self.ctx_eta_thresholds:
+            if ctx.guidance_params is None:
+                raise GuidanceConfigError(
+                    "Ruggiero.from_ctx_thresholds needs ctx.guidance_params "
+                    "([n_obj] or [B, n_obj] efficiency thresholds)"
+                )
+            thresholds = jnp.asarray(ctx.guidance_params)
+        steer_rcn = self._steering_rcn(kep, mu, rmag, vmag, thresholds)
         dcm = LocalFrame.dcm_to_inertial(LocalFrame.RCN, r, v)
         u = jnp.einsum("...ij,...j->...i", dcm, steer_rcn)
         thrusting = mode == GuidanceMode.Thrust

@@ -126,8 +126,15 @@ class MonteCarlo:
         n_capture: int = 0,
         capture_stride: int = 1,
         _y0=None,
+        guidance_params=None,
     ) -> Results:
         """Propagate n dispersed samples to an epoch; returns Results.
+
+        `guidance_params` (optional array, e.g. [B, P]) is placed on the
+        propagation context for parametric guidance laws
+        (`EomContext.guidance_params`) — per-lane law parameters such as
+        `Ruggiero.from_ctx_thresholds` population members. A traced leaf:
+        new values re-run the compiled program without retracing.
 
         `prop` is a Propagator (dynamics + method + options); `mesh` an
         optional jax mesh to shard the ensemble across devices.
@@ -165,15 +172,32 @@ class MonteCarlo:
                 drag_area_m2=template.drag_area_m2,
             )
             run = self._compiled(prop, mesh, n_capture, capture_stride)
+            gp_all = None
+            if guidance_params is not None:
+                from dataclasses import replace as _dc_replace
+
+                gp_all = jnp.asarray(guidance_params)
+                if gp_all.ndim == 1:  # shared params: same ctx every chunk
+                    ctx = _dc_replace(ctx, guidance_params=gp_all)
+                    gp_all = None
+                elif pad_total:
+                    gp_all = jnp.concatenate(
+                        [gp_all, jnp.repeat(gp_all[-1:], pad_total, axis=0)]
+                    )
             handles = []
             for k in range(n_chunks):
                 sl = slice(k * max_lanes_per_call, (k + 1) * max_lanes_per_call)
                 y0 = y0_all[sl]
+                ctx_k = ctx
+                if gp_all is not None:
+                    from dataclasses import replace as _dc_replace
+
+                    ctx_k = _dc_replace(ctx, guidance_params=gp_all[sl])
                 if mesh is not None:
                     from ..parallel.mesh import shard_ensemble
 
                     y0 = shard_ensemble(y0, mesh)
-                handles.append(run(y0, duration_s, ctx, sc_params))
+                handles.append(run(y0, duration_s, ctx_k, sc_params))
             from ..tracing import Progress
 
             progress = Progress(n_chunks, "chunks")
@@ -204,6 +228,10 @@ class MonteCarlo:
         # the context (ephemeris window Chebyshev fit) is identical for every
         # chunk of the same arc — cache it across calls
         ctx = self._context(prop, almanac, epoch0, duration_s)
+        if guidance_params is not None:
+            from dataclasses import replace as _dc_replace
+
+            ctx = _dc_replace(ctx, guidance_params=jnp.asarray(guidance_params))
         sc_params = dict(
             dry_mass_kg=template.dry_mass_kg,
             srp_area_m2=template.srp_area_m2,

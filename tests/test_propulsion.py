@@ -226,3 +226,58 @@ def test_thrust_direction_replay():
     # coarse replay of a rotating direction: sub-km / mm-mass agreement
     assert np.linalg.norm(got.orbit.r_km - ref.orbit.r_km) < 1.0
     assert abs(got.prop_mass_kg - ref.prop_mass_kg) < 1e-4
+
+
+@pytest.mark.slow
+def test_ruggiero_ctx_thresholds_per_lane_parity():
+    """Per-lane efficiency thresholds through ctx.guidance_params match
+    the static-threshold law lane for lane (the population-per-lane form
+    the raise-optim example uses; raise_optim.rs from_ηthresholds)."""
+    from nyx_tpu.ephem.almanac import Almanac
+    from nyx_tpu.mc import MonteCarlo, MvnSpacecraft, StateDispersion
+
+    orbit = Orbit.keplerian(7378.1363, 0.05, 28.5, 30.0, 40.0, 1.0,
+                            EPOCH, EME2K)
+    thruster = Thruster(thrust_N=5.0, isp_s=1650.0)
+    sc = Spacecraft.from_thruster(
+        orbit, dry_mass_kg=250.0, prop_mass_kg=50.0, thruster=thruster,
+        mode=GuidanceMode.Thrust,
+    )
+    objectives = [
+        Objective.within_tolerance(StateParameter.SMA, 7500.0, 1.0),
+        Objective.within_tolerance(StateParameter.INC, 27.0, 0.01),
+    ]
+    alm = Almanac()
+    end = EPOCH + 1800.0
+    thr_rows = np.array([[0.0, 0.0], [0.3, 0.5], [0.9, 0.2]])
+    opts = IntegratorOptions(max_step_s=60.0)
+
+    # one batched dispatch, per-lane thresholds traced through the ctx
+    law_ctx = Ruggiero.from_ctx_thresholds(objectives, sc)
+    dyn_ctx = SpacecraftDynamics.from_guidance_law(
+        OrbitalDynamics.two_body(EME2K), law_ctx
+    )
+    prop_ctx = Propagator.rk89(dyn_ctx, opts)
+    mvn = MvnSpacecraft(sc, [StateDispersion.zero_mean("sma", 0.0)])
+    y0 = np.tile(np.asarray(sc.to_vector()), (3, 1))
+    res = MonteCarlo(mvn, seed=1).run_until_epoch(
+        prop_ctx, alm, end, 3, _y0=y0, guidance_params=thr_rows
+    )
+    assert res.n_ok == 3
+
+    # lane-for-lane against the static-threshold law
+    for k in range(3):
+        law_k = Ruggiero.from_thresholds(objectives, list(thr_rows[k]), sc)
+        dyn_k = SpacecraftDynamics.from_guidance_law(
+            OrbitalDynamics.two_body(EME2K), law_k
+        )
+        res_k = MonteCarlo(mvn, seed=1).run_until_epoch(
+            Propagator.rk89(dyn_k, opts), alm, end, 1, _y0=y0[:1]
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.y_final)[k], np.asarray(res_k.y_final)[0],
+            rtol=0, atol=1e-9,
+        )
+    # the thresholds actually bite: lanes must differ from each other
+    assert not np.allclose(np.asarray(res.y_final)[0],
+                           np.asarray(res.y_final)[2], atol=1e-6)
