@@ -54,6 +54,11 @@ if __name__ == "__main__":
 
 import jax
 
+# the axon plugin IGNORES the JAX_PLATFORMS env var (it still initializes
+# and hangs on a dead relay); only the config update reliably forces CPU
+if os.environ.get("NYX_BENCH_PLATFORM") == "cpu-fallback":
+    jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_enable_x64", True)
 jax.config.update(
     "jax_compilation_cache_dir",
