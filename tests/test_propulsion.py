@@ -281,3 +281,49 @@ def test_ruggiero_ctx_thresholds_per_lane_parity():
     # the thresholds actually bite: lanes must differ from each other
     assert not np.allclose(np.asarray(res.y_final)[0],
                            np.asarray(res.y_final)[2], atol=1e-6)
+
+
+@pytest.mark.slow
+def test_ruggiero_ctx_thresholds_chunked_lanes_parity():
+    """guidance_params slicing in the max_lanes_per_call chunked path:
+    the 4-lane ensemble split into 2-lane device calls must equal the
+    one-call result exactly (lanes are independent)."""
+    from nyx_tpu.ephem.almanac import Almanac
+    from nyx_tpu.mc import MonteCarlo, MvnSpacecraft, StateDispersion
+
+    orbit = Orbit.keplerian(7378.1363, 0.05, 28.5, 30.0, 40.0, 1.0,
+                            EPOCH, EME2K)
+    thruster = Thruster(thrust_N=5.0, isp_s=1650.0)
+    sc = Spacecraft.from_thruster(
+        orbit, dry_mass_kg=250.0, prop_mass_kg=50.0, thruster=thruster,
+        mode=GuidanceMode.Thrust,
+    )
+    objectives = [
+        Objective.within_tolerance(StateParameter.SMA, 7500.0, 1.0),
+        Objective.within_tolerance(StateParameter.INC, 27.0, 0.01),
+    ]
+    law = Ruggiero.from_ctx_thresholds(objectives, sc)
+    dyn = SpacecraftDynamics.from_guidance_law(
+        OrbitalDynamics.two_body(EME2K), law
+    )
+    prop = Propagator.rk89(dyn, IntegratorOptions(max_step_s=60.0))
+    alm = Almanac()
+    end = EPOCH + 1200.0
+    thr = np.array([[0.0, 0.0], [0.2, 0.6], [0.7, 0.1], [0.9, 0.9]])
+    mvn = MvnSpacecraft(sc, [StateDispersion.zero_mean("sma", 0.0)])
+
+    one = MonteCarlo(mvn, seed=2).run_until_epoch(
+        prop, alm, end, 4, guidance_params=thr
+    )
+    chunked = MonteCarlo(mvn, seed=2).run_until_epoch(
+        prop, alm, end, 4, max_lanes_per_call=2, guidance_params=thr
+    )
+    np.testing.assert_array_equal(
+        np.asarray(one.y_final), np.asarray(chunked.y_final)
+    )
+    # shared [P]-shaped params broadcast to every lane in both paths
+    shared = MonteCarlo(mvn, seed=2).run_until_epoch(
+        prop, alm, end, 4, max_lanes_per_call=2,
+        guidance_params=np.array([0.2, 0.6]),
+    )
+    assert np.all(np.isfinite(np.asarray(shared.y_final)))
