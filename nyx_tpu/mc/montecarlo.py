@@ -279,12 +279,32 @@ class MonteCarlo:
                     axis=1,
                 )
                 traj_len = traj_len + 1
+        status = np.asarray(res.status)[:take]
+        from ..propagators.integrator import RUNNING
+
+        n_running = int(np.sum(status == RUNNING))
+        if n_running:
+            # distinct from a FAILED_NAN lane (tolerated by design): a
+            # RUNNING lane ran out of step budget and its "final" state is
+            # silently short of end_epoch — the exact bug class that once
+            # truncated a 30-day arc to n_ok=0 without a sound. Warn loudly;
+            # callers that need hard failure check Results.n_ok themselves.
+            import warnings
+
+            warnings.warn(
+                f"{n_running}/{take} lanes still RUNNING at return: the "
+                "step budget (max_iterations / scan_iterations) was "
+                "exhausted and those finals are BEFORE end_epoch. Raise "
+                "the budget; do not use the truncated lanes.",
+                RuntimeWarning,
+                stacklevel=3,
+            )
         return Results(
             epoch0=epoch0,
             end_epoch=end_epoch,
             template=template,
             y_final=np.asarray(res.y)[:take],
-            status=np.asarray(res.status)[:take],
+            status=status,
             n_accepted=np.asarray(res.n_accepted)[:take],
             n_rejected=np.asarray(res.n_rejected)[:take],
             traj_t=traj_t,
