@@ -1948,6 +1948,16 @@ class ScanKalmanOD:
         the arc/reference inputs are replicated; SURVEY §2.8 "OD residual
         aggregation" collective point). The batch is padded to a multiple
         of the device count with copies of lane 0 and sliced back."""
+        if self.variant == "ekf":
+            # the vmapped ensemble runs the full-arc CKF pipeline; the
+            # segmented reference-update fold (per-filter, per-segment
+            # host loop) is not vmapped. Erroring beats silently running
+            # different filter semantics than process_arc would.
+            raise ConfigError(
+                "process_arc_batch supports variant='ckf' only; for an "
+                "EKF ensemble run process_arc per estimate (or use the "
+                "CKF with iterations)"
+            )
         first = initial_estimates[0]
         n_real = len(initial_estimates)
         y0s = jnp.asarray(np.stack([e.nominal.to_vector() for e in initial_estimates]))
