@@ -132,7 +132,20 @@ def main():
     setup = Propagator.rk89(dyn, opts)
 
     arc_days = float(os.environ.get("NYX_EX06_DAYS", 2.0))
-    if os.environ.get("NYX_EX06_CPU"):
+    # NYX_EX06_RESUME=1 reloads the truth trajectory + simulated arc from
+    # the previous run's outputs (the two phases cost ~9 TPU-minutes) so
+    # the filter leg can be iterated on alone; the checkpoint is keyed to
+    # nothing — delete data/output/06_truth_ckpt.npz after config changes.
+    ckpt = OUT / "06_truth_ckpt.npz"
+    arc_pq = OUT / "06_lunar_simulated_tracking.parquet"
+    resume = bool(os.environ.get("NYX_EX06_RESUME")) and ckpt.exists() \
+        and arc_pq.exists()
+    if resume:
+        from nyx_tpu.md.trajectory import Trajectory
+
+        d = np.load(ckpt)
+        truth_traj = Trajectory.from_capture(epoch, d["ts"], d["ys"], orbiter)
+    elif os.environ.get("NYX_EX06_CPU"):
         _, truth_traj = setup.with_state(orbiter, alm).for_duration_with_traj(
             arc_days * 86400.0, n_capture=65536
         )
@@ -158,6 +171,9 @@ def main():
         truth_traj = Trajectory.from_capture(
             epoch, np.concatenate(ts_all), np.concatenate(ys_all), tmpl
         )
+    if not resume:
+        np.savez(ckpt, ts=np.asarray(truth_traj.ts),
+                 ys=np.asarray(truth_traj.ys))
     print(f"[{time.time()-t0:6.1f}s] truth trajectory done "
           f"({degree}x{degree} field, {arc_days} days, "
           f"{len(np.asarray(truth_traj.ts))} nodes)")
@@ -174,10 +190,18 @@ def main():
     ]
     print("stations:", ", ".join(devices))
 
-    sim = TrackingArcSim.with_seed(stations, truth_traj, configs, seed=123)
-    arc = sim.generate_measurements()
-    print(f"[{time.time()-t0:6.1f}s] {len(arc)} measurements simulated")
-    arc.to_parquet(OUT / "06_lunar_simulated_tracking.parquet")
+    if resume:
+        from nyx_tpu.od import TrackingDataArc
+
+        arc = TrackingDataArc.from_parquet(arc_pq)
+        print(f"[{time.time()-t0:6.1f}s] {len(arc)} measurements reloaded")
+    else:
+        sim = TrackingArcSim.with_seed(
+            stations, truth_traj, configs, seed=123
+        )
+        arc = sim.generate_measurements()
+        print(f"[{time.time()-t0:6.1f}s] {len(arc)} measurements simulated")
+        arc.to_parquet(arc_pq)
 
     # Initial estimate: 500 m / 5 mm/s RIC sigmas (main.rs:171-183)
     unc = SpacecraftUncertainty(

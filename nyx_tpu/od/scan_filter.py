@@ -1508,11 +1508,19 @@ class ScanKalmanOD:
         return fn(*args)
 
     def _run_stages(self, stages, args, y0, p0, ctx, sc_params, epochs0,
-                    rej_thresh=None):
+                    rej_thresh=None, defer_check=False):
         """Drive the four-stage batched pipeline (see _build_batch). Returns
         (out6, n_valid, y_bar, phi); intermediates never leave the device.
         `rej_thresh` overrides the configured rejection threshold for this
-        pass (traced scalar — used by relinearization iterations)."""
+        pass (traced scalar — used by relinearization iterations).
+
+        With `defer_check=True` the saturation/RUNNING host round-trip is
+        skipped entirely and the raw device arrays come back as
+        (out6, n_valid, ref_status, aux): the segmented EKF drives hundreds
+        of sequential segment calls whose y0/p0 chain lives on the device,
+        and a per-segment readback serializes the whole arc on the relay
+        round-trip (~300 RTTs of dead time on a tunneled TPU — the ex06
+        'hang'). The caller checks all segments in ONE sync after the loop."""
         from ..propagators.integrator import RUNNING as _RUNNING
 
         t_rel, trk, obs, avail = args
@@ -1544,12 +1552,14 @@ class ScanKalmanOD:
             (trk, avail, y_bar, phi, dt, h_all, z_all, r_all, q_all, p0,
              thresh),
         )
+        aux = dict(y_bar=y_bar, phi=phi, h_all=h_all, z_all=z_all,
+                   r_all=r_all, avail=avail)
+        if defer_check:
+            return out, n_valid, ref_status, aux
         if self._capture_saturated(n_valid) or bool(
             np.any(np.asarray(ref_status) == _RUNNING)
         ):
             return None, n_valid, None, None
-        aux = dict(y_bar=y_bar, phi=phi, h_all=h_all, z_all=z_all,
-                   r_all=r_all, avail=avail)
         return out, n_valid, y_bar, aux
 
     def process_arc(self, initial_estimate, arc: TrackingDataArc) -> ScanODResult:
@@ -1674,21 +1684,33 @@ class ScanKalmanOD:
             y0 = jnp.asarray(nominal.to_vector())
             p0 = jnp.asarray(initial_estimate.covar)
             outs = []
-            saturated = False
+            checks = []
             for (args, epochs0, ctx, n_real) in segs:
-                out, n_valid, _, _ = self._run_stages(
+                # defer_check: the whole segment chain (y0/p0 carried on
+                # the device) enqueues with ZERO host syncs — a
+                # per-segment saturation readback costs one relay
+                # round-trip each and serialized ~300-segment arcs into a
+                # multi-hour crawl on the tunneled TPU
+                out, n_valid, ref_status, _ = self._run_stages(
                     stages, args, y0, p0, ctx, sc_params, epochs0,
-                    rej_thresh=rej_override,
+                    rej_thresh=rej_override, defer_check=True,
                 )
-                if out is None:
-                    saturated = True
-                    break
                 outs.append(out)
+                checks.append((n_valid, ref_status))
                 # fold: padded rows are dt=0 masked time updates, so the
                 # last row equals the segment's last real row
                 y0 = out[0][-1][:STATE_DIM]
                 p0 = out[1][-1]
-            if not saturated:
+            # ONE sync for the whole arc: reduce every segment's check on
+            # device, fetch two tiny arrays
+            from ..propagators.integrator import RUNNING as _RUNNING
+
+            nv_max = jnp.stack([jnp.max(nv) for nv, _ in checks])
+            running = jnp.stack(
+                [jnp.any(rs == _RUNNING) for _, rs in checks]
+            )
+            if not (self._capture_saturated(nv_max)
+                    or bool(np.any(np.asarray(running)))):
                 break
             self._kcap_grow = getattr(self, "_kcap_grow", 1) * 2
         else:
@@ -1697,13 +1719,17 @@ class ScanKalmanOD:
                 "reference scan budget exhausted) after 4 growth retries; "
                 "pass a smaller max_gap_s / larger scan_iterations"
             )
-        cat = [
-            np.concatenate(
-                [np.asarray(o[i])[:seg[3]] for o, seg in zip(outs, segs)],
-                axis=0,
-            )
-            for i in range(6)
-        ]
+        # device-side concat + one fetch per output: 6 transfers instead
+        # of 6 x n_segments tiny per-segment readbacks
+        s_rows = int(segs[0][0][0].shape[0])
+        full = jax.device_get(
+            [jnp.concatenate([o[i] for o in outs], axis=0)
+             for i in range(6)]
+        )
+        idx = np.concatenate(
+            [np.arange(seg[3]) + k * s_rows for k, seg in enumerate(segs)]
+        )
+        cat = [np.asarray(f)[idx] for f in full]
         return self._result(arc, real, *cat)
 
     def _ekf_setup(self, initial_estimate, arc):
